@@ -1,0 +1,178 @@
+"""Vectorized MurmurHash3_x64_128 over batches of byte strings.
+
+The reference hashes each marker once with MurmurHash3_x64_128 (seed 0)
+and derives k Bloom probe positions from the 128-bit result via
+Kirsch–Mitzenmacher double hashing (/root/reference/shmbloomfilter.cpp:12-24,
+algorithm body /root/reference/mmh3.cpp:70-181).  This module reimplements
+the algorithm from the public MurmurHash3 specification as a numpy batch
+kernel: one call hashes N variable-length byte strings with
+O(max_len/16) vectorized rounds instead of a per-row Python loop.
+
+Exactness notes:
+ * numpy uint64 arithmetic wraps modulo 2^64, matching C++ unsigned
+   semantics; golden-vector tests (tests/test_mmh3.py) pin every tail
+   length 0..257 against the reference binary's output.
+ * The C++ tail switch (fallthrough ORs of up to 15 trailing bytes) is
+   equivalent to a little-endian read of 16 zero-padded bytes, so we
+   zero-pad each row and read the tail unconditionally; a zero k1/k2
+   makes the tail mix a no-op, exactly like `case 0`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_C1 = np.uint64(0x87C37B91114253D5)
+_C2 = np.uint64(0x4CF5AD432745937F)
+_M5 = np.uint64(5)
+_A1 = np.uint64(0x52DCE729)
+_A2 = np.uint64(0x38495AB5)
+_F1 = np.uint64(0xFF51AFD7ED558CCD)
+_F2 = np.uint64(0xC4CEB9FE1A85EC53)
+_U64_1 = np.uint64(1)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * _F1
+    k = k ^ (k >> np.uint64(33))
+    k = k * _F2
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def mmh3_x64_128_padded(
+    padded: np.ndarray, lengths: np.ndarray, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hash N byte strings stored as a zero-padded uint8 matrix.
+
+    ``padded`` is [N, L] uint8 with L a multiple of 16 and at least 16
+    bytes of guaranteed zero padding after each row's ``lengths[i]``
+    bytes.  Returns (h1, h2) uint64 arrays of shape [N].
+    """
+    n = padded.shape[0]
+    lengths = lengths.astype(np.int64, copy=False)
+    h1 = np.full(n, seed, dtype=np.uint64)
+    h2 = np.full(n, seed, dtype=np.uint64)
+
+    nblocks = lengths // 16
+    max_blocks = int(nblocks.max(initial=0))
+    # Little-endian uint64 view: row-major pairs (k1, k2) per 16-byte block.
+    blocks = padded.view("<u8").reshape(n, -1)
+
+    for j in range(max_blocks):
+        active = nblocks > j
+        k1 = blocks[:, 2 * j].copy()
+        k2 = blocks[:, 2 * j + 1].copy()
+
+        k1 *= _C1
+        k1 = _rotl64(k1, 31)
+        k1 *= _C2
+        nh1 = h1 ^ k1
+        nh1 = _rotl64(nh1, 27)
+        nh1 += h2
+        nh1 = nh1 * _M5 + _A1
+
+        k2 *= _C2
+        k2 = _rotl64(k2, 33)
+        k2 *= _C1
+        nh2 = h2 ^ k2
+        nh2 = _rotl64(nh2, 31)
+        nh2 += nh1
+        nh2 = nh2 * _M5 + _A2
+
+        h1 = np.where(active, nh1, h1)
+        h2 = np.where(active, nh2, h2)
+
+    # Tail: read 16 zero-padded bytes at the first byte past the last
+    # full block.  Zero k's make each mix a no-op (case 0 of the switch).
+    tail_off = nblocks * 16
+    idx = tail_off[:, None] + np.arange(16, dtype=np.int64)[None, :]
+    tail_bytes = np.take_along_axis(padded, idx, axis=1)
+    tail_u64 = np.ascontiguousarray(tail_bytes).view("<u8")
+    k1 = tail_u64[:, 0].copy()
+    k2 = tail_u64[:, 1].copy()
+
+    k2 *= _C2
+    k2 = _rotl64(k2, 33)
+    k2 *= _C1
+    h2 = h2 ^ k2
+
+    k1 *= _C1
+    k1 = _rotl64(k1, 31)
+    k1 *= _C2
+    h1 = h1 ^ k1
+
+    ulen = lengths.astype(np.uint64)
+    h1 ^= ulen
+    h2 ^= ulen
+    h1 += h2
+    h2 += h1
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 += h2
+    h2 += h1
+    return h1, h2
+
+
+def pad_bytes(items: list[bytes] | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a list of byte strings into the zero-padded matrix shape
+    required by :func:`mmh3_x64_128_padded`."""
+    lengths = np.fromiter((len(b) for b in items), dtype=np.int64, count=len(items))
+    max_len = int(lengths.max(initial=0))
+    width = ((max_len // 16) + 2) * 16  # >=16 zero bytes after every row
+    padded = np.zeros((len(items), width), dtype=np.uint8)
+    for i, b in enumerate(items):
+        if b:
+            padded[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return padded, lengths
+
+
+def mmh3_x64_128(items: list[bytes], seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Hash a Python list of byte strings (convenience wrapper)."""
+    if len(items) == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    padded, lengths = pad_bytes(items)
+    return mmh3_x64_128_padded(padded, lengths, seed=seed)
+
+
+def mmh3_fixed_width(matrix: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Hash N fixed-width byte rows given as an [N, W] uint8 matrix.
+
+    Fast path for token n-grams, whose serialized width is a constant
+    4*n bytes; avoids per-row packing.
+    """
+    n, w = matrix.shape
+    width = ((w // 16) + 2) * 16
+    padded = np.zeros((n, width), dtype=np.uint8)
+    padded[:, :w] = matrix
+    lengths = np.full(n, w, dtype=np.int64)
+    return mmh3_x64_128_padded(padded, lengths, seed=seed)
+
+
+def mmh3_offsets(flat: np.ndarray, offsets: np.ndarray, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Hash N variable-length byte strings stored Arrow-style: a flat
+    uint8 buffer plus int offsets of length N+1 (row i spans
+    flat[offsets[i]:offsets[i+1]]).  Avoids materializing Python bytes
+    when the input already lives in an Arrow BinaryArray."""
+    n = len(offsets) - 1
+    if n <= 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    lengths = np.diff(offsets).astype(np.int64)
+    max_len = int(lengths.max(initial=0))
+    width = ((max_len // 16) + 2) * 16
+    padded = np.zeros((n, width), dtype=np.uint8)
+    # Scatter each row; vectorized via a single fancy-index assignment.
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    col_idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+        offsets[:-1].astype(np.int64), lengths
+    )
+    padded[row_idx, col_idx] = flat
+    return mmh3_x64_128_padded(padded, lengths, seed=seed)

@@ -1,0 +1,136 @@
+"""Mergeable Bloom filter — the reference-parity core sketch.
+
+Semantics follow /root/reference/shmbloomfilter.cpp:
+ * probe positions: Kirsch–Mitzenmacher double hashing, bit
+   ``(h1 + i*h2) mod m`` for i in 0..k-1 with uint64 wraparound
+   (shmbloomfilter.cpp:11-20);
+ * hash: MurmurHash3_x64_128 seed 0 (shmbloomfilter.cpp:22-24);
+ * state: dense bit array in 64-bit blocks (shmbloomfilter.h:17-20),
+   here a numpy uint64 array; bit b lives at blocks[b >> 6] bit (b & 63)
+   — same block layout the reference's dynamic_bitset uses.
+
+Additions over the reference (which is single-writer and never merges):
+an OR-merge combine, making the filter a mergeable aggregation state,
+and fully vectorized batch insert/contains (no per-element loop).
+
+Serialization: MSK1 header + '<QIQ' (m, k, n_inserted) + LE uint64
+blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..hashing import mmh3_fixed_width, mmh3_offsets, mmh3_x64_128
+from .base import KIND_BLOOM, pack_header, unpack_header
+
+_PARAMS = struct.Struct("<QIQ")
+
+
+class BloomSketch:
+    __slots__ = ("m", "k", "n_inserted", "blocks")
+
+    def __init__(self, m: int, k: int, blocks: np.ndarray | None = None, n_inserted: int = 0):
+        if m <= 0 or k <= 0:
+            raise ValueError(f"need m>0, k>0; got m={m}, k={k}")
+        self.m = int(m)
+        self.k = int(k)
+        self.n_inserted = int(n_inserted)
+        nblocks = (self.m + 63) // 64
+        if blocks is None:
+            self.blocks = np.zeros(nblocks, dtype=np.uint64)
+        else:
+            if len(blocks) != nblocks:
+                raise ValueError(f"blocks len {len(blocks)} != {nblocks}")
+            self.blocks = blocks
+
+    # --- probe computation -------------------------------------------------
+    def _probe_bits(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """[N, k] bit indices via double hashing with uint64 wrap."""
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
+
+    # --- updates -----------------------------------------------------------
+    def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        if len(h1) == 0:
+            return
+        bits = self._probe_bits(h1, h2).ravel()
+        block_idx = (bits >> np.uint64(6)).astype(np.int64)
+        bit_masks = np.uint64(1) << (bits & np.uint64(63))
+        np.bitwise_or.at(self.blocks, block_idx, bit_masks)
+        self.n_inserted += len(h1)
+
+    def insert(self, items: list[bytes]) -> None:
+        h1, h2 = mmh3_x64_128(items)
+        self.insert_hashes(h1, h2)
+
+    def insert_fixed_width(self, matrix: np.ndarray) -> None:
+        """Insert N fixed-width byte rows ([N, W] uint8) — n-gram path."""
+        h1, h2 = mmh3_fixed_width(matrix)
+        self.insert_hashes(h1, h2)
+
+    def insert_offsets(self, flat: np.ndarray, offsets: np.ndarray) -> None:
+        h1, h2 = mmh3_offsets(flat, offsets)
+        self.insert_hashes(h1, h2)
+
+    # --- lookups -----------------------------------------------------------
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        if len(h1) == 0:
+            return np.empty(0, dtype=bool)
+        bits = self._probe_bits(h1, h2)  # [N, k]
+        block_idx = (bits >> np.uint64(6)).astype(np.int64)
+        bit_pos = bits & np.uint64(63)
+        probed = (self.blocks[block_idx] >> bit_pos) & np.uint64(1)
+        return probed.all(axis=1)
+
+    def contains(self, items: list[bytes]) -> np.ndarray:
+        h1, h2 = mmh3_x64_128(items)
+        return self.contains_hashes(h1, h2)
+
+    def contains_fixed_width(self, matrix: np.ndarray) -> np.ndarray:
+        h1, h2 = mmh3_fixed_width(matrix)
+        return self.contains_hashes(h1, h2)
+
+    def contains_offsets(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        h1, h2 = mmh3_offsets(flat, offsets)
+        return self.contains_hashes(h1, h2)
+
+    # --- merge / lifecycle ---------------------------------------------------
+    def merge_in_place(self, other: "BloomSketch") -> "BloomSketch":
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError(
+                f"incompatible Bloom params: ({self.m},{self.k}) vs ({other.m},{other.k})"
+            )
+        np.bitwise_or(self.blocks, other.blocks, out=self.blocks)
+        self.n_inserted += other.n_inserted
+        return self
+
+    def reset(self) -> None:
+        self.blocks[:] = 0
+        self.n_inserted = 0
+
+    def fill_ratio(self) -> float:
+        set_bits = int(np.unpackbits(self.blocks.view(np.uint8)).sum())
+        return set_bits / self.m
+
+    def expected_fp(self) -> float:
+        """Theoretical FP rate given current fill: (set_bits/m)^k."""
+        return self.fill_ratio() ** self.k
+
+    # --- serialization -------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return (
+            pack_header(KIND_BLOOM)
+            + _PARAMS.pack(self.m, self.k, self.n_inserted)
+            + self.blocks.astype("<u8", copy=False).tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "BloomSketch":
+        off = unpack_header(buf, KIND_BLOOM)
+        m, k, n_inserted = _PARAMS.unpack_from(buf, off)
+        off += _PARAMS.size
+        blocks = np.frombuffer(buf, dtype="<u8", offset=off).astype(np.uint64)
+        return cls(m=m, k=k, blocks=blocks, n_inserted=n_inserted)
