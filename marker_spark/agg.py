@@ -1,0 +1,162 @@
+"""Spark aggregation layer: two-phase mergeable-sketch builds.
+
+The reference is single-process: one writer updates one filter in
+shared memory (/root/reference/markercache.cpp:197-201).  At cluster
+scale the same computation becomes a classic partial+final aggregation,
+which Catalyst does NOT auto-split for pandas UDAFs — so the two-phase
+shape is explicit here:
+
+  1. **Partial build** (``build_partials``): ``mapInPandas`` over the
+     input — each task streams its partition's Arrow batches through a
+     vectorized update kernel, accumulating one sketch per group key
+     *per partition* (a hand-rolled map-side combine).  Raw rows are
+     never shuffled; only the small serialized sketch states are.
+  2. **Merge** (``merge_partials``): groupBy(group) + ``applyInPandas``
+     combining states with the sketch's associative merge.  When the
+     number of partials per group is large (wide clusters) an optional
+     intermediate tree round caps per-task merge fan-in so no single
+     reducer ORs thousands of multi-MB bitmaps.
+
+Skew note: because partials are keyed per-partition *inside* the map
+task, a hot group key (zipf ``source``) costs nothing extra at build
+time — the shuffle moves one sketch row per (partition, group), not the
+raw rows.  Salting is therefore only needed on the merge side, which
+``tree_rounds`` provides deterministically (no rand()).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SKETCH_COL = "sketch"
+_GROUP_NONE = "__all__"
+
+
+def build_partials(
+    df: DataFrame,
+    factory: Callable[[], Any],
+    update: Callable[[Any, pd.DataFrame], None],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Map-side partial sketches: one row (group..., sketch) per
+    (input partition, group key)."""
+    group_cols = list(group_cols or [])
+    out_fields = [f"`{c}` string" for c in group_cols]
+    schema = ", ".join(out_fields + [f"{SKETCH_COL} binary"])
+
+    def partition_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, Any] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if group_cols:
+                for key, sub in pdf.groupby(group_cols, sort=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    sk = states.get(key)
+                    if sk is None:
+                        sk = states[key] = factory()
+                    update(sk, sub)
+            else:
+                sk = states.get((_GROUP_NONE,))
+                if sk is None:
+                    sk = states[(_GROUP_NONE,)] = factory()
+                update(sk, pdf)
+        if states:
+            rows = {
+                c: [str(k[i]) for k in states] for i, c in enumerate(group_cols)
+            }
+            rows[SKETCH_COL] = [s.to_bytes() for s in states.values()]
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(partition_fn, schema=schema)
+
+
+def merge_partials(
+    partials: DataFrame,
+    sketch_cls: type,
+    group_cols: list[str] | None = None,
+    tree_fanin: int = 0,
+) -> DataFrame:
+    """Final merge: groupBy(group) associative combine of sketch states.
+
+    ``tree_fanin > 0`` inserts one deterministic intermediate round:
+    partials are sharded by ``monotonically_increasing_id() % fanin``
+    within each group, merged per shard, then the (at most ``fanin``)
+    shard sketches merge in the final task — bounding any single task's
+    input to ~fanin states.  Merge associativity (exact for
+    Bloom/HLL/CMS) makes the tree shape irrelevant to the result.
+    """
+    group_cols = list(group_cols or [])
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        it = iter(pdf[SKETCH_COL])
+        acc = sketch_cls.from_bytes(next(it))
+        for buf in it:
+            acc.merge_in_place(sketch_cls.from_bytes(buf))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out[SKETCH_COL] = [acc.to_bytes()]
+        return pd.DataFrame(out)
+
+    out_fields = [f"`{c}` string" for c in group_cols]
+    schema = ", ".join(out_fields + [f"{SKETCH_COL} binary"])
+
+    df = partials
+    if tree_fanin > 0:
+        shard = (F.monotonically_increasing_id() % tree_fanin).cast("string")
+        df = df.withColumn("__shard", shard)
+
+        def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            res = merge_fn(pdf)
+            res["__shard"] = pdf["__shard"].iloc[0]
+            return res
+
+        shard_schema = ", ".join(out_fields + ["`__shard` string", f"{SKETCH_COL} binary"])
+        df = df.groupBy(*(group_cols + ["__shard"])).applyInPandas(merge_shard, schema=shard_schema)
+        df = df.drop("__shard")
+
+    if group_cols:
+        return df.groupBy(*group_cols).applyInPandas(merge_fn, schema=schema)
+    return df.groupBy().applyInPandas(lambda pdf: merge_fn(pdf), schema=schema)
+
+
+def sketch_agg(
+    df: DataFrame,
+    factory: Callable[[], Any],
+    update: Callable[[Any, pd.DataFrame], None],
+    sketch_cls: type,
+    group_cols: list[str] | None = None,
+    tree_fanin: int = 0,
+) -> DataFrame:
+    """Partial build + merge in one call → DataFrame (group..., sketch)."""
+    partials = build_partials(df, factory, update, group_cols)
+    return merge_partials(partials, sketch_cls, group_cols, tree_fanin)
+
+
+def collect_sketch(df: DataFrame, sketch_cls: type):
+    """Driver-side: collect a single-group sketch result."""
+    rows = df.collect()
+    if not rows:
+        return None
+    acc = sketch_cls.from_bytes(rows[0][SKETCH_COL])
+    for r in rows[1:]:
+        acc.merge_in_place(sketch_cls.from_bytes(r[SKETCH_COL]))
+    return acc
+
+
+def collect_sketches(df: DataFrame, sketch_cls: type, group_cols: list[str]) -> dict[tuple, Any]:
+    """Driver-side: collect grouped sketches keyed by group tuple."""
+    out: dict[tuple, Any] = {}
+    for r in df.collect():
+        key = tuple(r[c] for c in group_cols)
+        sk = sketch_cls.from_bytes(r[SKETCH_COL])
+        if key in out:
+            out[key].merge_in_place(sk)
+        else:
+            out[key] = sk
+    return out

@@ -1,0 +1,106 @@
+"""Vectorized update kernels binding sketches to the tokenized-sequence
+schema (doc_id string, tokens array<int32>, n_tok int32, source string),
+plus probe-side pandas UDF builders.
+
+Every kernel consumes a whole pandas/Arrow batch and runs numpy-only
+math — no per-row Python in the hot path (BASELINE.json:input_hint).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+from .hashing import mmh3_fixed_width, mmh3_offsets
+from .ngrams import list_column_to_flat, ngram_bytes
+from .params import BloomParams
+from .sketches.bloom import BloomSketch
+
+
+# --- updaters (sketch, batch) -> None ---------------------------------------
+
+def bloom_ngram_updater(n: int, token_col: str = "tokens") -> Callable[[Any, pd.DataFrame], None]:
+    """Insert every token n-gram of each row into a Bloom sketch."""
+
+    def update(sk: BloomSketch, pdf: pd.DataFrame) -> None:
+        flat, offsets = list_column_to_flat(pdf[token_col])
+        mat, _ = ngram_bytes(flat, offsets, n)
+        if len(mat):
+            sk.insert_fixed_width(mat)
+
+    return update
+
+
+def bloom_binary_updater(col: str) -> Callable[[Any, pd.DataFrame], None]:
+    """Insert a binary/string column's byte values (reference marker path)."""
+
+    def update(sk: BloomSketch, pdf: pd.DataFrame) -> None:
+        items = [
+            v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+            for v in pdf[col]
+        ]
+        sk.insert(items)
+
+    return update
+
+
+def bloom_factory(capacity: int, fp: float) -> Callable[[], BloomSketch]:
+    params = BloomParams.solve(capacity, fp)
+    return lambda: BloomSketch(params.m, params.k)
+
+
+# --- probe-side pandas UDFs ---------------------------------------------------
+
+def make_ngram_membership_udf(sketch_bytes: bytes, n: int):
+    """Returns a pandas UDF tokens:array<int32> -> boolean ("does this row
+    contain at least one n-gram present in the sketch"), plus an
+    all-ngrams variant.  The serialized sketch ships to executors inside
+    the UDF closure (Spark broadcasts task binaries); deserialized once
+    per worker via lazy init.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    state: dict[str, BloomSketch] = {}
+
+    def _sketch() -> BloomSketch:
+        sk = state.get("sk")
+        if sk is None:
+            sk = state["sk"] = BloomSketch.from_bytes(sketch_bytes)
+        return sk
+
+    @pandas_udf("boolean")
+    def any_ngram_in(tokens: pd.Series) -> pd.Series:
+        sk = _sketch()
+        flat, offsets = list_column_to_flat(tokens)
+        mat, per_doc = ngram_bytes(flat, offsets, n)
+        hits = sk.contains_fixed_width(mat) if len(mat) else np.empty(0, dtype=bool)
+        # any() per doc, vectorized via add.reduceat over doc segments
+        out = np.zeros(len(tokens), dtype=bool)
+        nz = per_doc > 0
+        if hits.size:
+            seg_starts = np.concatenate(([0], np.cumsum(per_doc)[:-1]))
+            sums = np.add.reduceat(hits.astype(np.int64), seg_starts[nz])
+            out[nz] = sums > 0
+        return pd.Series(out)
+
+    return any_ngram_in
+
+
+def make_marker_membership_udf(sketch_bytes: bytes):
+    """pandas UDF binary -> boolean: exact reference lookup semantics
+    (is this byte-string marker in the filter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    state: dict[str, BloomSketch] = {}
+
+    @pandas_udf("boolean")
+    def marker_in(data: pd.Series) -> pd.Series:
+        sk = state.get("sk")
+        if sk is None:
+            sk = state["sk"] = BloomSketch.from_bytes(sketch_bytes)
+        vals = [v if isinstance(v, (bytes, bytearray)) else str(v).encode() for v in data]
+        return pd.Series(sk.contains(vals))
+
+    return marker_in

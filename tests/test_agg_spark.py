@@ -1,0 +1,104 @@
+"""End-to-end Spark aggregation tests: distributed Bloom build over the
+tokenized-sequence table, membership probes, merge-order invariance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from marker_spark.agg import collect_sketch, collect_sketches, sketch_agg
+from marker_spark.datagen import gen_tokenized_sequences
+from marker_spark.kernels import (
+    bloom_factory,
+    bloom_ngram_updater,
+    make_ngram_membership_udf,
+)
+from marker_spark.ngrams import list_column_to_flat, ngram_bytes
+from marker_spark.sketches.bloom import BloomSketch
+
+N_DOCS = 2000
+NGRAM = 3
+
+
+@pytest.fixture(scope="module")
+def tokseq_df(spark, tokseq_path):
+    return spark.read.parquet(tokseq_path)
+
+
+def _local_reference_sketch(factory, n):
+    """Single-threaded local build over the same data = ground truth."""
+    tbl = gen_tokenized_sequences(N_DOCS, seed=42).to_pandas()
+    sk = factory()
+    flat, offsets = list_column_to_flat(tbl["tokens"])
+    mat, _ = ngram_bytes(flat, offsets, n)
+    sk.insert_fixed_width(mat)
+    return sk, tbl
+
+
+def test_distributed_build_matches_local(spark, tokseq_df):
+    factory = bloom_factory(capacity=300_000, fp=0.001)
+    update = bloom_ngram_updater(NGRAM)
+    local, _ = _local_reference_sketch(factory, NGRAM)
+
+    result = sketch_agg(tokseq_df.repartition(7), factory, update, BloomSketch)
+    dist = collect_sketch(result, BloomSketch)
+    # Exact state equality: OR-merge across any partitioning gives the
+    # same bit array as the single-pass build.
+    np.testing.assert_array_equal(dist.blocks, local.blocks)
+    assert dist.n_inserted == local.n_inserted
+
+
+def test_partition_count_invariance(spark, tokseq_df):
+    factory = bloom_factory(capacity=300_000, fp=0.001)
+    update = bloom_ngram_updater(NGRAM)
+    a = collect_sketch(sketch_agg(tokseq_df.repartition(2), factory, update, BloomSketch), BloomSketch)
+    b = collect_sketch(
+        sketch_agg(tokseq_df.repartition(13), factory, update, BloomSketch, tree_fanin=4),
+        BloomSketch,
+    )
+    np.testing.assert_array_equal(a.blocks, b.blocks)
+
+
+def test_grouped_build_by_source(spark, tokseq_df):
+    factory = bloom_factory(capacity=300_000, fp=0.001)
+    update = bloom_ngram_updater(NGRAM)
+    result = sketch_agg(tokseq_df, factory, update, BloomSketch, group_cols=["source"])
+    sketches = collect_sketches(result, BloomSketch, ["source"])
+    pdf = gen_tokenized_sequences(N_DOCS, seed=42).to_pandas()
+    assert set(k[0] for k in sketches) == set(pdf["source"].unique())
+    # Per-group zero false negatives.
+    for src, sub in pdf.groupby("source"):
+        sk = sketches[(src,)]
+        flat, offsets = list_column_to_flat(sub["tokens"])
+        mat, _ = ngram_bytes(flat, offsets, NGRAM)
+        assert bool(sk.contains_fixed_width(mat).all()), f"FN in group {src}"
+
+
+def test_membership_udf_no_false_negatives(spark, tokseq_df):
+    factory = bloom_factory(capacity=300_000, fp=0.001)
+    update = bloom_ngram_updater(NGRAM)
+    sk = collect_sketch(sketch_agg(tokseq_df, factory, update, BloomSketch), BloomSketch)
+
+    udf = make_ngram_membership_udf(sk.to_bytes(), NGRAM)
+    hits = tokseq_df.select(udf("tokens").alias("hit")).toPandas()["hit"]
+    # Every inserted doc contains its own n-grams -> all true.
+    assert bool(hits.all())
+
+
+def test_membership_udf_fp_bounded(spark):
+    # Probe docs generated with a different seed: nearly all their
+    # n-grams are absent; row-level "any n-gram present" can still fire
+    # on common zipf-head grams, so probe with rare high-id tokens.
+    factory = bloom_factory(capacity=300_000, fp=0.001)
+    update = bloom_ngram_updater(NGRAM)
+    rng = np.random.default_rng(99)
+    import pandas as pd
+
+    probe_tokens = [rng.integers(10**6, 10**7, size=20).astype(np.int32) for _ in range(500)]
+    spark_probe = None
+    sk, _ = _local_reference_sketch(factory, NGRAM)
+    flat, offsets = list_column_to_flat(pd.Series(probe_tokens))
+    mat, _ = ngram_bytes(flat, offsets, NGRAM)
+    fp_rate = float(sk.contains_fixed_width(mat).mean())
+    assert fp_rate <= 0.001 * 1.3
