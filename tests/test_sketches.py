@@ -1,0 +1,197 @@
+"""Error-bound + merge + serde tests for HLL, CMS, KLL, t-digest.
+
+Bounds per SURVEY.md §2 Part C with the x3 safety factor of
+FIXTURES.md §6; exact answers from numpy (DuckDB cross-checks live in
+test_oracles.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from marker_spark.sketches.cms import CmsSketch
+from marker_spark.sketches.hll import HllSketch
+from marker_spark.sketches.kll import KllSketch
+from marker_spark.sketches.tdigest import TDigestSketch
+
+
+def _byte_items(ids: np.ndarray) -> list[bytes]:
+    return [int(i).to_bytes(8, "little") for i in ids]
+
+
+# --- HLL ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 200_000])
+def test_hll_error_bound(true_n):
+    sk = HllSketch(p=12)
+    ids = np.arange(true_n)
+    sk.update(_byte_items(ids))
+    est = sk.estimate()
+    tol = 3 * sk.std_error  # 3 sigma
+    assert abs(est - true_n) / true_n <= tol, (est, true_n)
+
+
+def test_hll_merge_exact_state():
+    ids = np.arange(50_000)
+    whole = HllSketch(p=12)
+    whole.update(_byte_items(ids))
+    parts = [HllSketch(p=12) for _ in range(4)]
+    for i, p in enumerate(parts):
+        p.update(_byte_items(ids[i::4]))
+    merged = parts[3]
+    for p in (parts[1], parts[0], parts[2]):
+        merged.merge_in_place(p)
+    np.testing.assert_array_equal(merged.registers, whole.registers)
+
+
+def test_hll_serde():
+    sk = HllSketch(p=10)
+    sk.update(_byte_items(np.arange(1000)))
+    back = HllSketch.from_bytes(sk.to_bytes())
+    assert back.p == 10
+    np.testing.assert_array_equal(back.registers, sk.registers)
+    assert back.estimate() == sk.estimate()
+
+
+def test_hll_duplicates_dont_inflate():
+    sk = HllSketch(p=12)
+    items = _byte_items(np.arange(100))
+    for _ in range(50):
+        sk.update(items)
+    assert abs(sk.estimate() - 100) / 100 <= 3 * sk.std_error
+
+
+# --- CMS ---------------------------------------------------------------------
+
+def test_cms_never_undershoots_and_eps_bound():
+    rng = np.random.default_rng(42)
+    # zipf-ish frequencies over 2000 distinct keys
+    keys = rng.zipf(1.3, size=100_000) % 2000
+    uniq, true_counts = np.unique(keys, return_counts=True)
+    sk = CmsSketch.from_error_bound(eps=0.001, delta=0.01)
+    sk.update(_byte_items(keys))
+    est = sk.query(_byte_items(uniq)).astype(np.int64)
+    assert (est >= true_counts).all(), "CMS undershoot — impossible by construction"
+    overshoot = est - true_counts
+    n = len(keys)
+    # eps*N bound with prob 1-delta; allow delta fraction of violations x3
+    viol = (overshoot > sk.eps * n).mean()
+    assert viol <= 3 * sk.delta
+
+
+def test_cms_merge_exact_state():
+    rng = np.random.default_rng(1)
+    keys = rng.integers(0, 500, size=20_000)
+    whole = CmsSketch(d=5, w=4096)
+    whole.update(_byte_items(keys))
+    parts = [CmsSketch(d=5, w=4096) for _ in range(3)]
+    for i, p in enumerate(parts):
+        p.update(_byte_items(keys[i::3]))
+    merged = parts[2]
+    merged.merge_in_place(parts[0]).merge_in_place(parts[1])
+    np.testing.assert_array_equal(merged.grid, whole.grid)
+    assert merged.total == whole.total
+
+
+def test_cms_weighted_updates_and_serde():
+    sk = CmsSketch(d=4, w=1024)
+    items = _byte_items(np.arange(10))
+    sk.update(items, counts=np.arange(1, 11))
+    back = CmsSketch.from_bytes(sk.to_bytes())
+    est = back.query(items)
+    assert (est.astype(np.int64) >= np.arange(1, 11)).all()
+    assert back.total == 55
+
+
+# --- KLL ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "bimodal"])
+def test_kll_rank_error(dist):
+    rng = np.random.default_rng(42)
+    n = 200_000
+    if dist == "uniform":
+        vals = rng.uniform(0, 1000, n)
+    elif dist == "lognormal":
+        vals = rng.lognormal(3, 1.5, n)
+    else:
+        vals = np.concatenate([rng.normal(0, 1, n // 2), rng.normal(100, 5, n // 2)])
+    sk = KllSketch(k=200)
+    # feed in chunks like Arrow batches
+    for chunk in np.array_split(vals, 37):
+        sk.update(chunk)
+    assert sk.n == n
+    qs = np.array([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    est = sk.quantile(qs)
+    sorted_vals = np.sort(vals)
+    for q, e in zip(qs, est):
+        # rank error: the estimate's true rank must be within eps of q
+        true_rank = np.searchsorted(sorted_vals, e, side="right") / n
+        assert abs(true_rank - q) <= sk.rank_error, (dist, q, true_rank)
+
+
+def test_kll_merge_within_bound():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50, 10, 100_000)
+    parts = []
+    for chunk in np.array_split(vals, 8):
+        p = KllSketch(k=200)
+        p.update(chunk)
+        parts.append(p)
+    merged = parts[5]
+    for p in (parts[2], parts[7], parts[0], parts[1], parts[6], parts[3], parts[4]):
+        merged.merge_in_place(p)
+    assert merged.n == len(vals)
+    sorted_vals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        e = merged.quantile(q)
+        true_rank = np.searchsorted(sorted_vals, e, side="right") / len(vals)
+        assert abs(true_rank - q) <= merged.rank_error
+
+
+def test_kll_serde():
+    sk = KllSketch(k=128)
+    sk.update(np.arange(10_000, dtype=np.float64))
+    back = KllSketch.from_bytes(sk.to_bytes())
+    assert back.n == sk.n and back.k == sk.k
+    np.testing.assert_array_equal(back.quantile(np.linspace(0, 1, 11)),
+                                  sk.quantile(np.linspace(0, 1, 11)))
+
+
+# --- t-digest -------------------------------------------------------------------
+
+def test_tdigest_quantile_error():
+    rng = np.random.default_rng(42)
+    n = 200_000
+    vals = rng.lognormal(0, 1, n)
+    sk = TDigestSketch(delta=200)
+    for chunk in np.array_split(vals, 23):
+        sk.update(chunk)
+    sorted_vals = np.sort(vals)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        e = sk.quantile(q)
+        true_rank = np.searchsorted(sorted_vals, e, side="right") / n
+        # rank-space tolerance, tighter at tails per t-digest design
+        tol = max(0.01, 6 * q * (1 - q) / np.sqrt(sk.delta))
+        assert abs(true_rank - q) <= tol, (q, true_rank)
+    assert len(sk.means) <= 2 * sk.delta
+
+
+def test_tdigest_merge_and_serde():
+    rng = np.random.default_rng(3)
+    vals = rng.normal(0, 1, 50_000)
+    parts = []
+    for chunk in np.array_split(vals, 5):
+        p = TDigestSketch(delta=150)
+        p.update(chunk)
+        parts.append(p)
+    merged = parts[1]
+    for p in (parts[4], parts[0], parts[3], parts[2]):
+        merged.merge_in_place(p)
+    back = TDigestSketch.from_bytes(merged.to_bytes())
+    assert back.total == pytest.approx(len(vals))
+    sorted_vals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        e = back.quantile(q)
+        true_rank = np.searchsorted(sorted_vals, e, side="right") / len(vals)
+        assert abs(true_rank - q) <= 0.02
