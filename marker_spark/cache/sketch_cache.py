@@ -1,0 +1,351 @@
+"""Time-bucketed sketch cache — reference feature parity on Spark.
+
+Reproduces /root/reference/markercache.cpp semantics as operations over
+a bucketed sketch table:
+
+ * bucket grid: contiguous [start, end] ranges of `duration` seconds,
+   the open (current) bucket has end = +inf
+   (markercache.cpp:100-102,133);
+ * insert: batch-aggregate markers into their bucket's Bloom filter —
+   unlike the reference, which always inserts into the *current* bucket
+   regardless of event time (markercache.cpp:197-201 takes no
+   timestamp), we bucket by event time; divergence documented here and
+   in SURVEY.md §7;
+ * lookup_from(start, end, probes): edge guards exactly as the
+   reference — start > end -> false (markercache.cpp:164), end older
+   than the oldest bucket -> false (:166); then OR of per-bucket
+   membership over buckets whose timerange overlaps
+   (markercache.cpp:181-192), with the same inclusive overlap predicate
+   (markercache.cpp:271-274);
+ * age: seal the current bucket (end = max(now, start),
+   markercache.cpp:211), evict buckets past the lifespan (:216-226),
+   open the next bucket at prev_end + 1 (:229-232);
+ * save: idempotent per-bucket checkpoint named by bucket start —
+   write-if-absent exactly like the reference's archive
+   (markercache.cpp:248-269, path layout :276-280) — plus a manifest
+   with per-bucket lineage (row counts, build timings, source) per the
+   north_rule;
+ * resume: restore sealed buckets from checkpoint (newest-first,
+   capped at num_filters - 1, markercache.cpp:77-93), delete expired
+   files (:59-69), then REBUILD missing bucket ranges by re-aggregating
+   the source table filtered to the gap — the real implementation of
+   the reference's TODO stub (markercache.cpp:117-125,
+   experimental/rebuildfilters.cpp:31-76).
+
+At cluster scale the bucket table is tiny (num_filters rows of sketch
+state); all heavy work is the sketch_agg build, which shuffles only
+serialized sketches.  Partition pruning on the source's time column
+replaces the reference's newest-first early-break scan.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import asdict, dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..agg import collect_sketches, sketch_agg
+from ..kernels import bloom_binary_updater, bloom_ngram_updater
+from ..params import CacheParams
+from ..sketches.bloom import BloomSketch
+
+OPEN_END = 2**62  # stand-in for time_t::max on the open bucket
+
+
+@dataclass
+class Bucket:
+    start: int
+    end: int  # inclusive; OPEN_END while open
+    sketch: BloomSketch
+    n_rows: int = 0
+    build_secs: float = 0.0
+    source: str = ""
+
+    def overlaps(self, lo: int, hi: int) -> bool:
+        # inclusive interval overlap, markercache.cpp:271-274
+        return self.start <= hi and lo <= self.end
+
+
+class SketchCache:
+    def __init__(self, params: CacheParams, ckpt_dir: str | None = None):
+        self.params = params
+        self.ckpt_dir = ckpt_dir
+        self.buckets: list[Bucket] = []  # oldest first, like the deque
+
+    # --- grid helpers ---------------------------------------------------------
+    def _new_sketch(self) -> BloomSketch:
+        bp = self.params.bloom_params()
+        return BloomSketch(bp.m, bp.k)
+
+    def bucket_start_for(self, ts: int) -> int:
+        return (ts // self.params.duration) * self.params.duration
+
+    def open_bucket(self, now: int) -> Bucket:
+        """Open a fresh current bucket [start(now), +inf]."""
+        if self.buckets and self.buckets[-1].end == OPEN_END:
+            return self.buckets[-1]
+        start = self.bucket_start_for(now)
+        if self.buckets:
+            start = max(start, self.buckets[-1].end + 1)  # markercache.cpp:229-231
+        b = Bucket(start=start, end=OPEN_END, sketch=self._new_sketch())
+        self.buckets.append(b)
+        return b
+
+    # --- insert ----------------------------------------------------------------
+    def insert_batch(
+        self,
+        df: DataFrame,
+        ts_col: str,
+        marker_col: str | None = None,
+        token_col: str | None = None,
+        ngram: int = 3,
+        source_label: str = "",
+    ) -> None:
+        """Aggregate a batch of rows into per-bucket Bloom filters.
+
+        Exactly one of marker_col (binary/string markers, reference
+        path) or token_col (token n-grams) must be given.  One Spark
+        job: assign bucket -> map-side partial sketches per bucket ->
+        merge -> OR into held buckets.
+        """
+        t0 = time.monotonic()
+        dur = self.params.duration
+        with_bucket = df.withColumn(
+            "__bucket",
+            (F.floor(F.unix_timestamp(F.col(ts_col)) / dur) * dur).cast("long").cast("string"),
+        )
+        if marker_col is not None:
+            update = bloom_binary_updater(marker_col)
+        elif token_col is not None:
+            update = bloom_ngram_updater(ngram, token_col)
+        else:
+            raise ValueError("need marker_col or token_col")
+        bp = self.params.bloom_params()
+        factory = lambda: BloomSketch(bp.m, bp.k)  # noqa: E731
+        result = sketch_agg(with_bucket, factory, update, BloomSketch, group_cols=["__bucket"])
+        built = collect_sketches(result, BloomSketch, ["__bucket"])
+        secs = time.monotonic() - t0
+        for (bstart_s,), sk in built.items():
+            bstart = int(bstart_s)
+            self._merge_into_bucket(bstart, sk, secs, source_label)
+
+    def _merge_into_bucket(self, bstart: int, sk: BloomSketch, secs: float, src: str) -> None:
+        for b in self.buckets:
+            if b.start <= bstart <= b.end:
+                b.sketch.merge_in_place(sk)
+                b.n_rows += sk.n_inserted
+                b.build_secs += secs
+                return
+        b = Bucket(
+            start=bstart,
+            end=bstart + self.params.duration - 1,
+            sketch=sk,
+            n_rows=sk.n_inserted,
+            build_secs=secs,
+            source=src,
+        )
+        self.buckets.append(b)
+        self.buckets.sort(key=lambda x: x.start)
+
+    # --- lookup -----------------------------------------------------------------
+    def lookup_from(self, start: int, end: int, probes: list[bytes]) -> np.ndarray:
+        """Time-range membership with the reference's edge guards."""
+        out = np.zeros(len(probes), dtype=bool)
+        if start > end:  # markercache.cpp:164
+            return out
+        if not self.buckets or end < self.buckets[0].start:  # markercache.cpp:166
+            return out
+        from ..hashing import mmh3_x64_128
+
+        h1, h2 = mmh3_x64_128(probes)  # hash once for all buckets, :168-169
+        for b in reversed(self.buckets):  # newest-first, :181
+            if not b.overlaps(start, end):
+                if b.end < start:
+                    break  # past the overlap window, :186-188
+                continue
+            out |= b.sketch.contains_hashes(h1, h2)
+            if out.all():
+                break
+        return out
+
+    def lookup_df(self, start: int, end: int, probe_df: DataFrame, marker_col: str) -> DataFrame:
+        """DataFrame form: adds boolean column `found` to probe_df."""
+        from ..kernels import make_marker_membership_udf
+
+        overlapping = [b for b in self.buckets if b.overlaps(start, end)] if start <= end else []
+        if not overlapping or (self.buckets and end < self.buckets[0].start):
+            return probe_df.withColumn("found", F.lit(False))
+        col = F.lit(False)
+        for b in overlapping:
+            col = col | make_marker_membership_udf(b.sketch.to_bytes())(F.col(marker_col))
+        return probe_df.withColumn("found", col)
+
+    # --- ageing ------------------------------------------------------------------
+    def maybe_age(self, now: int, force: bool = False) -> bool:
+        """Seal + rotate per markercache.cpp:203-242. Returns True if aged."""
+        if not self.buckets:
+            self.open_bucket(now)
+            return False
+        cur = self.buckets[-1]
+        if not force and not (cur.start + self.params.duration <= now):
+            return False
+        cur.end = max(now, cur.start)  # seal, :211
+        while len(self.buckets) >= self.params.num_filters:  # evict oldest, :216-226
+            evicted = self.buckets.pop(0)
+            self._delete_ckpt(evicted.start)
+        nxt = Bucket(start=cur.end + 1, end=OPEN_END, sketch=self._new_sketch())  # :229-232
+        self.buckets.append(nxt)
+        if self.ckpt_dir:
+            self.save()  # :237-238
+        return True
+
+    # --- checkpoint -----------------------------------------------------------------
+    def _bucket_path(self, start: int) -> str:
+        # archive/<epoch>.filter analogue, markercache.cpp:276-280
+        return os.path.join(self.ckpt_dir, f"{start}.sketch")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "manifest.json")
+
+    def _delete_ckpt(self, start: int) -> None:
+        if self.ckpt_dir:
+            p = self._bucket_path(start)
+            if os.path.exists(p):
+                os.remove(p)
+
+    def save(self) -> list[int]:
+        """Idempotent: write sealed buckets not yet on disk
+        (markercache.cpp:248-269); refresh the lineage manifest."""
+        if not self.ckpt_dir:
+            raise ValueError("no ckpt_dir configured")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        written = []
+        for b in self.buckets:
+            if b.end == OPEN_END:
+                continue  # only sealed buckets, :257
+            p = self._bucket_path(b.start)
+            if os.path.exists(p):
+                continue  # write-if-absent, :258
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(b.sketch.to_bytes())
+            os.replace(tmp, p)
+            written.append(b.start)
+        manifest = {
+            "params": asdict(self.params),
+            "buckets": [
+                {
+                    "start": b.start,
+                    "end": b.end,
+                    "n_rows": b.n_rows,
+                    "build_secs": round(b.build_secs, 4),
+                    "source": b.source,
+                    "sealed": b.end != OPEN_END,
+                }
+                for b in self.buckets
+            ],
+        }
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())
+        return written
+
+    # --- restore / rebuild --------------------------------------------------------
+    @classmethod
+    def resume(
+        cls,
+        params: CacheParams,
+        ckpt_dir: str,
+        now: int,
+        source_df: DataFrame | None = None,
+        ts_col: str = "ts",
+        marker_col: str | None = None,
+        token_col: str | None = None,
+        ngram: int = 3,
+    ) -> "SketchCache":
+        """Writer-ctor restore path (markercache.cpp:50-141).
+
+        Load newest <= num_filters-1 sealed sketches from disk, delete
+        expired files, rebuild gap buckets from source_df (the
+        reference's TODO at :117-125, done for real), open the current
+        bucket.
+        """
+        cache = cls(params, ckpt_dir)
+        lifespan_floor = now - params.duration * params.num_filters
+        files = []
+        if os.path.isdir(ckpt_dir):
+            for name in sorted(os.listdir(ckpt_dir)):
+                if not name.endswith(".sketch"):
+                    continue
+                start = int(name[: -len(".sketch")])
+                if start + params.duration * params.num_filters < now:  # expired, :59-69
+                    os.remove(os.path.join(ckpt_dir, name))
+                else:
+                    files.append(start)
+        files.sort(reverse=True)  # newest-first, :77-84
+        for start in files[: params.num_filters - 1]:
+            with open(os.path.join(ckpt_dir, f"{start}.sketch"), "rb") as f:
+                sk = BloomSketch.from_bytes(f.read())
+            cache.buckets.append(
+                Bucket(start=start, end=start + params.duration - 1, sketch=sk, n_rows=sk.n_inserted)
+            )
+        cache.buckets.sort(key=lambda b: b.start)
+
+        # Rebuild gap buckets between newest restored and now, :103-130.
+        # The reference's loop runs `while back.end <= now`, so the gap
+        # range includes the (partially elapsed) current bucket.
+        if cache.buckets:
+            expected = cache.buckets[-1].end + 1
+            gaps: list[tuple[int, int]] = []
+            while expected <= now:
+                gaps.append((expected, expected + params.duration - 1))
+                expected += params.duration
+            if gaps and source_df is not None:
+                lo = gaps[0][0]
+                sub = source_df.filter(
+                    (F.unix_timestamp(F.col(ts_col)) >= lo)
+                    & (F.unix_timestamp(F.col(ts_col)) <= now)
+                )
+                cache.insert_batch(
+                    sub, ts_col, marker_col=marker_col, token_col=token_col,
+                    ngram=ngram, source_label="rebuild",
+                )
+            elif gaps:
+                # no source: backdated empty filters, :135-140
+                for lo, hi in gaps[-(params.num_filters - 1):]:
+                    cache.buckets.append(Bucket(start=lo, end=hi, sketch=cache._new_sketch()))
+                cache.buckets.sort(key=lambda b: b.start)
+        # Mark the bucket containing `now` as the open/current one
+        # (markercache.cpp:133); open a fresh one if it doesn't exist.
+        if cache.buckets and cache.buckets[-1].start <= now <= cache.buckets[-1].end:
+            cache.buckets[-1].end = OPEN_END
+        else:
+            cache.open_bucket(now)
+        # cap ring size
+        while len(cache.buckets) > params.num_filters:
+            cache.buckets.pop(0)
+        return cache
+
+    # --- introspection ---------------------------------------------------------------
+    def metrics(self) -> list[dict]:
+        """Per-bucket lineage + metrics rows (north_rule JSONL payload)."""
+        return [
+            {
+                "bucket_start": b.start,
+                "bucket_end": b.end,
+                "sealed": b.end != OPEN_END,
+                "n_rows": b.n_rows,
+                "build_secs": round(b.build_secs, 4),
+                "fill_ratio": round(b.sketch.fill_ratio(), 6),
+                "expected_fp": b.sketch.expected_fp(),
+                "m": b.sketch.m,
+                "k": b.sketch.k,
+            }
+            for b in self.buckets
+        ]
