@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+callable (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the exactly-SQL-expressible subset (sketch
+estimates and hash-dependent ops get rows-only checks).  Column names
+and float rounding match between both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,636 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SOURCES_TBL = ["region", "nation", "customer", "supplier", "part", "orders",
+               "lineitem", "events", "documents", "embeddings"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed Bloom sketch build over token 3-grams of the
+    tokenized sf0.001 documents, grouped by source; returns per-source
+    sketch metadata + membership self-check counts."""
+    return _flagship(spark, "/root/testdata/sf0.001")
 
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches, sketch_agg
+    from marker_spark.kernels import bloom_factory, bloom_ngram_updater
+    from marker_spark.sketches.bloom import BloomSketch
+    from marker_spark.tokenize import tokenize_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = tokenize_documents(docs)
+    factory = bloom_factory(capacity=1_000_000, fp=0.001)
+    result = sketch_agg(tok, factory, bloom_ngram_updater(3), BloomSketch, group_cols=["source"])
+    sketches = collect_sketches(result, BloomSketch, ["source"])
+    rows = [
+        {
+            "source": src,
+            "n_inserted": sk.n_inserted,
+            "m": sk.m,
+            "k": sk.k,
+            "fill_ratio": round(sk.fill_ratio(), 6),
+        }
+        for (src,), sk in sorted(sketches.items())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="source string, n_inserted long, m long, k int, fill_ratio double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-expressible queries (exact oracles)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    # customer is the small dim -> broadcast; no shuffle of orders.
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    day = 86_400
+    return (
+        ev.withColumn("bucket_start", (F.floor(F.unix_timestamp("ts") / day) * day).cast("long"))
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.text import with_text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = with_text_stats(docs)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.text import lang_id_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", lang_id_col("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+
+
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("word"))
+        .limit(20)
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.dedup import ngram_jaccard_pairs
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents").where(F.size(words_col(F.col("text"))) >= 3)
+    return ngram_jaccard_pairs(docs, shingle=3, threshold=0.5, id_col="doc_id")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, [float(x) for x in query], k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.dedup import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.8, block_col="label")
+
+
+def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact oracle of the Bloom time-range lookup: which early-window
+    markers reappear in the late window (semi-join form)."""
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    t0 = 1_704_067_200
+    day = 86_400
+    early = ev.where(F.unix_timestamp("ts") < t0 + 10 * day).select(
+        "event_type", F.col("props").alias("marker")
+    ).distinct()
+    late = ev.where(F.unix_timestamp("ts") >= t0 + 20 * day).select(
+        F.col("props").alias("marker")
+    ).distinct()
+    return (
+        early.join(late, "marker", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_markers_reappearing"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch / hash-dependent queries (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.tokenize import tokenize_documents
+
+    return tokenize_documents(_read(spark, sf_dir, "documents"))
+
+
+def q_bloom_ngram_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build Bloom over 3-grams per source; self-probe each doc."""
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches, sketch_agg
+    from marker_spark.kernels import bloom_factory, bloom_ngram_updater, make_ngram_membership_udf
+    from marker_spark.sketches.bloom import BloomSketch
+
+    tok = _tokenized_docs(spark, sf_dir).cache()
+    factory = bloom_factory(capacity=2_000_000, fp=0.001)
+    result = sketch_agg(tok, factory, bloom_ngram_updater(3), BloomSketch)
+    sketches = collect_sketches(result, BloomSketch, [])
+    sk = next(iter(sketches.values())) if isinstance(sketches, dict) else sketches
+    udf = make_ngram_membership_udf(sk.to_bytes(), 3)
+    out = (
+        tok.withColumn("hit", udf("tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("hit").cast("long")).alias("n_docs_found"))
+    )
+    return out
+
+
+def q_hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches, sketch_agg
+    from marker_spark.ngrams import list_column_to_flat, ngram_bytes
+    from marker_spark.sketches.hll import HllSketch
+
+    def factory():
+        return HllSketch(p=14)
+
+    def update(sk, pdf):
+        flat, offsets = list_column_to_flat(pdf["tokens"])
+        mat, _ = ngram_bytes(flat, offsets, 3)
+        if len(mat):
+            sk.update_fixed_width(mat)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    result = sketch_agg(tok, factory, update, HllSketch, group_cols=["source"])
+    sketches = collect_sketches(result, HllSketch, ["source"])
+    rows = [
+        {"source": src, "est_distinct_ngrams": int(round(sk.estimate()))}
+        for (src,), sk in sorted(sketches.items())
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows), schema="source string, est_distinct_ngrams long")
+
+
+def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the exact top-20 tokens."""
+    import numpy as np
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketch, sketch_agg
+    from marker_spark.ngrams import list_column_to_flat
+    from marker_spark.sketches.cms import CmsSketch
+
+    def factory():
+        return CmsSketch(d=5, w=1 << 15)
+
+    def update(sk, pdf):
+        flat, _ = list_column_to_flat(pdf["tokens"])
+        if len(flat):
+            mat = flat.astype("<i4").reshape(-1, 1).view(np.uint8).reshape(-1, 4)
+            sk.update_fixed_width(mat)
+
+    tok = _tokenized_docs(spark, sf_dir).cache()
+    sk = collect_sketch(sketch_agg(tok, factory, update, CmsSketch), CmsSketch)
+    top = (
+        tok.select(F.explode("tokens").alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.col("token")).limit(20).toPandas()
+    )
+    mat = top["token"].to_numpy().astype("<i4").reshape(-1, 1).view(np.uint8).reshape(-1, 4)
+    top["cms_cnt"] = sk.query_fixed_width(mat).astype(np.int64)
+    return spark.createDataFrame(
+        pd.DataFrame(top), schema="token int, exact_cnt long, cms_cnt long"
+    )
+
+
+def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketch, sketch_agg
+    from marker_spark.sketches.kll import KllSketch
+
+    def factory():
+        return KllSketch(k=256)
+
+    def update(sk, pdf):
+        sk.update(pdf["n_tok"].to_numpy(dtype="float64"))
+
+    tok = _tokenized_docs(spark, sf_dir)
+    sk = collect_sketch(sketch_agg(tok, factory, update, KllSketch), KllSketch)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = sk.quantile(qs)
+    rows = [{"q": q, "est_n_tok": float(e)} for q, e in zip(qs, est)]
+    return spark.createDataFrame(pd.DataFrame(rows), schema="q double, est_n_tok double")
+
+
+def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches, sketch_agg
+    from marker_spark.sketches.tdigest import TDigestSketch
+
+    def factory():
+        return TDigestSketch(delta=200)
+
+    def update(sk, pdf):
+        sk.update(pdf["value"].to_numpy(dtype="float64"))
+
+    ev = _read(spark, sf_dir, "events")
+    result = sketch_agg(ev, factory, update, TDigestSketch, group_cols=["event_type"])
+    sketches = collect_sketches(result, TDigestSketch, ["event_type"])
+    rows = [
+        {
+            "event_type": et,
+            "p50_est": round(float(sk.quantile(0.5)), 2),
+            "p90_est": round(float(sk.quantile(0.9)), 2),
+        }
+        for (et,), sk in sorted(sketches.items())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="event_type string, p50_est double, p90_est double"
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=128, shingle=3)
+    return lsh_candidate_pairs(sigs, bands=32, rows_per_band=4).orderBy("id_a", "id_b")
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.dedup import simhash_fingerprints, simhash_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs, shingle=2)
+    return simhash_near_dup_pairs(fp, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.similarity import hyperplane_signatures, lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    dim = len(query)
+    with_buckets = hyperplane_signatures(emb, dim=dim, n_planes=12)
+    return lsh_topk(with_buckets, [float(x) for x in query], k=10, n_planes=12)
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.text import doc_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        doc_fingerprint(docs, shingle=5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+        )
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marker_spark.ops.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, n=64, seed=42)
+    feats = extract_features(assets, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
+    )
+
+
+def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity cache lifecycle as a query: build buckets from
+    events, probe early-window markers over three time ranges."""
+    import pandas as pd
+
+    from marker_spark.cache.sketch_cache import OPEN_END, SketchCache
+    from marker_spark.params import CacheParams
+
+    _utc(spark)
+    day = 86_400
+    t0 = 1_704_067_200
+    params = CacheParams(duration=10 * day, lifespan=30 * day, fp=0.001, total_capacity=200_000)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "marker", F.concat_ws("|", F.col("event_id"), F.col("props"))
+    )
+    cache = SketchCache(params)
+    cache.insert_batch(ev, ts_col="ts", marker_col="marker")
+    probes = [r["marker"].encode() for r in
+              ev.where(F.unix_timestamp("ts") < t0 + 10 * day).select("marker").collect()]
+    ranges = {
+        "all_time": (0, OPEN_END),
+        "first_window": (t0, t0 + 10 * day - 1),
+        "last_window": (t0 + 20 * day, t0 + 40 * day),
+        "inverted": (100, 50),
+    }
+    rows = [
+        {"range_name": name, "n_probes": len(probes), "n_found": int(cache.lookup_from(a, b, probes).sum())}
+        for name, (a, b) in sorted(ranges.items())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="range_name string, n_probes long, n_found long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_bloom_by_source": _flagship,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "bucket_counts": q_bucket_counts,
+        "distinct_users": q_distinct_users,
+        "value_quantiles": q_value_quantiles,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "top_words": q_top_words,
+        "ngram_jaccard": q_ngram_jaccard,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "marker_membership_exact": q_marker_membership_exact,
+        "bloom_ngram_membership": q_bloom_ngram_membership,
+        "hll_distinct_ngrams": q_hll_distinct_ngrams,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
+        "kll_ntok_quantiles": q_kll_ntok_quantiles,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_dup": q_simhash_near_dup,
+        "lsh_topk": q_lsh_topk,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_features": q_multimodal_features,
+        "cache_timerange_lookup": q_cache_timerange_lookup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, c_mktsegment
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "bucket_counts": """
+            SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+                   round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90,
+                   round(min(value), 4) AS vmin,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type
+        """,
+        "token_counts": """
+            WITH stats AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+                       CASE WHEN length(text) > 0
+                            THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w IN ('the','and','of','to','in','is','a'))) END AS n_stop
+                FROM documents
+            ), q AS (
+                SELECT source, n_words, punct_ratio,
+                       CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END AS stopword_ratio
+                FROM stats
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   sum(n_words) AS total_words,
+                   round(avg(least(n_words / 100.0, 1.0) * 0.3
+                             + (1.0 - punct_ratio) * 0.3
+                             + least(stopword_ratio * 5.0, 1.0) * 0.4), 6) AS avg_quality,
+                   round(avg(punct_ratio), 6) AS avg_punct_ratio
+            FROM q GROUP BY source
+        """,
+        "lang_id": """
+            WITH w AS (
+                SELECT lang,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+                FROM documents
+            ), s AS (
+                SELECT lang,
+                       len(list_filter(words, x -> x IN ('the','and','of','to','in','is','a'))) AS s_en,
+                       len(list_filter(words, x -> x IN ('el','la','de','que','los','una','y'))) AS s_es,
+                       len(list_filter(words, x -> x IN ('le','la','les','des','est','une','et'))) AS s_fr,
+                       len(list_filter(words, x -> x IN ('der','die','und','das','ist','ein','nicht'))) AS s_de
+                FROM w
+            )
+            SELECT lang,
+                   CASE WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+                        WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS predicted,
+                   count(*) AS n_docs
+            FROM s GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct_texts
+            FROM documents GROUP BY source
+        """,
+        "top_words": """
+            SELECT w AS word, count(*) AS cnt
+            FROM documents,
+                 unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t(w)
+            WHERE w <> ''
+            GROUP BY w
+            ORDER BY cnt DESC, word
+            LIMIT 20
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+                FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            z AS (
+                SELECT e.vec_id,
+                       unnest(CAST(e.embedding AS DOUBLE[])) AS ev,
+                       unnest(q.qv) AS qe
+                FROM embeddings e CROSS JOIN q
+            ), s AS (
+                SELECT vec_id, sum(ev * qe) AS dot, sqrt(sum(ev * ev)) AS ne
+                FROM z GROUP BY vec_id
+            ), qn AS (
+                SELECT sqrt(sum(x * x)) AS nq FROM (SELECT unnest(qv) AS x FROM q)
+            )
+            SELECT vec_id, round(dot / (ne * qn.nq), 6) AS cosine
+            FROM s, qn
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        """,
+        "marker_membership_exact": """
+            WITH early AS (
+                SELECT DISTINCT event_type, props AS marker FROM events
+                WHERE epoch(ts) < 1704067200 + 10 * 86400
+            ), late AS (
+                SELECT DISTINCT props AS marker FROM events
+                WHERE epoch(ts) >= 1704067200 + 20 * 86400
+            )
+            SELECT event_type, count(*) AS n_markers_reappearing
+            FROM early WHERE marker IN (SELECT marker FROM late)
+            GROUP BY event_type
+        """,
+    }

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Scale shapes (the part that must survive 100 TB):
+ * exact dedup — hash-groupBy on a digest of the text, never on the
+   raw text (shuffle moves 8-byte keys, not documents);
+ * MinHash — signatures built in one Arrow pass (numpy, no per-row
+   Python); LSH banding turns all-pairs into an equi-join on
+   (band_id, band_hash), i.e. a shuffle keyed by small ints;
+ * candidate verification — exact Jaccard only on LSH candidates;
+ * SimHash — 64-bit fingerprint, near-dup via banded Hamming join;
+ * embedding near-dup — blocked self-join (block key bounds the
+   quadratic term) + JVM-side cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import words_col
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_coeffs(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE_P, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group.
+
+    Groups by a 64-bit digest of the text (cheap shuffle key); exactness
+    is preserved by also carrying the text through the aggregation —
+    at true scale swap in a 128/256-bit digest and drop the text carry.
+    """
+    return (
+        df.withColumn("__digest", F.xxhash64(F.col(text_col)))
+        .groupBy("__digest", text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 128,
+    shingle: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds `signature: array<bigint>` — MinHash over word shingles.
+
+    One Arrow batch at a time: shingles are hashed with
+    MurmurHash3_x64_128 (our vectorized kernel), then each of the
+    num_perm universal-hash permutations (a*h+b mod 2^61-1) is reduced
+    with np.minimum.reduceat over per-doc segments.
+    """
+    from ..hashing import mmh3_offsets
+
+    a_co, b_co = _perm_coeffs(num_perm, seed)
+    p = np.uint64(_MERSENNE_P)
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        shingle_lists = []
+        counts = np.zeros(n_docs, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").split()
+            if len(ws) >= shingle:
+                sh = [" ".join(ws[j : j + shingle]) for j in range(len(ws) - shingle + 1)]
+            else:
+                sh = [" ".join(ws)] if ws else [""]
+            shingle_lists.append(sh)
+            counts[i] = len(sh)
+        flat = [s.encode("utf-8") for lst in shingle_lists for s in lst]
+        buf = np.frombuffer(b"".join(flat), dtype=np.uint8)
+        offs = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(np.fromiter(map(len, flat), dtype=np.int64, count=len(flat)), out=offs[1:])
+        h1, _ = mmh3_offsets(buf, offs)
+        h1 = h1 % p
+        seg = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=seg[1:])
+        sigs = np.empty((n_docs, num_perm), dtype=np.int64)
+        for j in range(num_perm):
+            hv = (a_co[j] * h1 + b_co[j]) % p
+            sigs[:, j] = np.minimum.reduceat(hv, seg).astype(np.int64)
+        return pd.Series(list(sigs))
+
+    return df.withColumn("signature", sig_udf(F.col(text_col)))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+
+    Explode to (band_id, band_hash, id) rows, then a self-equi-join on
+    the band key — the all-pairs problem becomes a keyed shuffle whose
+    fan-out is bounded by bucket sizes, not corpus size.
+    """
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Pure relational plan (SQL-oracle-able): explode distinct shingles,
+    self-join on shingle, count intersections, Jaccard = |I|/(|A|+|B|-|I|).
+    At scale this runs on LSH candidates instead of the full corpus.
+    """
+    words = words_col(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
+    shingles = F.when(
+        n >= shingle,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    doc_sh = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("sh"))
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", shingle: int = 2
+) -> DataFrame:
+    """Adds `simhash: bigint` — 64-bit SimHash over word shingles.
+
+    Arrow batch kernel: shingle hashes unpacked to a [G, 64] bit
+    matrix, ±1-summed per doc with np.add.reduceat, sign -> bits.
+    """
+    from ..hashing import mmh3_offsets
+
+    @F.pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        shingle_lists = []
+        counts = np.zeros(n_docs, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").split()
+            if len(ws) >= shingle:
+                sh = [" ".join(ws[j : j + shingle]) for j in range(len(ws) - shingle + 1)]
+            else:
+                sh = [" ".join(ws)] if ws else [""]
+            shingle_lists.append(sh)
+            counts[i] = len(sh)
+        flat = [s.encode("utf-8") for lst in shingle_lists for s in lst]
+        buf = np.frombuffer(b"".join(flat), dtype=np.uint8)
+        offs = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(np.fromiter(map(len, flat), dtype=np.int64, count=len(flat)), out=offs[1:])
+        h1, _ = mmh3_offsets(buf, offs)
+        bits = ((h1[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        contrib = 2 * bits - 1  # ±1
+        seg = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=seg[1:])
+        sums = np.add.reduceat(contrib, seg, axis=0)  # [n_docs, 64]
+        fp_bits = (sums > 0).astype(np.uint64)
+        fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(fp.astype(np.int64))
+
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    fp_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via banded join.
+
+    Split the 64-bit fingerprint into 4 16-bit bands; by pigeonhole any
+    pair within Hamming distance 3 agrees on >=1 band — candidates come
+    from an equi-join on (band_id, band_value), verified exactly with
+    bit_count (JVM-side).
+    """
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = fp_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).where(hamming <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold; blocked self-join, JVM-side math.
+
+    block_col bounds the quadratic blow-up (at scale: LSH bucket id).
+    """
+    cast = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), cast.alias("v"), *( [F.col(block_col)] if block_col else []))
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", F.round(cos, 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+    )
