@@ -125,6 +125,36 @@ def merge_partials(
     return df.groupBy().applyInPandas(lambda pdf: merge_fn(pdf), schema=schema)
 
 
+def build_partials_shuffled(
+    df: DataFrame,
+    factory: Callable[[], Any],
+    update: Callable[[Any, pd.DataFrame], None],
+    group_cols: list[str] | None = None,
+    salt: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Shuffle-first partial build for LARGE sketch states.
+
+    The map-side combine of :func:`build_partials` creates one state per
+    (input partition, group) — perfect for small states (HLL registers,
+    CMS grids), but for a multi-MB Bloom bitmap P*G states can dwarf the
+    raw data.  Here we repartition the raw rows by (group, salt) first:
+    at most ~G*salt states exist in total, and the shuffle moves rows
+    (cheap) instead of bitmaps (expensive).  The salt column defuses
+    group-key skew (a zipf-hot `source` is spread over `salt` tasks) —
+    the explicit skew handling the north_rule requires; correctness is
+    unaffected because the merge is associative.
+    """
+    group_cols = list(group_cols or [])
+    salted = df.withColumn("__salt", (F.monotonically_increasing_id() % salt).cast("int"))
+    nparts = partitions or max(salt * max(len(group_cols), 1) * 4, salt)
+    if group_cols:
+        salted = salted.repartition(nparts, *(group_cols + ["__salt"]))
+    else:
+        salted = salted.repartition(nparts, "__salt")
+    return build_partials(salted, factory, update, group_cols)
+
+
 def sketch_agg(
     df: DataFrame,
     factory: Callable[[], Any],
@@ -132,9 +162,21 @@ def sketch_agg(
     sketch_cls: type,
     group_cols: list[str] | None = None,
     tree_fanin: int = 0,
+    mode: str = "mapside",
+    salt: int = 8,
 ) -> DataFrame:
-    """Partial build + merge in one call → DataFrame (group..., sketch)."""
-    partials = build_partials(df, factory, update, group_cols)
+    """Partial build + merge in one call → DataFrame (group..., sketch).
+
+    mode="mapside" (default): combine inside each input partition; best
+    when the sketch state is small relative to the partition's rows.
+    mode="shuffle": repartition rows by (group, salt) first; best when
+    the state is large (big Bloom filters) — bounds total partial-state
+    volume at ~G*salt states regardless of input partition count.
+    """
+    if mode == "shuffle":
+        partials = build_partials_shuffled(df, factory, update, group_cols, salt=salt)
+    else:
+        partials = build_partials(df, factory, update, group_cols)
     return merge_partials(partials, sketch_cls, group_cols, tree_fanin)
 
 

@@ -57,9 +57,20 @@ class BloomSketch:
         if len(h1) == 0:
             return
         bits = self._probe_bits(h1, h2).ravel()
-        block_idx = (bits >> np.uint64(6)).astype(np.int64)
-        bit_masks = np.uint64(1) << (bits & np.uint64(63))
-        np.bitwise_or.at(self.blocks, block_idx, bit_masks)
+        # Fast path: dense boolean scatter + packbits (C-speed) instead
+        # of np.bitwise_or.at (unbuffered ufunc, ~10x slower).  The
+        # little-endian packbits byte stream is bit-identical to the
+        # LE-uint64 block layout, so state/serde are unchanged.  Only
+        # worth the m-byte temp when the batch is dense enough.
+        if len(bits) * 16 >= self.m and self.m <= (1 << 31):
+            dense = np.zeros(len(self.blocks) * 64, dtype=bool)
+            dense[bits.astype(np.int64)] = True
+            packed = np.packbits(dense, bitorder="little")
+            np.bitwise_or(self.blocks, packed.view("<u8"), out=self.blocks)
+        else:
+            block_idx = (bits >> np.uint64(6)).astype(np.int64)
+            bit_masks = np.uint64(1) << (bits & np.uint64(63))
+            np.bitwise_or.at(self.blocks, block_idx, bit_masks)
         self.n_inserted += len(h1)
 
     def insert(self, items: list[bytes]) -> None:
@@ -77,13 +88,27 @@ class BloomSketch:
 
     # --- lookups -----------------------------------------------------------
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        if len(h1) == 0:
+        """Batch-vectorized analogue of the reference's early-out lookup
+        (shmbloomfilter.cpp:13): probe i is evaluated only for items
+        that survived probes 0..i-1, so mostly-negative workloads cost
+        ~1 probe per item instead of k."""
+        n = len(h1)
+        if n == 0:
             return np.empty(0, dtype=bool)
-        bits = self._probe_bits(h1, h2)  # [N, k]
-        block_idx = (bits >> np.uint64(6)).astype(np.int64)
-        bit_pos = bits & np.uint64(63)
-        probed = (self.blocks[block_idx] >> bit_pos) & np.uint64(1)
-        return probed.all(axis=1)
+        result = np.ones(n, dtype=bool)
+        alive = np.arange(n, dtype=np.int64)
+        ah1, ah2 = h1, h2
+        m = np.uint64(self.m)
+        for i in range(self.k):
+            bits = (ah1 + np.uint64(i) * ah2) % m
+            ok = (self.blocks[(bits >> np.uint64(6)).astype(np.int64)] >> (bits & np.uint64(63))) & np.uint64(1) != 0
+            if not ok.all():
+                result[alive[~ok]] = False
+                alive = alive[ok]
+                if len(alive) == 0:
+                    break
+                ah1, ah2 = ah1[ok], ah2[ok]
+        return result
 
     def contains(self, items: list[bytes]) -> np.ndarray:
         h1, h2 = mmh3_x64_128(items)

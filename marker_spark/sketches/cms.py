@@ -66,7 +66,14 @@ class CmsSketch:
             counts = counts.astype(np.uint64, copy=False)
         cols = self._cols(h1, h2)
         for i in range(self.d):
-            np.add.at(self.grid[i], cols[i], counts)
+            # bincount is a buffered C histogram — much faster than the
+            # unbuffered np.add.at scatter for w up to a few million.
+            if self.w <= (1 << 24):
+                self.grid[i] += np.bincount(
+                    cols[i], weights=counts.astype(np.float64), minlength=self.w
+                ).astype(np.uint64)
+            else:
+                np.add.at(self.grid[i], cols[i], counts)
         self.total += int(counts.sum())
 
     def update(self, items: list[bytes], counts: np.ndarray | None = None) -> None:
