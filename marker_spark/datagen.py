@@ -141,11 +141,20 @@ def gen_tokenized_sequences(
     )
 
 
-def write_tokenized_sequences(path: str, n_docs: int, seed: int = 42, **kw) -> None:
-    """Write the tokenized-sequence fixture as a parquet file."""
+def write_tokenized_sequences(
+    path: str, n_docs: int, seed: int = 42, row_group_size: int = 16_384, **kw
+) -> None:
+    """Write the tokenized-sequence fixture as a parquet file.
+
+    Small row groups (~10 MB at avg 150 tokens/doc) keep the file
+    splittable: a single-row-group file caps Spark's scan parallelism
+    at 1 task no matter how many cores are available.
+    """
     import pyarrow.parquet as pq
 
-    pq.write_table(gen_tokenized_sequences(n_docs, seed=seed, **kw), path)
+    pq.write_table(
+        gen_tokenized_sequences(n_docs, seed=seed, **kw), path, row_group_size=row_group_size
+    )
 
 
 def _norm_ppf(u: np.ndarray) -> np.ndarray:

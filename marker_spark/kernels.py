@@ -19,6 +19,29 @@ from .params import BloomParams
 from .sketches.bloom import BloomSketch
 
 
+# --- Arrow-native batch access ------------------------------------------------
+
+def arrow_tokens_view(batch, token_col: str = "tokens"):
+    """Zero-copy-ish view of a RecordBatch's token column:
+    (flat int32 values, int64 offsets).  No per-row Python objects."""
+    import pyarrow as pa
+
+    col = batch.column(batch.schema.get_field_index(token_col))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # Slice offsets are relative to the values buffer of the parent.
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return flat.astype(np.int32, copy=False), offsets
+
+
+def arrow_str_codes(batch, col_name: str):
+    """Group codes for a string column: (codes int64 per row, uniques list)."""
+    arr = batch.column(batch.schema.get_field_index(col_name))
+    codes, uniques = pd.factorize(arr.to_pandas(), sort=True)
+    return codes.astype(np.int64), [str(u) for u in uniques]
+
+
 # --- updaters (sketch, batch) -> None ---------------------------------------
 
 def bloom_ngram_updater(n: int, token_col: str = "tokens") -> Callable[[Any, pd.DataFrame], None]:

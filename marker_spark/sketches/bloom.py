@@ -54,24 +54,33 @@ class BloomSketch:
 
     # --- updates -----------------------------------------------------------
     def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
-        if len(h1) == 0:
+        n = len(h1)
+        if n == 0:
             return
-        bits = self._probe_bits(h1, h2).ravel()
-        # Fast path: dense boolean scatter + packbits (C-speed) instead
-        # of np.bitwise_or.at (unbuffered ufunc, ~10x slower).  The
-        # little-endian packbits byte stream is bit-identical to the
-        # LE-uint64 block layout, so state/serde are unchanged.  Only
-        # worth the m-byte temp when the batch is dense enough.
-        if len(bits) * 16 >= self.m and self.m <= (1 << 31):
-            dense = np.zeros(len(self.blocks) * 64, dtype=bool)
-            dense[bits.astype(np.int64)] = True
-            packed = np.packbits(dense, bitorder="little")
-            np.bitwise_or(self.blocks, packed.view("<u8"), out=self.blocks)
+        m = np.uint64(self.m)
+        if n * self.k >= 4096:
+            # Sort + grouped-OR path: O(Nk log Nk) buffered C ops with
+            # no m-sized scratch (memory-bandwidth friendly when many
+            # tasks run concurrently), ~10x faster than the unbuffered
+            # np.bitwise_or.at scatter.
+            bits = np.empty(n * self.k, dtype=np.uint64)
+            for i in range(self.k):
+                np.mod(h1 + np.uint64(i) * h2, m, out=bits[i * n : (i + 1) * n])
+            bits.sort()
+            blk = (bits >> np.uint64(6)).astype(np.int64)
+            mask = np.uint64(1) << (bits & np.uint64(63))
+            starts = np.flatnonzero(np.diff(blk, prepend=-1))
+            ored = np.bitwise_or.reduceat(mask, starts)
+            self.blocks[blk[starts]] |= ored
         else:
-            block_idx = (bits >> np.uint64(6)).astype(np.int64)
-            bit_masks = np.uint64(1) << (bits & np.uint64(63))
-            np.bitwise_or.at(self.blocks, block_idx, bit_masks)
-        self.n_inserted += len(h1)
+            for i in range(self.k):
+                bits = (h1 + np.uint64(i) * h2) % m
+                np.bitwise_or.at(
+                    self.blocks,
+                    (bits >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (bits & np.uint64(63)),
+                )
+        self.n_inserted += n
 
     def insert(self, items: list[bytes]) -> None:
         h1, h2 = mmh3_x64_128(items)
@@ -146,11 +155,11 @@ class BloomSketch:
 
     # --- serialization -------------------------------------------------------
     def to_bytes(self) -> bytes:
-        return (
-            pack_header(KIND_BLOOM)
-            + _PARAMS.pack(self.m, self.k, self.n_inserted)
-            + self.blocks.astype("<u8", copy=False).tobytes()
-        )
+        if self.blocks.dtype.byteorder in ("<", "=") and np.little_endian:
+            payload = self.blocks.tobytes()  # no copy-convert on LE hosts
+        else:
+            payload = self.blocks.astype("<u8").tobytes()
+        return pack_header(KIND_BLOOM) + _PARAMS.pack(self.m, self.k, self.n_inserted) + payload
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "BloomSketch":
