@@ -1,0 +1,117 @@
+"""spark-submit entry point: build the per-source sketch table from a
+tokenized-sequence table (north_star launch contract).
+
+Usage:
+    zip -r dist/marker_spark.zip marker_spark
+    spark-submit --master local[8] --py-files dist/marker_spark.zip \\
+        jobs/build_sketches.py --input /path/tokseq.parquet \\
+        --output /tmp/sketch_table --fp 0.001 --ngram 3
+
+Reads (doc_id, tokens, n_tok, source), sizes each group's Bloom from a
+stats pass, builds Bloom+HLL partials Arrow-natively with proportional
+salting, merges, writes the sketch table + a lineage/metrics JSONL
+(one record per partition/bucket: rows, bytes, timings).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--fp", type=float, default=0.001)
+    ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--group-col", default="source")
+    ap.add_argument("--metrics", default=None, help="lineage/metrics JSONL path")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("marker-spark-build-sketches").getOrCreate()
+
+    import numpy as np
+
+    from marker_spark.agg import (
+        SKETCH_COL,
+        build_partials_arrow,
+        merge_partials,
+        salted_repartition,
+    )
+    from marker_spark.hashing import mmh3_ngram_i32
+    from marker_spark.kernels import arrow_str_codes, arrow_tokens_view, bloom_factory
+    from marker_spark.ngrams import ngram_starts
+    from marker_spark.sketches.bloom import BloomSketch
+
+    t_start = time.time()
+    df = spark.read.parquet(args.input)
+    n = args.ngram
+    gcol = args.group_col
+
+    stats = {
+        r[gcol]: int(r["ngrams"])
+        for r in df.groupBy(gcol)
+        .agg(F.sum(F.greatest(F.col("n_tok") - (n - 1), F.lit(0))).alias("ngrams"))
+        .collect()
+    }
+    total = max(sum(stats.values()), 1)
+    fp = args.fp
+
+    def factory(key=None):
+        cap = max(int(stats.get(key[0] if key else None, total) * 1.2), 10_000)
+        return bloom_factory(capacity=cap, fp=fp)()
+
+    def batch_update(states: dict, batch) -> None:
+        flat, offsets = arrow_tokens_view(batch)
+        starts, per_doc = ngram_starts(offsets, n)
+        h1, h2 = mmh3_ngram_i32(flat, starts, n)
+        codes, uniques = arrow_str_codes(batch, gcol)
+        ngram_codes = np.repeat(codes, per_doc)
+        for gi, gname in enumerate(uniques):
+            key = (gname,)
+            sk = states.get(key)
+            if sk is None:
+                sk = states[key] = factory(key)
+            sel = ngram_codes == gi
+            sk.insert_hashes(h1[sel], h2[sel])
+
+    parallelism = spark.sparkContext.defaultParallelism
+    shares = {g: c / total for g, c in stats.items()}
+    salted = salted_repartition(df, gcol, shares, parallelism=parallelism)
+    partials = build_partials_arrow(salted, batch_update, [gcol])
+    merged = merge_partials(partials, BloomSketch, [gcol])
+    merged.write.mode("overwrite").parquet(args.output)
+
+    meta = (
+        spark.read.parquet(args.output)
+        .select(gcol, F.length(SKETCH_COL).alias("sketch_bytes"))
+        .collect()
+    )
+    records = [
+        {
+            "group": r[gcol],
+            "sketch_bytes": r["sketch_bytes"],
+            "ngrams": stats.get(r[gcol], 0),
+            "fp_configured": fp,
+            "input": args.input,
+            "wall_secs": round(time.time() - t_start, 2),
+        }
+        for r in meta
+    ]
+    metrics_path = args.metrics or os.path.join(args.output, "_metrics.jsonl")
+    with open(metrics_path, "w") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    print(json.dumps({"groups": len(records), "output": args.output, "secs": round(time.time() - t_start, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Structured Streaming analogues of the reference cache lifecycle.
+
+The reference ages buckets on a processing-time tick
+(/root/reference/markercache.cpp:203-242) and always inserts into the
+current bucket (:197-201).  The streaming engine expresses the same
+lifecycle two ways:
+
+ 1. ``stream_into_cache`` — ``foreachBatch`` ingestion: each micro-batch
+    is aggregated into the bucketed SketchCache (event-time bucketing,
+    documented divergence from the reference's insert-time bucketing),
+    then ``maybe_age`` seals/evicts/opens buckets and idempotently
+    checkpoints — the exact maybe_age/save sequence, driven by the
+    stream clock instead of a mutex-guarded tick.
+ 2. ``windowed_marker_counts`` — the declarative form: event-time
+    tumbling windows + watermark = bucket grid + ageing.  The watermark
+    is the lifespan: state for windows older than it is evicted by
+    Spark, which is precisely the reference's retention rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cache.sketch_cache import SketchCache
+
+
+def stream_into_cache(
+    stream_df: DataFrame,
+    cache: SketchCache,
+    ts_col: str = "ts",
+    marker_col: str = "marker",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Attach a foreachBatch sink that folds each micro-batch into the
+    SketchCache and runs the ageing step.  Returns the StreamingQuery.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cache.insert_batch(batch_df, ts_col=ts_col, marker_col=marker_col,
+                           source_label=f"stream-batch-{batch_id}")
+        max_ts = batch_df.agg(F.max(F.unix_timestamp(F.col(ts_col)))).collect()[0][0]
+        if max_ts is not None:
+            cache.maybe_age(int(max_ts))
+            if cache.ckpt_dir:
+                cache.save()
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_marker_counts(
+    stream_df: DataFrame,
+    duration_secs: int,
+    lifespan_secs: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Declarative bucket grid: tumbling event-time windows sized like
+    the cache's buckets, watermarked at the lifespan so Spark evicts
+    state exactly where the reference deletes aged filters."""
+    # watermarks require TIMESTAMP (not NTZ); normalize first
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream_df.withWatermark(ts_col, f"{lifespan_secs} seconds")
+        .groupBy(
+            F.window(F.col(ts_col), f"{duration_secs} seconds").alias("bucket"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct(key_col).alias("n_distinct"),
+        )
+        .select(
+            F.unix_timestamp("bucket.start").alias("bucket_start"),
+            F.unix_timestamp("bucket.end").alias("bucket_end"),
+            key_col,
+            "n_events",
+            "n_distinct",
+        )
+    )

@@ -1,0 +1,86 @@
+"""Structured Streaming tests: foreachBatch cache ingestion and the
+declarative windowed/watermarked bucket aggregation."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from marker_spark.cache.sketch_cache import OPEN_END, SketchCache
+from marker_spark.params import CacheParams
+from marker_spark.streaming import stream_into_cache, windowed_marker_counts
+
+SF_DIR = "/root/testdata/sf0.001"
+DAY = 86_400
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Events split into 3 chronological parquet chunk files."""
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("marker", F.concat_ws("|", F.col("event_id"), F.col("props")))
+        .orderBy("ts")
+    )
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    rows = ev.count()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "all"))
+    pdf = spark.read.parquet(str(tmp_path / "all")).toPandas().sort_values("ts")
+    for i, chunk in enumerate([pdf.iloc[:rows // 3], pdf.iloc[rows // 3 : 2 * rows // 3], pdf.iloc[2 * rows // 3 :]]):
+        chunk.to_parquet(
+            d / f"chunk-{i}.parquet", index=False,
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    return str(d), pdf
+
+
+def test_stream_into_cache(spark, stream_dir, tmp_path):
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    params = CacheParams(duration=10 * DAY, lifespan=30 * DAY, fp=0.001, total_capacity=100_000)
+    cache = SketchCache(params, ckpt_dir=str(tmp_path / "ckpt"))
+    q = stream_into_cache(stream, cache, ts_col="ts", marker_col="marker",
+                          checkpoint_dir=str(tmp_path / "stream_ckpt"))
+    q.awaitTermination(180)
+    assert not q.isActive
+    probes = [m.encode() for m in pdf["marker"].tolist()[:500]]
+    assert cache.lookup_from(0, OPEN_END, probes).all()
+    assert any(b.n_rows > 0 for b in cache.buckets)
+    # ageing ran: manifest + sealed checkpoints written
+    import os
+    assert os.path.exists(tmp_path / "ckpt" / "manifest.json")
+
+
+def test_windowed_counts_match_batch(spark, stream_dir, tmp_path):
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = windowed_marker_counts(stream, duration_secs=10 * DAY, lifespan_secs=30 * DAY)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["bucket_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    # batch oracle
+    ev = spark.read.parquet(src)
+    exact = {
+        (r["bucket_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / (10 * DAY)) * (10 * DAY)).cast("long").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact
