@@ -85,7 +85,7 @@ def gen_tokenized_sequences(
     vocab: int = VOCAB_SIZE,
     start: int = 0,
     zipf_a: float = 1.2,
-    source_zipf_a: float = 2.2,
+    source_zipf_a: float = 1.5,  # hottest of 20 sources ~= 40% of rows
 ):
     """Generate rows [start, start+n_docs) as a pyarrow Table with columns
     (doc_id string, tokens list<int32>, n_tok int32, source string).
@@ -107,7 +107,7 @@ def gen_tokenized_sequences(
     z = _norm_ppf(u_len)
     n_tok = np.clip(np.rint(np.exp(np.log(120.0) + 0.6 * z)), min_tok, max_tok).astype(np.int32)
 
-    # source ~ zipf over SOURCES (hottest key ~40% of rows at a=2.2).
+    # source ~ zipf over SOURCES (hottest key ~40% of rows at a=1.5).
     src_cdf = _zipf_cdf_cached(len(SOURCES), source_zipf_a)
     src_idx = np.searchsorted(src_cdf, u_src, side="left")
     sources = np.asarray(SOURCES, dtype=object)[src_idx]
