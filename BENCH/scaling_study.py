@@ -1,0 +1,44 @@
+"""Two-cluster-size scaling study (north_rule: N vs 4N, sandbox proxy =
+local[N] threads).  Runs the headline sketch-build at several
+parallelism levels, 3 trials each, printing one JSON line per trial.
+
+    python BENCH/scaling_study.py [n_docs] [cpu_list]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import _tokseq_parquet, build_session, sketch_build_throughput  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    cpu_list = (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")
+    _tokseq_parquet(n_docs)  # materialize outside timing
+    for cpus in cpu_list:
+        spark = build_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1000).count()  # warm JVM + python workers
+        for trial in range(3):
+            secs, n_tokens, tps = sketch_build_throughput(spark, n_docs)
+            print(
+                json.dumps(
+                    {
+                        "cpus": int(cpus),
+                        "trial": trial,
+                        "secs": round(secs, 2),
+                        "n_tokens": n_tokens,
+                        "tokens_per_sec": round(tps),
+                    }
+                ),
+                flush=True,
+            )
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

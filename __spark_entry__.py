@@ -218,6 +218,43 @@ def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function coverage: top-2 orders per customer."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: customers ordering in both/only-one half
+    of the order-date range (intersect / except / union counts)."""
+    import pandas as pd
+
+    orders = _read(spark, sf_dir, "orders")
+    cut = "1998-01-01"
+    a = orders.where(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    b = orders.where(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    row = {
+        "n_both": a.intersect(b).count(),
+        "n_first_only": a.exceptAll(a.intersect(b)).count(),
+        "n_union": a.union(b).distinct().count(),
+    }
+    return spark.createDataFrame(
+        pd.DataFrame([row]), schema="n_both long, n_first_only long, n_union long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # sketch / hash-dependent queries (rows-only checks)
 # ---------------------------------------------------------------------------
@@ -462,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "marker_membership_exact": q_marker_membership_exact,
+        "window_top_orders": q_window_top_orders,
+        "set_ops": q_set_ops,
         "bloom_ngram_membership": q_bloom_ngram_membership,
         "hll_distinct_ngrams": q_hll_distinct_ngrams,
         "cms_heavy_tokens": q_cms_heavy_tokens,
@@ -631,6 +670,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 4) AS totalprice, rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            )
+            WHERE rn <= 2
+        """,
+        "set_ops": """
+            WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+                 b AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+            SELECT
+                (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+                (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_first_only,
+                (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union
         """,
         "marker_membership_exact": """
             WITH early AS (
