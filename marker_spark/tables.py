@@ -1,0 +1,95 @@
+"""Table layer: Iceberg-style partitioned tables behind a provider flag.
+
+The north_star targets Iceberg tables of pre-tokenized sequences; this
+sandbox has no Iceberg runtime jar (and may lack network for
+``--packages``), so the layer abstracts provider choice with identical
+schema and partitioning semantics (SURVEY.md §7.1):
+
+* ``provider="parquet"`` (default): hive-style partitioned parquet
+  directories — partition pruning via directory pruning + parquet
+  min/max row-group stats;
+* ``provider="iceberg"``: same API through a configured Iceberg
+  catalog when ``spark.sql.catalog.<name>`` is set on the session
+  (snapshot isolation, partition evolution, expire_snapshots for the
+  cache's retention ageing).
+
+Partitioning conventions:
+* tokenized_sequences -> partitioned by ``source`` (prunes per-group
+  sketch builds to their input files);
+* sketch/bucket tables -> partitioned by ``bucket_start`` (the
+  time-range lookup's overlap predicate prunes partitions — the
+  declarative replacement for the reference's newest-first early-break
+  scan, /root/reference/markercache.cpp:180-189).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableProvider:
+    def __init__(self, spark: SparkSession, provider: str = "parquet", catalog: str | None = None):
+        if provider not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown provider {provider!r}")
+        if provider == "iceberg":
+            cat = catalog or "marker"
+            if spark.conf.get(f"spark.sql.catalog.{cat}", None) is None:
+                raise RuntimeError(
+                    f"iceberg provider requires spark.sql.catalog.{cat} on the session "
+                    "(runtime jar + catalog config); use provider='parquet' here"
+                )
+        self.spark = spark
+        self.provider = provider
+        self.catalog = catalog or "marker"
+
+    # --- write -----------------------------------------------------------------
+    def write(self, df: DataFrame, location: str, partition_by: list[str] | None = None,
+              mode: str = "overwrite") -> None:
+        if self.provider == "iceberg":
+            w = df.writeTo(f"{self.catalog}.{location}")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(location)
+
+    # --- read ------------------------------------------------------------------
+    def read(self, location: str) -> DataFrame:
+        if self.provider == "iceberg":
+            return self.spark.read.table(f"{self.catalog}.{location}")
+        return self.spark.read.parquet(location)
+
+    # --- retention (the cache ageing's storage-side half) -----------------------
+    def drop_partitions_before(self, location: str, partition_col: str, cutoff) -> int:
+        """Delete partitions older than ``cutoff``; returns #dropped.
+
+        parquet: directory removal (cheap metadata op, like the
+        reference deleting expired archive files,
+        /root/reference/markercache.cpp:59-69); iceberg: DELETE + an
+        expire_snapshots call would follow in production."""
+        if self.provider == "iceberg":
+            self.spark.sql(
+                f"DELETE FROM {self.catalog}.{location} WHERE {partition_col} < {cutoff!r}"
+            )
+            return -1
+        import shutil
+        from pathlib import Path
+
+        dropped = 0
+        root = Path(location)
+        if not root.is_dir():
+            return 0
+        for d in root.glob(f"{partition_col}=*"):
+            try:
+                val = type(cutoff)(d.name.split("=", 1)[1])
+            except (TypeError, ValueError):
+                continue
+            if val < cutoff:
+                shutil.rmtree(d)
+                dropped += 1
+        return dropped
