@@ -47,6 +47,7 @@ import time
 from dataclasses import asdict, dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..agg import collect_sketches, sketch_agg
@@ -184,6 +185,63 @@ class SketchCache:
         for b in overlapping:
             col = col | make_marker_membership_udf(b.sketch.to_bytes())(F.col(marker_col))
         return probe_df.withColumn("found", col)
+
+    def bucket_table(self, spark) -> DataFrame:
+        """The cache as a DataFrame: one row per bucket
+        (bucket_start, bucket_end, sketch binary) — the bf_pair deque
+        (markercache.h:26-42) in table form."""
+        import pandas as pd
+
+        rows = pd.DataFrame(
+            {
+                "bucket_start": [b.start for b in self.buckets],
+                "bucket_end": [b.end for b in self.buckets],
+                "sketch": [b.sketch.to_bytes() for b in self.buckets],
+            }
+        )
+        return spark.createDataFrame(rows, schema="bucket_start long, bucket_end long, sketch binary")
+
+    def lookup_range_join(
+        self, spark, probe_df: DataFrame, marker_col: str, start_col: str, end_col: str
+    ) -> DataFrame:
+        """Range-join form of lookup_from: probes x buckets on the
+        inclusive overlap predicate (markercache.cpp:271-274), Bloom
+        membership per pair, OR per probe.  The bucket side is tiny
+        (num_filters rows) so Spark broadcasts it — the declarative
+        equivalent of the reference's per-bucket OR loop
+        (markercache.cpp:181-192)."""
+        from pyspark.sql.functions import pandas_udf
+
+        buckets = F.broadcast(self.bucket_table(spark))
+        overlap = (F.col("bucket_start") <= F.col(end_col)) & (
+            F.col(start_col) <= F.col("bucket_end")
+        ) & (F.col(start_col) <= F.col(end_col))
+        pairs = probe_df.join(buckets, overlap, "left")
+
+        @pandas_udf("boolean")
+        def member(sketch: pd.Series, marker: pd.Series) -> pd.Series:
+            out = np.zeros(len(marker), dtype=bool)
+            if len(marker) == 0:
+                return pd.Series(out)
+            groups: dict[bytes, list[int]] = {}
+            for i, sk in enumerate(sketch):
+                if sk is not None:
+                    groups.setdefault(bytes(sk), []).append(i)
+            for sk_bytes, idxs in groups.items():
+                bf = BloomSketch.from_bytes(sk_bytes)
+                vals = [
+                    v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                    for v in marker.iloc[idxs]
+                ]
+                out[idxs] = bf.contains(vals)
+            return pd.Series(out)
+
+        hit = pairs.withColumn(
+            "__hit",
+            F.when(F.col("sketch").isNotNull(), member(F.col("sketch"), F.col(marker_col))).otherwise(F.lit(False)),
+        )
+        probe_cols = [c for c in probe_df.columns]
+        return hit.groupBy(*probe_cols).agg(F.max(F.col("__hit").cast("int")).cast("boolean").alias("found"))
 
     # --- ageing ------------------------------------------------------------------
     def maybe_age(self, now: int, force: bool = False) -> bool:
