@@ -68,7 +68,6 @@ def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
 
     from marker_spark.agg import (
         build_partials_arrow,
-        collect_sketches,
         merge_partials,
         salted_repartition,
     )

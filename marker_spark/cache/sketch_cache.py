@@ -41,7 +41,6 @@ replaces the reference's newest-first early-break scan.
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from dataclasses import asdict, dataclass
@@ -190,8 +189,6 @@ class SketchCache:
         """The cache as a DataFrame: one row per bucket
         (bucket_start, bucket_end, sketch binary) — the bf_pair deque
         (markercache.h:26-42) in table form."""
-        import pandas as pd
-
         rows = pd.DataFrame(
             {
                 "bucket_start": [b.start for b in self.buckets],
