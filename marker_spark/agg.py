@@ -164,6 +164,7 @@ def build_partials_arrow(
     df: DataFrame,
     batch_update: Callable[[dict, Any], None],
     group_cols: list[str] | None = None,
+    ckpt_dir: str | None = None,
 ) -> DataFrame:
     """Arrow-native partial build: ``mapInArrow`` hands whole
     RecordBatches to ``batch_update(states, batch)``, which owns
@@ -173,6 +174,16 @@ def build_partials_arrow(
 
     ``states`` maps group tuple -> sketch; emission serializes with
     :func:`pack_state` like the pandas path.
+
+    ``ckpt_dir`` enables per-partition checkpoints (north_rule
+    resumability): each task writes its result batch as Arrow IPC to
+    ``part-<pid>.arrow`` (atomic tmp+rename, so task retries and
+    speculative duplicates are safe — the same idempotent
+    write-if-absent discipline as the reference's archive,
+    /root/reference/markercache.cpp:258-266) plus a lineage/metrics
+    JSON (rows, groups, bytes, seconds).  On re-run over the same
+    input/plan, completed partitions replay from disk, skipping the
+    hash/insert compute entirely.
     """
     import pyarrow as pa
 
@@ -180,19 +191,64 @@ def build_partials_arrow(
     out_fields = [f"`{c}` string" for c in group_cols]
     schema = ", ".join(out_fields + [f"{SKETCH_COL} binary"])
 
+    if ckpt_dir:
+        import os
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _emit(states: dict[tuple, Any]) -> "pa.RecordBatch":
+        cols: dict[str, list] = {
+            c: [str(k[i]) for k in states] for i, c in enumerate(group_cols)
+        }
+        cols[SKETCH_COL] = [pack_state(s) for s in states.values()]
+        arrays = [pa.array(cols[c], type=pa.string()) for c in group_cols]
+        arrays.append(pa.array(cols[SKETCH_COL], type=pa.binary()))
+        return pa.RecordBatch.from_arrays(arrays, names=group_cols + [SKETCH_COL])
+
     def partition_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import json
+        import os
+        import time
+
+        part_path = None
+        if ckpt_dir is not None:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            part_path = os.path.join(ckpt_dir, f"part-{pid:05d}.arrow")
+            if os.path.exists(part_path):
+                with pa.ipc.open_file(part_path) as reader:
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i)
+                return
+
+        t0 = time.monotonic()
         states: dict[tuple, Any] = {}
+        nrows = 0
         for batch in batches:
             if batch.num_rows:
+                nrows += batch.num_rows
                 batch_update(states, batch)
-        if states:
-            cols: dict[str, list] = {
-                c: [str(k[i]) for k in states] for i, c in enumerate(group_cols)
+        if not states:
+            return
+        out = _emit(states)
+        if part_path is not None:
+            tmp = part_path + f".tmp-{os.getpid()}"
+            with pa.ipc.new_file(tmp, out.schema) as writer:
+                writer.write_batch(out)
+            os.replace(tmp, part_path)
+            meta = {
+                "partition": int(part_path.rsplit("-", 1)[1].split(".")[0]),
+                "rows": nrows,
+                "groups": len(states),
+                "bytes": sum(len(b) for b in out.column(SKETCH_COL).to_pylist()),
+                "secs": round(time.monotonic() - t0, 3),
             }
-            cols[SKETCH_COL] = [pack_state(s) for s in states.values()]
-            arrays = [pa.array(cols[c], type=pa.string()) for c in group_cols]
-            arrays.append(pa.array(cols[SKETCH_COL], type=pa.binary()))
-            yield pa.RecordBatch.from_arrays(arrays, names=group_cols + [SKETCH_COL])
+            mtmp = os.path.join(ckpt_dir, f"metrics-{meta['partition']:05d}.json.tmp-{os.getpid()}")
+            with open(mtmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(mtmp, mtmp.rsplit(".tmp-", 1)[0])
+        yield out
 
     return df.mapInArrow(partition_fn, schema=schema)
 

@@ -56,6 +56,58 @@ def stream_into_cache(
     return writer.start()
 
 
+def stateful_distinct_estimate(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    precision: int = 12,
+):
+    """Custom stateful streaming operator: per-key running
+    distinct-count estimate via an HLL sketch held in Spark's group
+    state (``applyInPandasWithState``).
+
+    The sketch's mergeable bytearray state is exactly what streaming
+    state stores need: each micro-batch deserializes the key's HLL,
+    folds the batch in vectorized, and writes the bytes back —
+    the streaming analogue of the cache's per-bucket filter updates
+    (/root/reference/markercache.cpp:197-201), generalized from
+    membership to cardinality.  Emits (key, n_distinct_est, n_rows)
+    per updated key per batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .sketches.hll import HllSketch
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        sk = (
+            HllSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else HllSketch(p=precision)
+        )
+        n_rows = int(state.get[1]) if state.exists else 0
+        for pdf in pdf_iter:
+            vals = [str(v).encode() for v in pdf[value_col]]
+            sk.update(vals)
+            n_rows += len(pdf)
+        state.update((sk.to_bytes(), n_rows))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_distinct_est": [int(round(sk.estimate()))],
+                "n_rows": [n_rows],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType="key string, n_distinct_est long, n_rows long",
+        stateStructType="sketch binary, n_rows long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_marker_counts(
     stream_df: DataFrame,
     duration_secs: int,

@@ -84,3 +84,34 @@ def test_windowed_counts_match_batch(spark, stream_dir, tmp_path):
         .collect()
     }
     assert got == exact
+
+
+def test_stateful_distinct_estimate(spark, stream_dir, tmp_path):
+    from marker_spark.streaming import stateful_distinct_estimate
+
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    est = stateful_distinct_estimate(stream, key_col="event_type", value_col="user_id", precision=12)
+    q = (
+        est.writeStream.format("memory")
+        .queryName("statefulhll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last update per key = final running estimate
+    rows = spark.sql(
+        "select key, last(n_distinct_est) as est, max(n_rows) as n_rows "
+        "from statefulhll group by key"
+    ).collect()
+    got = {r["key"]: (r["est"], r["n_rows"]) for r in rows}
+    exact = pdf.groupby("event_type").agg(u=("user_id", "nunique"), n=("user_id", "size"))
+    assert set(got) == set(exact.index)
+    for k, row in exact.iterrows():
+        est_v, n_rows = got[k]
+        assert n_rows == row["n"], k
+        tol = max(3 * 1.04 / (2**12) ** 0.5 * row["u"], 2)
+        assert abs(est_v - row["u"]) <= tol, (k, est_v, row["u"])
