@@ -445,6 +445,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate MinHash: one signature per source over token 3-grams,
+    then pairwise Jaccard estimates between sources — each source
+    reduces to num_perm*8 bytes regardless of size (the 10^12-scale
+    cross-corpus similarity primitive)."""
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches, sketch_agg
+    from marker_spark.ngrams import list_column_to_flat, ngram_bytes
+    from marker_spark.sketches.minhash import MinHashSketch
+
+    def factory():
+        return MinHashSketch(num_perm=128)
+
+    def update(sk, pdf):
+        flat, offsets = list_column_to_flat(pdf["tokens"])
+        mat, _ = ngram_bytes(flat, offsets, 3)
+        if len(mat):
+            sk.update_fixed_width(mat)
+
+    tok = _tokenized_docs(spark, sf_dir)
+    result = sketch_agg(tok, factory, update, MinHashSketch, group_cols=["source"])
+    sketches = collect_sketches(result, MinHashSketch, ["source"])
+    names = sorted(sketches)
+    rows = [
+        {
+            "source_a": a[0],
+            "source_b": b[0],
+            "jaccard_est": round(sketches[a].jaccard(sketches[b]), 6),
+        }
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows), schema="source_a string, source_b string, jaccard_est double"
+    )
+
+
 def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity cache lifecycle as a query: build buckets from
     events, probe early-window markers over three time ranges."""
@@ -511,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "minhash_source_similarity": q_minhash_source_similarity,
         "cache_timerange_lookup": q_cache_timerange_lookup,
     }
 

@@ -171,6 +171,41 @@ def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
     return secs, n_tokens, n_tokens / secs
 
 
+def lookup_100k_probes() -> dict:
+    """Mirror of the reference's SD lookup benchmark: 100k probes of
+    avg-150-byte markers against one filter, then OR over 4 filters
+    (pure kernel timing — the reference's loop is also in-process)."""
+    from marker_spark.datagen import gen_markers
+    from marker_spark.params import CacheParams
+    from marker_spark.sketches.bloom import BloomSketch
+
+    params = CacheParams(duration=1800, lifespan=5400, fp=0.001, total_capacity=400_000)
+    bp = params.bloom_params()
+    filters = []
+    for i in range(params.num_filters):
+        bf = BloomSketch(bp.m, bp.k)
+        markers, _ = gen_markers(100_000, seed=42 + i)
+        bf.insert_fixed_width(markers)
+        filters.append(bf)
+    probes, _ = gen_markers(100_000, seed=999)
+
+    from marker_spark.hashing import mmh3_fixed_width
+
+    t0 = time.monotonic()
+    h1, h2 = mmh3_fixed_width(probes)
+    filters[-1].contains_hashes(h1, h2)
+    cur = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    h1, h2 = mmh3_fixed_width(probes)  # hash once for all filters
+    found = None
+    for bf in filters:
+        r = bf.contains_hashes(h1, h2)
+        found = r if found is None else (found | r)
+    allf = time.monotonic() - t0
+    return {"current_filter_sec": round(cur, 3), "all_filters_sec": round(allf, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -188,6 +223,14 @@ def main() -> None:
     # Headline sketch-build throughput (the BASELINE.json metric).
     secs, n_tokens, tps = sketch_build_throughput(spark, n_docs)
     timings["sketch_build_multi"] = round(secs, 3)
+
+    # Reference-parity lookup timing: the reference's only perf artifact
+    # is a clock()ed loop of 100k probes of ~150-byte markers
+    # (/root/reference/SDUnitTests.cpp:91-99,115-123).  Same shape here,
+    # single filter then 4 filters.
+    lk = lookup_100k_probes()
+    timings["lookup_100k_current_filter"] = lk["current_filter_sec"]
+    timings["lookup_100k_all_4_filters"] = lk["all_filters_sec"]
 
     bench_queries = [
         "flagship_bloom_by_source",

@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--group-col", default="source")
     ap.add_argument("--metrics", default=None, help="lineage/metrics JSONL path")
+    ap.add_argument(
+        "--ckpt",
+        default=None,
+        help="per-partition checkpoint dir: completed partitions replay "
+        "from disk on re-run (kill/restart resumability)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -85,7 +91,7 @@ def main(argv: list[str] | None = None) -> None:
     parallelism = spark.sparkContext.defaultParallelism
     shares = {g: c / total for g, c in stats.items()}
     salted = salted_repartition(df, gcol, shares, parallelism=parallelism)
-    partials = build_partials_arrow(salted, batch_update, [gcol])
+    partials = build_partials_arrow(salted, batch_update, [gcol], ckpt_dir=args.ckpt)
     merged = merge_partials(partials, BloomSketch, [gcol])
     merged.write.mode("overwrite").parquet(args.output)
 

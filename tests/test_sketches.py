@@ -195,3 +195,41 @@ def test_tdigest_merge_and_serde():
         e = back.quantile(q)
         true_rank = np.searchsorted(sorted_vals, e, side="right") / len(vals)
         assert abs(true_rank - q) <= 0.02
+
+
+# --- MinHash -------------------------------------------------------------------
+
+def test_minhash_jaccard_estimate():
+    from marker_spark.sketches.minhash import MinHashSketch
+
+    rng = np.random.default_rng(42)
+    a_items = set(map(int, rng.integers(0, 10**9, 30_000)))
+    # build B sharing ~50% of A
+    a_list = list(a_items)
+    shared = a_list[: len(a_list) // 2]
+    extra = set(map(int, rng.integers(10**9, 2 * 10**9, len(a_list) - len(shared))))
+    b_items = set(shared) | extra
+    true_j = len(a_items & b_items) / len(a_items | b_items)
+
+    A, B = MinHashSketch(num_perm=256), MinHashSketch(num_perm=256)
+    A.update(_byte_items(np.array(sorted(a_items))))
+    B.update(_byte_items(np.array(sorted(b_items))))
+    est = A.jaccard(B)
+    assert abs(est - true_j) <= 3 * A.std_error
+
+
+def test_minhash_merge_exact_state_and_serde():
+    from marker_spark.sketches.minhash import MinHashSketch
+
+    ids = np.arange(10_000)
+    whole = MinHashSketch(num_perm=128)
+    whole.update(_byte_items(ids))
+    parts = [MinHashSketch(num_perm=128) for _ in range(3)]
+    for i, p in enumerate(parts):
+        p.update(_byte_items(ids[i::3]))
+    merged = parts[1]
+    merged.merge_in_place(parts[2]).merge_in_place(parts[0])
+    np.testing.assert_array_equal(merged.mins, whole.mins)
+    back = MinHashSketch.from_bytes(merged.to_bytes())
+    np.testing.assert_array_equal(back.mins, whole.mins)
+    assert back.jaccard(whole) == 1.0
