@@ -1,0 +1,80 @@
+"""High-level API tests: each one-call aggregation returns correct
+estimates against exact answers computed from the same fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from marker_spark import (
+    BloomSketch,
+    CmsSketch,
+    HllSketch,
+    KllSketch,
+    MinHashSketch,
+    TDigestSketch,
+    collect_sketch,
+    collect_sketches,
+)
+from marker_spark.api import bloom_agg, cms_agg, hll_agg, kll_agg, minhash_agg, tdigest_agg
+from marker_spark.datagen import gen_tokenized_sequences
+from marker_spark.ngrams import list_column_to_flat, ngram_bytes
+
+
+@pytest.fixture(scope="module")
+def tok(spark, tokseq_path):
+    return spark.read.parquet(tokseq_path)
+
+
+@pytest.fixture(scope="module")
+def pdf():
+    return gen_tokenized_sequences(2000, seed=42).to_pandas()
+
+
+def test_bloom_agg(spark, tok, pdf):
+    sk = collect_sketch(bloom_agg(tok, capacity=500_000, fp=0.001), BloomSketch)
+    flat, offsets = list_column_to_flat(pdf["tokens"])
+    mat, _ = ngram_bytes(flat, offsets, 3)
+    assert bool(sk.contains_fixed_width(mat).all())
+
+
+def test_hll_agg(spark, tok, pdf):
+    sk = collect_sketch(hll_agg(tok, precision=14), HllSketch)
+    flat, offsets = list_column_to_flat(pdf["tokens"])
+    mat, _ = ngram_bytes(flat, offsets, 3)
+    exact = len(set(map(bytes, mat)))
+    assert abs(sk.estimate() - exact) / exact <= 3 * sk.std_error
+
+
+def test_cms_agg(spark, tok, pdf):
+    sk = collect_sketch(cms_agg(tok, ngram=1), CmsSketch)
+    flat, _ = list_column_to_flat(pdf["tokens"])
+    uniq, counts = np.unique(flat, return_counts=True)
+    top = np.argsort(counts)[-5:]
+    mat = uniq[top].astype("<i4").reshape(-1, 1).view(np.uint8).reshape(-1, 4)
+    est = sk.query_fixed_width(mat).astype(np.int64)
+    assert (est >= counts[top]).all()
+    assert (est - counts[top] <= sk.eps * sk.total + 1).all()
+
+
+def test_kll_tdigest_agg_grouped(spark, tok, pdf):
+    kll = collect_sketches(kll_agg(tok, "n_tok", group_cols=["source"]), KllSketch, ["source"])
+    td = collect_sketches(tdigest_agg(tok, "n_tok", group_cols=["source"]), TDigestSketch, ["source"])
+    for src, sub in pdf.groupby("source"):
+        if len(sub) < 50:
+            continue
+        exact_med = float(np.median(sub["n_tok"]))
+        spread = float(sub["n_tok"].quantile(0.75) - sub["n_tok"].quantile(0.25)) + 1
+        assert abs(kll[(src,)].quantile(0.5) - exact_med) <= max(spread, 10), src
+        assert abs(td[(src,)].quantile(0.5) - exact_med) <= max(spread, 10), src
+
+
+def test_minhash_agg_self_similarity(spark, tok):
+    sigs = collect_sketches(minhash_agg(tok, group_cols=["source"]), MinHashSketch, ["source"])
+    keys = sorted(sigs)
+    # identical sketch vs itself
+    assert sigs[keys[0]].jaccard(sigs[keys[0]]) == 1.0
+    # different zipf-token sources share head n-grams but not all
+    j = sigs[keys[0]].jaccard(sigs[keys[1]])
+    assert 0.0 <= j < 1.0
