@@ -78,3 +78,37 @@ def test_minhash_agg_self_similarity(spark, tok):
     # different zipf-token sources share head n-grams but not all
     j = sigs[keys[0]].jaccard(sigs[keys[1]])
     assert 0.0 <= j < 1.0
+
+
+def test_lsh_topk_recall_vs_scan_fraction(spark):
+    """ANN recall/cost tradeoff.  The synthetic embeddings are random
+    (near-orthogonal: best non-self cosine ~0.33), the hardest case for
+    LSH — a true neighbor at cos 0.3 disagrees on ~40% of hyperplanes.
+    Assert the tradeoff rather than a clustered-data recall figure:
+    multiprobe LSH at 6 planes must beat random selection's expected
+    recall while scanning well under half the corpus, and must always
+    find the query itself."""
+    from marker_spark.ops.similarity import brute_force_topk, hyperplane_signatures, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n_total = emb.count()
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, query, k=10).collect()}
+    wb = hyperplane_signatures(emb, dim=len(query), n_planes=6).cache()
+    approx_df = lsh_topk(wb, query, k=10, n_planes=6, probe_hamming=2)
+    approx = {r["vec_id"] for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    # fraction of corpus the probe actually scanned (bucket filter)
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((len(query), 6))
+    qb = int(((np.asarray(query) @ planes) > 0).astype(np.int64) @ (1 << np.arange(6)))
+    probe = {qb} | {qb ^ (1 << i) for i in range(6)} | {
+        qb ^ (1 << i) ^ (1 << j) for i in range(6) for j in range(i + 1, 6)
+    }
+    scanned = wb.where(F.col("bucket").isin(list(probe))).count()
+    frac = scanned / n_total
+    assert 0 in approx, "query vector itself must be found"
+    assert frac < 0.6, f"scanned {frac:.2f} of corpus"
+    assert recall > frac, f"recall {recall} should beat random-scan baseline {frac:.2f}"
