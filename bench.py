@@ -171,6 +171,49 @@ def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
     return secs, n_tokens, n_tokens / secs
 
 
+def bloom_fp_check(spark, n_docs: int) -> dict:
+    """BASELINE metric companion: observed Bloom FP vs configured bound
+    on the built sketch table.  Rebuilds the hottest group's Bloom and
+    probes it with n-grams from out-of-range token ids (guaranteed
+    absent), reporting observed vs configured fp and zero-FN status."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marker_spark.agg import collect_sketches
+    from marker_spark.api import bloom_agg
+    from marker_spark.hashing import mmh3_fixed_width
+    from marker_spark.sketches.bloom import BloomSketch
+
+    path = _tokseq_parquet(n_docs)
+    df = spark.read.parquet(path)
+    hot = df.groupBy("source").count().orderBy(F.desc("count")).first()["source"]
+    sub = df.where(F.col("source") == hot)
+    n_ngrams = int(
+        sub.agg(F.sum(F.greatest(F.col("n_tok") - 2, F.lit(0)))).collect()[0][0]
+    )
+    fp = 0.001
+    sketches = collect_sketches(
+        bloom_agg(sub, capacity=int(n_ngrams * 1.2), fp=fp, group_cols=["source"]),
+        BloomSketch,
+        ["source"],
+    )
+    sk = sketches[(hot,)]
+    # probe with token ids far outside the generated vocab -> true negatives
+    rng = np.random.default_rng(7)
+    probes = rng.integers(10**7, 2**31 - 1, size=(200_000, 3), dtype=np.int32)
+    mat = probes.astype("<i4").view(np.uint8).reshape(len(probes), 12)
+    observed = float(sk.contains_fixed_width(mat).mean())
+    return {
+        "group": hot,
+        "configured_fp": fp,
+        "observed_fp": round(observed, 6),
+        "within_bound": observed <= fp * 1.3,
+        "n_inserted": sk.n_inserted,
+        "m": sk.m,
+        "k": sk.k,
+    }
+
+
 def lookup_100k_probes() -> dict:
     """Mirror of the reference's SD lookup benchmark: 100k probes of
     avg-150-byte markers against one filter, then OR over 4 filters
@@ -262,6 +305,8 @@ def main() -> None:
         df.collect()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    fp_check = bloom_fp_check(spark, n_docs)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -275,6 +320,7 @@ def main() -> None:
                 "n_tokens": n_tokens,
                 "tokens_per_sec": round(tps, 1),
                 "bench_docs": n_docs,
+                "bloom_fp_check": fp_check,
             }
         )
     )

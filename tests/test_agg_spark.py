@@ -102,3 +102,18 @@ def test_membership_udf_fp_bounded(spark):
     mat, _ = ngram_bytes(flat, offsets, NGRAM)
     fp_rate = float(sk.contains_fixed_width(mat).mean())
     assert fp_rate <= 0.001 * 1.3
+
+
+def test_shuffle_mode_matches_mapside(spark, tokseq_df):
+    """mode='shuffle' (salted raw-row repartition) must produce the
+    exact same state as the map-side combine path."""
+    factory = bloom_factory(capacity=300_000, fp=0.001)
+    update = bloom_ngram_updater(NGRAM)
+    a = collect_sketch(
+        sketch_agg(tokseq_df, factory, update, BloomSketch, mode="mapside"), BloomSketch
+    )
+    b = collect_sketch(
+        sketch_agg(tokseq_df, factory, update, BloomSketch, mode="shuffle", salt=4), BloomSketch
+    )
+    np.testing.assert_array_equal(a.blocks, b.blocks)
+    assert a.n_inserted == b.n_inserted
