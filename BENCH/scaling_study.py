@@ -12,19 +12,26 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from bench import _tokseq_parquet, build_session, sketch_build_throughput  # noqa: E402
+from bench import (  # noqa: E402
+    _tokseq_parquet,
+    build_session,
+    sketch_build_bucketed_throughput,
+    sketch_build_throughput,
+)
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     cpu_list = (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")
+    variant = sys.argv[3] if len(sys.argv) > 3 else "corpus"
+    fn = sketch_build_bucketed_throughput if variant == "bucketed" else sketch_build_throughput
     _tokseq_parquet(n_docs)  # materialize outside timing
     for cpus in cpu_list:
         spark = build_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).count()  # warm JVM + python workers
         for trial in range(3):
-            secs, n_tokens, tps = sketch_build_throughput(spark, n_docs)
+            secs, n_tokens, tps = fn(spark, n_docs)
             print(
                 json.dumps(
                     {
