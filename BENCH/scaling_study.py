@@ -16,6 +16,7 @@ from bench import (  # noqa: E402
     _tokseq_parquet,
     build_session,
     sketch_build_bucketed_throughput,
+    sketch_build_partitioned_throughput,
     sketch_build_throughput,
 )
 
@@ -24,7 +25,10 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     cpu_list = (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")
     variant = sys.argv[3] if len(sys.argv) > 3 else "corpus"
-    fn = sketch_build_bucketed_throughput if variant == "bucketed" else sketch_build_throughput
+    fn = {
+        "bucketed": sketch_build_bucketed_throughput,
+        "partitioned": sketch_build_partitioned_throughput,
+    }.get(variant, sketch_build_throughput)
     _tokseq_parquet(n_docs)  # materialize outside timing
     for cpus in cpu_list:
         spark = build_session(cpus)

@@ -234,6 +234,78 @@ def sketch_build_bucketed_throughput(
     return secs, n_tokens, n_tokens / secs
 
 
+def _tokseq_partitioned(spark, n_docs: int, docs_per_bucket: int = 50_000) -> str:
+    """The production layout per BASELINE.json:input_hint — the
+    tokenized table stored partitioned by source (hive-style), bucket
+    column precomputed.  Written once, cached across runs."""
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/marker_bench_tokseq_part_n{n_docs}"
+    if not os.path.exists(path):
+        df = spark.read.parquet(_tokseq_parquet(n_docs)).withColumn(
+            "bucket", (F.substring("doc_id", 5, 12).cast("long") / docs_per_bucket).cast("int")
+        )
+        df.write.partitionBy("source").mode("overwrite").parquet(path)
+    return path
+
+
+def sketch_build_partitioned_throughput(
+    spark, n_docs: int, docs_per_bucket: int = 50_000
+) -> tuple[float, int, float]:
+    """Zero-shuffle headline: the input is already partitioned by
+    source (the Iceberg-style layout of input_hint), so partial build
+    runs straight off the scan — no repartition, no raw-row shuffle;
+    only the bounded per-(source,bucket) states move to the merge."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from marker_spark.agg import build_partials_arrow, merge_partials
+    from marker_spark.hashing import mmh3_ngram_i32
+    from marker_spark.kernels import arrow_tokens_view, bloom_factory
+    from marker_spark.ngrams import ngram_starts
+    from marker_spark.sketches.bloom import BloomSketch
+
+    path = _tokseq_partitioned(spark, n_docs, docs_per_bucket)
+    df = spark.read.parquet(path)
+    n_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
+    n_buckets = max(n_docs // docs_per_bucket, 1)
+    cap = max(int(docs_per_bucket * (n_tokens / n_docs) * 0.45 * 1.3), 10_000)
+
+    def factory(key=None):
+        return bloom_factory(capacity=cap, fp=0.001)()
+
+    def batch_update(states: dict, batch) -> None:
+        flat, offsets = arrow_tokens_view(batch)
+        starts, per_doc = ngram_starts(offsets, 3)
+        h1, h2 = mmh3_ngram_i32(flat, starts, 3)
+        from marker_spark.kernels import arrow_str_codes
+
+        # partition layout makes source near-constant per batch, but an
+        # Arrow batch may span a file boundary — group defensively.
+        codes, uniques = arrow_str_codes(batch, "source")
+        bkt = batch.column(batch.schema.get_field_index("bucket")).to_numpy(zero_copy_only=False)
+        row_keys = codes * (n_buckets + 1) + bkt
+        ngram_keys = np.repeat(row_keys, per_doc)
+        for rk in np.unique(row_keys):
+            gi, gb = divmod(int(rk), n_buckets + 1)
+            key = (uniques[gi], str(gb))
+            sel = ngram_keys == rk
+            sk = states.get(key)
+            if sk is None:
+                sk = states[key] = factory(key)
+            sk.insert_hashes(h1[sel], h2[sel])
+
+    t0 = time.monotonic()
+    partials = build_partials_arrow(df, batch_update, ["source", "bucket"])
+    result = merge_partials(partials, BloomSketch, ["source", "bucket"])
+    sink = f"/tmp/marker_bench_part_sketches_{os.getpid()}.parquet"
+    result.write.mode("overwrite").parquet(sink)
+    meta = spark.read.parquet(sink).count()
+    secs = time.monotonic() - t0
+    assert meta > 0
+    return secs, n_tokens, n_tokens / secs
+
+
 def bloom_fp_check(spark, n_docs: int) -> dict:
     """BASELINE metric companion: observed Bloom FP vs configured bound
     on the built sketch table.  Rebuilds the hottest group's Bloom and
