@@ -112,3 +112,24 @@ def test_lsh_topk_recall_vs_scan_fraction(spark):
     assert 0 in approx, "query vector itself must be found"
     assert frac < 0.6, f"scanned {frac:.2f} of corpus"
     assert recall > frac, f"recall {recall} should beat random-scan baseline {frac:.2f}"
+
+
+def test_bucketed_grouped_bloom_membership(spark, tok, pdf):
+    """Per-(source, bucket) bounded filters: every doc's n-grams are
+    found in its own group's sketch — the production shape of the
+    bucketed bench variant."""
+    from pyspark.sql import functions as F
+
+    dpb = 500
+    with_bucket = tok.withColumn(
+        "bucket", (F.substring("doc_id", 5, 12).cast("long") / dpb).cast("int").cast("string")
+    )
+    out = bloom_agg(with_bucket, capacity=100_000, fp=0.001, group_cols=["source", "bucket"])
+    sketches = collect_sketches(out, BloomSketch, ["source", "bucket"])
+    p = pdf.copy()
+    p["bucket"] = (p["doc_id"].str[4:].astype(int) // dpb).astype(str)
+    for (src, bkt), sub in p.groupby(["source", "bucket"]):
+        sk = sketches[(src, bkt)]
+        flat, offsets = list_column_to_flat(sub["tokens"])
+        mat, _ = ngram_bytes(flat, offsets, 3)
+        assert bool(sk.contains_fixed_width(mat).all()), (src, bkt)
