@@ -445,6 +445,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_table_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side flow: write a per-source sketch table, then probe the
+    corpus against it with the broadcast-join membership path."""
+    from marker_spark.api import bloom_agg
+    from marker_spark.probe import probe_sketch_table
+
+    tok = _tokenized_docs(spark, sf_dir)
+    table = bloom_agg(tok, capacity=2_000_000, fp=0.001, group_cols=["source"])
+    res = probe_sketch_table(tok, table, ["source"], token_col="tokens")
+    return res.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("found").cast("long")).alias("n_docs_found"),
+    )
+
+
 def q_minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate MinHash: one signature per source over token 3-grams,
     then pairwise Jaccard estimates between sources — each source
@@ -550,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "minhash_source_similarity": q_minhash_source_similarity,
+        "sketch_table_probe": q_sketch_table_probe,
         "cache_timerange_lookup": q_cache_timerange_lookup,
     }
 
