@@ -498,6 +498,42 @@ def q_minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set-operation estimates between the two largest
+    sources: distinct 3-grams of each, their intersection and
+    differences — the sketch-level INTERSECT/EXCEPT."""
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches
+    from marker_spark.api import theta_agg
+    from marker_spark.sketches.theta import ThetaSketch
+
+    tok = _tokenized_docs(spark, sf_dir)
+    result = theta_agg(tok, group_cols=["source"], k=4096)
+    sketches = collect_sketches(result, ThetaSketch, ["source"])
+    # two largest sources by estimate, deterministic tie-break by name
+    ranked = sorted(sketches.items(), key=lambda kv: (-kv[1].estimate(), kv[0]))
+    (a_name,), a = ranked[0]
+    (b_name,), b = ranked[1]
+    rows = [
+        {
+            "source_a": a_name,
+            "source_b": b_name,
+            "distinct_a_est": int(round(a.estimate())),
+            "distinct_b_est": int(round(b.estimate())),
+            "intersection_est": int(round(a.intersection_estimate(b))),
+            "a_minus_b_est": int(round(a.difference_estimate(b))),
+            "b_minus_a_est": int(round(b.difference_estimate(a))),
+        }
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="source_a string, source_b string, distinct_a_est long, "
+        "distinct_b_est long, intersection_est long, a_minus_b_est long, "
+        "b_minus_a_est long",
+    )
+
+
 def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity cache lifecycle as a query: build buckets from
     events, probe early-window markers over three time ranges."""
@@ -566,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "minhash_source_similarity": q_minhash_source_similarity,
         "sketch_table_probe": q_sketch_table_probe,
+        "theta_source_setops": q_theta_source_setops,
         "cache_timerange_lookup": q_cache_timerange_lookup,
     }
 

@@ -23,6 +23,7 @@ from .sketches.hll import HllSketch  # noqa: F401
 from .sketches.kll import KllSketch  # noqa: F401
 from .sketches.minhash import MinHashSketch  # noqa: F401
 from .sketches.tdigest import TDigestSketch  # noqa: F401
+from .sketches.theta import ThetaSketch  # noqa: F401
 
 __all__ = [
     "BloomParams",
@@ -33,6 +34,7 @@ __all__ = [
     "KllSketch",
     "MinHashSketch",
     "TDigestSketch",
+    "ThetaSketch",
     "build_partials",
     "build_partials_arrow",
     "build_partials_shuffled",

@@ -32,6 +32,7 @@ from .sketches.hll import HllSketch
 from .sketches.kll import KllSketch
 from .sketches.minhash import MinHashSketch
 from .sketches.tdigest import TDigestSketch
+from .sketches.theta import ThetaSketch
 
 
 def _ngram_updater(update_hashes: Callable[[Any, Any, Any], None], n: int, token_col: str):
@@ -141,3 +142,18 @@ def tdigest_agg(
         sk.update(pdf[value_col].to_numpy(dtype="float64"))
 
     return sketch_agg(df, factory, update, TDigestSketch, group_cols, **agg_kw)
+
+
+def theta_agg(
+    df: DataFrame,
+    token_col: str = "tokens",
+    group_cols: list[str] | None = None,
+    k: int = 4096,
+    ngram: int = 3,
+    **agg_kw,
+) -> DataFrame:
+    """Theta/KMV sketch per group — distinct counts plus set-operation
+    (intersection/difference) estimates between groups."""
+    factory = lambda: ThetaSketch(k=k)  # noqa: E731
+    update = _ngram_updater(lambda sk, h1, h2: sk.update_hashes(h1), ngram, token_col)
+    return sketch_agg(df, factory, update, ThetaSketch, group_cols, **agg_kw)

@@ -26,6 +26,7 @@ KIND_CMS = 3
 KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_MINHASH = 6
+KIND_THETA = 7
 
 _HEADER = struct.Struct("<4sBB")  # magic, kind, version
 

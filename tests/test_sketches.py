@@ -233,3 +233,61 @@ def test_minhash_merge_exact_state_and_serde():
     back = MinHashSketch.from_bytes(merged.to_bytes())
     np.testing.assert_array_equal(back.mins, whole.mins)
     assert back.jaccard(whole) == 1.0
+
+
+# --- Theta (KMV) ------------------------------------------------------------------
+
+def test_theta_distinct_estimate():
+    from marker_spark.sketches.theta import ThetaSketch
+
+    for true_n in (1000, 50_000, 500_000):
+        sk = ThetaSketch(k=4096)
+        sk.update(_byte_items(np.arange(true_n)))
+        est = sk.estimate()
+        assert abs(est - true_n) / true_n <= 3 * sk.std_error, (true_n, est)
+
+
+def test_theta_set_operations():
+    from marker_spark.sketches.theta import ThetaSketch
+
+    n = 200_000
+    a_ids = np.arange(0, n)                 # [0, 200k)
+    b_ids = np.arange(n // 2, n + n // 2)   # [100k, 300k): |A∩B| = 100k
+    A, B = ThetaSketch(k=8192), ThetaSketch(k=8192)
+    A.update(_byte_items(a_ids))
+    B.update(_byte_items(b_ids))
+
+    inter = A.intersection_estimate(B)
+    assert abs(inter - n // 2) / (n // 2) <= 5 * A.std_error, inter
+    diff = A.difference_estimate(B)
+    assert abs(diff - n // 2) / (n // 2) <= 5 * A.std_error, diff
+
+    # union via merge
+    U = ThetaSketch.from_bytes(A.to_bytes())
+    U.merge_in_place(B)
+    true_union = int(3 * n / 2)
+    assert abs(U.estimate() - true_union) / true_union <= 3 * U.std_error
+
+
+def test_theta_merge_order_invariant_and_serde():
+    from marker_spark.sketches.theta import ThetaSketch
+
+    ids = np.arange(100_000)
+    parts = []
+    for i in range(4):
+        p = ThetaSketch(k=1024)
+        p.update(_byte_items(ids[i::4]))
+        parts.append(p)
+
+    def build(order):
+        acc = ThetaSketch.from_bytes(parts[order[0]].to_bytes())
+        for i in order[1:]:
+            acc.merge_in_place(ThetaSketch.from_bytes(parts[i].to_bytes()))
+        return acc
+
+    a = build([0, 1, 2, 3])
+    b = build([3, 1, 0, 2])
+    assert a.theta == b.theta
+    np.testing.assert_array_equal(a.samples, b.samples)
+    back = ThetaSketch.from_bytes(a.to_bytes())
+    assert back.estimate() == a.estimate()
