@@ -108,6 +108,71 @@ def stateful_distinct_estimate(
     )
 
 
+def stateful_bucket_bloom(
+    stream_df: DataFrame,
+    duration_secs: int,
+    capacity: int = 100_000,
+    fp: float = 0.001,
+    ts_col: str = "ts",
+    marker_col: str = "marker",
+):
+    """Per-bucket Bloom filters as streaming group state — the
+    reference's bucket ring (markercache.h:41-42) held by Spark's state
+    store instead of shared memory.
+
+    Rows are keyed by their event-time bucket; each micro-batch folds
+    the bucket's markers into its Bloom state and emits the bucket's
+    running metadata (rows, fill ratio, serialized size).  The sealed
+    sketch bytes live in the state store, surviving restarts via the
+    streaming checkpoint — complementary to the foreachBatch
+    SketchCache path (which owns ageing + archive files).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .params import BloomParams
+    from .sketches.bloom import BloomSketch
+
+    bp = BloomParams.solve(capacity, fp)
+    keyed = stream_df.withColumn(
+        "bucket_start",
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / duration_secs) * duration_secs).cast("long"),
+    )
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        sk = (
+            BloomSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else BloomSketch(bp.m, bp.k)
+        )
+        n_rows = int(state.get[1]) if state.exists else 0
+        for pdf in pdf_iter:
+            vals = [
+                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                for v in pdf[marker_col]
+            ]
+            sk.insert(vals)
+            n_rows += len(pdf)
+        buf = sk.to_bytes()
+        state.update((buf, n_rows))
+        yield pd.DataFrame(
+            {
+                "bucket_start": [key[0]],
+                "n_rows": [n_rows],
+                "n_inserted": [sk.n_inserted],
+                "sketch_bytes": [len(buf)],
+            }
+        )
+
+    return keyed.groupBy("bucket_start").applyInPandasWithState(
+        update_fn,
+        outputStructType="bucket_start long, n_rows long, n_inserted long, sketch_bytes long",
+        stateStructType="sketch binary, n_rows long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_marker_counts(
     stream_df: DataFrame,
     duration_secs: int,

@@ -115,3 +115,36 @@ def test_stateful_distinct_estimate(spark, stream_dir, tmp_path):
         assert n_rows == row["n"], k
         tol = max(3 * 1.04 / (2**12) ** 0.5 * row["u"], 2)
         assert abs(est_v - row["u"]) <= tol, (k, est_v, row["u"])
+
+
+def test_stateful_bucket_bloom(spark, stream_dir, tmp_path):
+    from marker_spark.streaming import stateful_bucket_bloom
+
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stateful_bucket_bloom(stream, duration_secs=10 * DAY, capacity=50_000,
+                                ts_col="ts", marker_col="marker")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bucketbloom")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "bb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select bucket_start, max(n_rows) as n_rows from bucketbloom group by bucket_start"
+    ).collect()
+    got = {r["bucket_start"]: r["n_rows"] for r in rows}
+    import numpy as np
+
+    ts_epoch = pdf["ts"].astype("int64") // 10**9
+    exact = (
+        pdf.assign(bucket=(ts_epoch // (10 * DAY)) * (10 * DAY))
+        .groupby("bucket")["marker"]
+        .size()
+        .to_dict()
+    )
+    assert got == exact, (got, exact)
