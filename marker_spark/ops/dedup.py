@@ -37,7 +37,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Groups by a 64-bit digest of the text (cheap shuffle key); exactness
     is preserved by also carrying the text through the aggregation —
-    at true scale swap in a 128/256-bit digest and drop the text carry.
+    fine at moderate scale; use :func:`exact_dedup_scalable` when the
+    text payload dominates shuffle volume.
     """
     return (
         df.withColumn("__digest", F.xxhash64(F.col(text_col)))
@@ -45,6 +46,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__digest")
     )
+
+
+def exact_dedup_scalable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """100 TB-shape exact dedup: the shuffle carries only a 128-bit
+    digest + id, never the document text.
+
+    Phase 1 aggregates (md5(text) -> min id, dup_count); phase 2 joins
+    the representative ids back to recover full rows.  The join is on
+    the (small) representative set — broadcastable when the distinct
+    count fits, hash join otherwise; either way text bytes move at most
+    once (with their own row), not through a groupBy shuffle.
+    """
+    digest = F.md5(F.col(text_col))
+    reps = (
+        df.select(digest.alias("__digest"), F.col(id_col))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+    return df.join(reps, id_col, "inner")
 
 
 def minhash_signatures(
