@@ -442,6 +442,11 @@ def main() -> None:
 
     fp_check = bloom_fp_check(spark, n_docs)
 
+    # Production-shape throughput (bounded per-bucket capacity) —
+    # reported alongside the corpus-sized headline; see BENCH/BASELINE.md §2.
+    bsecs, _, btps = sketch_build_bucketed_throughput(spark, n_docs)
+    timings["sketch_build_bucketed"] = round(bsecs, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -454,6 +459,7 @@ def main() -> None:
                 "cpus": int(cpus),
                 "n_tokens": n_tokens,
                 "tokens_per_sec": round(tps, 1),
+                "tokens_per_sec_bucketed": round(btps, 1),
                 "bench_docs": n_docs,
                 "bloom_fp_check": fp_check,
             }
