@@ -444,7 +444,10 @@ def main() -> None:
 
     # Production-shape throughput (bounded per-bucket capacity) —
     # reported alongside the corpus-sized headline; see BENCH/BASELINE.md §2.
-    bsecs, _, btps = sketch_build_bucketed_throughput(spark, n_docs)
+    # Bucket size scales with input so small benches aren't dominated by
+    # over-allocated single-bucket states.
+    dpb = min(50_000, max(n_docs // 8, 1_000))
+    bsecs, _, btps = sketch_build_bucketed_throughput(spark, n_docs, docs_per_bucket=dpb)
     timings["sketch_build_bucketed"] = round(bsecs, 3)
 
     total = round(sum(timings.values()), 3)
