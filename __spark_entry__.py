@@ -192,10 +192,14 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold 0.3: the synthetic embeddings are near-orthogonal (best
+    within-label cosine ~0.45), so 0.3 yields a real, non-empty match
+    set at every sf — the gate exercises the join + cosine math instead
+    of passing vacuously on 0 rows."""
     from marker_spark.ops.dedup import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.8, block_col="label")
+    return embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
 
 
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,12 +538,12 @@ def q_theta_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-parity cache lifecycle as a query: build buckets from
-    events, probe early-window markers over three time ranges."""
-    import pandas as pd
-
-    from marker_spark.cache.sketch_cache import OPEN_END, SketchCache
+def _cache_from_events(spark: SparkSession, sf_dir: str):
+    """Shared setup for the cache-lifecycle queries: insert all event
+    markers into a time-bucketed SketchCache, return (cache, probes) where
+    probes are the first-window markers (events start at t0, so every
+    probe's insertion bucket overlaps the first window)."""
+    from marker_spark.cache.sketch_cache import SketchCache
     from marker_spark.params import CacheParams
 
     _utc(spark)
@@ -553,10 +557,24 @@ def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache.insert_batch(ev, ts_col="ts", marker_col="marker")
     probes = [r["marker"].encode() for r in
               ev.where(F.unix_timestamp("ts") < t0 + 10 * day).select("marker").collect()]
+    return cache, probes, t0, day
+
+
+def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity cache lifecycle as a query, restricted to the
+    deterministically-exact ranges so it is SQL-oracle-able (the
+    reference's own hard invariants, DBAppUnitTests.cpp:97-106):
+    zero false negatives make first_window == all_time == n_probes,
+    and the inverted-range guard makes inverted == 0.  The non-overlapping
+    range (false-positive measurement) lives in q_cache_fp_window."""
+    import pandas as pd
+
+    from marker_spark.cache.sketch_cache import OPEN_END
+
+    cache, probes, t0, day = _cache_from_events(spark, sf_dir)
     ranges = {
         "all_time": (0, OPEN_END),
         "first_window": (t0, t0 + 10 * day - 1),
-        "last_window": (t0 + 20 * day, t0 + 40 * day),
         "inverted": (100, 50),
     }
     rows = [
@@ -565,6 +583,32 @@ def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         pd.DataFrame(rows), schema="range_name string, n_probes long, n_found long"
+    )
+
+
+def q_cache_fp_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe first-window markers against a NON-overlapping time range:
+    every hit is a Bloom false positive, so observed_fp must stay within
+    the reference's tolerance of the configured bound (DBAppUnitTests.cpp:93,
+    fp asserted within 30% relative).  Rows-only check: the exact FP count
+    is hash-determined, not SQL-expressible."""
+    import pandas as pd
+
+    cache, probes, t0, day = _cache_from_events(spark, sf_dir)
+    n_found = int(cache.lookup_from(t0 + 20 * day, t0 + 40 * day, probes).sum())
+    fp_rate = n_found / max(len(probes), 1)
+    rows = [{
+        "range_name": "last_window",
+        "n_probes": len(probes),
+        "n_found": n_found,
+        "observed_fp": round(fp_rate, 6),
+        "fp_bound": 0.001,
+        "within_bound": bool(fp_rate <= 0.001 * 1.3 + 3.0 / max(len(probes), 1)),
+    }]
+    return spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="range_name string, n_probes long, n_found long, "
+        "observed_fp double, fp_bound double, within_bound boolean",
     )
 
 
@@ -604,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_table_probe": q_sketch_table_probe,
         "theta_source_setops": q_theta_source_setops,
         "cache_timerange_lookup": q_cache_timerange_lookup,
+        "cache_fp_window": q_cache_fp_window,
     }
 
 
@@ -670,7 +715,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    count(*) AS n_docs,
-                   sum(n_words) AS total_words,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
                    round(avg(least(n_words / 100.0, 1.0) * 0.3
                              + (1.0 - punct_ratio) * 0.3
                              + least(stopword_ratio * 5.0, 1.0) * 0.4), 6) AS avg_quality,
@@ -761,7 +806,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "window_top_orders": """
             SELECT o_custkey, o_orderkey,
@@ -795,5 +840,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_markers_reappearing
             FROM early WHERE marker IN (SELECT marker FROM late)
             GROUP BY event_type
+        """,
+        # Zero-false-negative invariants (reference DBAppUnitTests.cpp:97-106)
+        # make the Bloom self-probe queries exactly SQL-expressible: every doc
+        # with >= 3 whitespace tokens (i.e. >= one 3-gram) MUST hit, and docs
+        # with < 3 tokens have no 3-gram so the any-ngram probe is False.
+        "bloom_ngram_membership": """
+            WITH t AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(count(*) FILTER (WHERE n_words >= 3) AS BIGINT) AS n_docs_found
+            FROM t GROUP BY source
+        """,
+        "sketch_table_probe": """
+            WITH t AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(count(*) FILTER (WHERE n_words >= 3) AS BIGINT) AS n_docs_found
+            FROM t GROUP BY source
+        """,
+        # Deterministic cache-lifecycle invariants: events start at t0, so all
+        # first-window probes are found in both all_time and first_window
+        # (zero FN), and the inverted range returns 0 (guard).
+        "cache_timerange_lookup": """
+            WITH p AS (
+                SELECT count(*) AS n FROM events
+                WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+            )
+            SELECT 'all_time' AS range_name, n AS n_probes, n AS n_found FROM p
+            UNION ALL
+            SELECT 'first_window', n, n FROM p
+            UNION ALL
+            SELECT 'inverted', n, CAST(0 AS BIGINT) FROM p
         """,
     }
