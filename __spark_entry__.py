@@ -38,31 +38,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from marker_spark.agg import collect_sketches, sketch_agg
-    from marker_spark.kernels import bloom_factory, bloom_ngram_updater
+    """Distributed Bloom build over token 3-grams per source, emitting
+    per-source sketch metadata straight from the merge task: the merged
+    bitmap never moves to the driver (only #sources rows of scalars do),
+    and a stats pass sizes each source's filter from its actual n-gram
+    count (group-aware factory) instead of a fixed capacity that would
+    undersize at 100x the corpus."""
+    from marker_spark.agg import sketch_agg
+    from marker_spark.kernels import bloom_ngram_updater
+    from marker_spark.params import BloomParams
     from marker_spark.sketches.bloom import BloomSketch
     from marker_spark.tokenize import tokenize_documents
 
     docs = _read(spark, sf_dir, "documents")
-    tok = tokenize_documents(docs)
-    factory = bloom_factory(capacity=1_000_000, fp=0.001)
-    result = sketch_agg(tok, factory, bloom_ngram_updater(3), BloomSketch, group_cols=["source"])
-    sketches = collect_sketches(result, BloomSketch, ["source"])
-    rows = [
-        {
-            "source": src,
-            "n_inserted": sk.n_inserted,
-            "m": sk.m,
-            "k": sk.k,
+    tok = tokenize_documents(docs).cache()
+    counts = {
+        r["source"]: int(r["n"])
+        for r in tok.groupBy("source")
+        .agg(F.sum(F.greatest(F.col("n_tok") - 2, F.lit(0))).alias("n"))
+        .collect()
+    }
+
+    def factory(key):
+        cap = max(int(counts.get(key[0], 100_000) * 1.2), 10_000)
+        p = BloomParams.solve(cap, 0.001)
+        return BloomSketch(p.m, p.k)
+
+    def finalize(sk):
+        return {
+            "n_inserted": int(sk.n_inserted),
+            "m": int(sk.m),
+            "k": int(sk.k),
             "fill_ratio": round(sk.fill_ratio(), 6),
         }
-        for (src,), sk in sorted(sketches.items())
-    ]
-    return spark.createDataFrame(
-        pd.DataFrame(rows), schema="source string, n_inserted long, m long, k int, fill_ratio double"
-    )
+
+    return sketch_agg(
+        tok, factory, bloom_ngram_updater(3), BloomSketch, group_cols=["source"],
+        finalize=finalize,
+        finalize_schema="n_inserted long, m long, k long, fill_ratio double",
+    ).orderBy("source")
 
 
 # ---------------------------------------------------------------------------

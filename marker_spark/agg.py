@@ -108,6 +108,8 @@ def merge_partials(
     sketch_cls: type,
     group_cols: list[str] | None = None,
     tree_fanin: int = 0,
+    finalize: Callable[[Any], dict] | None = None,
+    finalize_schema: str | None = None,
 ) -> DataFrame:
     """Final merge: groupBy(group) associative combine of sketch states.
 
@@ -121,24 +123,48 @@ def merge_partials(
     shard sketches merge in the final task — bounding any single task's
     input to ~fanin states.  Merge associativity (exact for
     Bloom/HLL/CMS) makes the tree shape irrelevant to the result.
+
+    ``finalize`` (with ``finalize_schema``, e.g. ``"n long, err double"``)
+    makes the final merge task emit metadata columns computed from the
+    merged sketch INSTEAD of the state bytes — the merged state never
+    leaves the executor, so metadata-style queries move O(#groups) rows
+    of scalars, not O(corpus) sketch bytes, through the Python<->JVM
+    path or to the driver.  Declare numeric columns as long/double (and
+    string/boolean) so pyarrow's inference matches the declared schema.
     """
     import pyarrow as pa
 
     group_cols = list(group_cols or [])
 
-    def _merge_table(table: "pa.Table", extra_cols: list[str]) -> "pa.Table":
+    def _merge_acc(table: "pa.Table"):
         col = table.column(SKETCH_COL)
         acc = None
         for chunk in col.chunks:
             for buf in chunk:
                 state = unpack_state(sketch_cls, buf.as_py())
                 acc = state if acc is None else acc.merge_in_place(state)
+        return acc
+
+    def _group_arrays(table: "pa.Table", extra_cols: list[str]):
         arrays, names = [], []
         for c in extra_cols:
             arrays.append(pa.array([table.column(c)[0].as_py()], type=pa.string()))
             names.append(c)
+        return arrays, names
+
+    def _merge_table(table: "pa.Table", extra_cols: list[str]) -> "pa.Table":
+        acc = _merge_acc(table)
+        arrays, names = _group_arrays(table, extra_cols)
         arrays.append(pa.array([pack_state(acc)], type=pa.binary()))
         names.append(SKETCH_COL)
+        return pa.table(dict(zip(names, arrays)))
+
+    def _finalize_table(table: "pa.Table") -> "pa.Table":
+        acc = _merge_acc(table)
+        arrays, names = _group_arrays(table, group_cols)
+        for name, value in finalize(acc).items():
+            arrays.append(pa.array([value]))
+            names.append(name)
         return pa.table(dict(zip(names, arrays)))
 
     out_fields = [f"`{c}` string" for c in group_cols]
@@ -154,7 +180,13 @@ def merge_partials(
         )
         df = df.drop("__shard")
 
-    merge_fn = lambda t: _merge_table(t, group_cols)  # noqa: E731
+    if finalize is not None:
+        if finalize_schema is None:
+            raise ValueError("finalize requires finalize_schema")
+        schema = ", ".join(out_fields + [finalize_schema])
+        merge_fn = _finalize_table
+    else:
+        merge_fn = lambda t: _merge_table(t, group_cols)  # noqa: E731
     if group_cols:
         return df.groupBy(*group_cols).applyInArrow(merge_fn, schema=schema)
     return df.groupBy().applyInArrow(merge_fn, schema=schema)
@@ -313,8 +345,11 @@ def sketch_agg(
     tree_fanin: int = 0,
     mode: str = "mapside",
     salt: int = 8,
+    finalize: Callable[[Any], dict] | None = None,
+    finalize_schema: str | None = None,
 ) -> DataFrame:
-    """Partial build + merge in one call → DataFrame (group..., sketch).
+    """Partial build + merge in one call → DataFrame (group..., sketch),
+    or (group..., finalize columns) when ``finalize`` is given.
 
     mode="mapside" (default): combine inside each input partition; best
     when the sketch state is small relative to the partition's rows.
@@ -326,7 +361,10 @@ def sketch_agg(
         partials = build_partials_shuffled(df, factory, update, group_cols, salt=salt)
     else:
         partials = build_partials(df, factory, update, group_cols)
-    return merge_partials(partials, sketch_cls, group_cols, tree_fanin)
+    return merge_partials(
+        partials, sketch_cls, group_cols, tree_fanin,
+        finalize=finalize, finalize_schema=finalize_schema,
+    )
 
 
 def collect_sketch(df: DataFrame, sketch_cls: type):
