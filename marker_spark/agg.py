@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SKETCH_COL = "sketch"
+NULL_KEY = "__null__"
 _GROUP_NONE = "__all__"
 _ZMAGIC = b"MSKZ"
 
@@ -81,9 +82,14 @@ def build_partials(
             if len(pdf) == 0:
                 continue
             if group_cols:
-                for key, sub in pdf.groupby(group_cols, sort=False):
+                # dropna=False: rows with a null group key must reach a
+                # sketch (pandas' default silently drops them); nulls map
+                # to a sentinel group so the emitted key column is a
+                # stable string.
+                for key, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                     if not isinstance(key, tuple):
                         key = (key,)
+                    key = tuple(NULL_KEY if pd.isna(k) else k for k in key)
                     sk = states.get(key)
                     if sk is None:
                         sk = states[key] = _call_factory(factory, key)

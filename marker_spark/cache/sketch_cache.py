@@ -62,7 +62,7 @@ class Bucket:
     start: int
     end: int  # inclusive; OPEN_END while open
     sketch: BloomSketch
-    n_rows: int = 0
+    n_markers: int = 0  # inserted markers (n-grams), not input rows
     build_secs: float = 0.0
     source: str = ""
 
@@ -138,14 +138,14 @@ class SketchCache:
         for b in self.buckets:
             if b.start <= bstart <= b.end:
                 b.sketch.merge_in_place(sk)
-                b.n_rows += sk.n_inserted
+                b.n_markers += sk.n_inserted
                 b.build_secs += secs
                 return
         b = Bucket(
             start=bstart,
             end=bstart + self.params.duration - 1,
             sketch=sk,
-            n_rows=sk.n_inserted,
+            n_markers=sk.n_inserted,
             build_secs=secs,
             source=src,
         )
@@ -224,13 +224,11 @@ class SketchCache:
             for i, sk in enumerate(sketch):
                 if sk is not None:
                     groups.setdefault(bytes(sk), []).append(i)
+            from ..kernels import encode_series
+
             for sk_bytes, idxs in groups.items():
                 bf = BloomSketch.from_bytes(sk_bytes)
-                vals = [
-                    v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-                    for v in marker.iloc[idxs]
-                ]
-                out[idxs] = bf.contains(vals)
+                out[idxs] = bf.contains(encode_series(marker.iloc[idxs]))
             return pd.Series(out)
 
         hit = pairs.withColumn(
@@ -297,7 +295,7 @@ class SketchCache:
                 {
                     "start": b.start,
                     "end": b.end,
-                    "n_rows": b.n_rows,
+                    "n_markers": b.n_markers,
                     "build_secs": round(b.build_secs, 4),
                     "source": b.source,
                     "sealed": b.end != OPEN_END,
@@ -348,7 +346,7 @@ class SketchCache:
             with open(os.path.join(ckpt_dir, f"{start}.sketch"), "rb") as f:
                 sk = BloomSketch.from_bytes(f.read())
             cache.buckets.append(
-                Bucket(start=start, end=start + params.duration - 1, sketch=sk, n_rows=sk.n_inserted)
+                Bucket(start=start, end=start + params.duration - 1, sketch=sk, n_markers=sk.n_inserted)
             )
         cache.buckets.sort(key=lambda b: b.start)
 
@@ -395,7 +393,7 @@ class SketchCache:
                 "bucket_start": b.start,
                 "bucket_end": b.end,
                 "sealed": b.end != OPEN_END,
-                "n_rows": b.n_rows,
+                "n_markers": b.n_markers,
                 "build_secs": round(b.build_secs, 4),
                 "fill_ratio": round(b.sketch.fill_ratio(), 6),
                 "expected_fp": b.sketch.expected_fp(),

@@ -36,13 +36,35 @@ def arrow_tokens_view(batch, token_col: str = "tokens"):
 
 
 def arrow_str_codes(batch, col_name: str):
-    """Group codes for a string column: (codes int64 per row, uniques list)."""
+    """Group codes for a string column: (codes int64 per row, uniques list).
+
+    Null keys map to a trailing "__null__" group instead of factorize's
+    -1 sentinel, so callers can index partial-state arrays directly and
+    null-keyed rows still reach a sketch (mirrors agg.NULL_KEY)."""
     arr = batch.column(batch.schema.get_field_index(col_name))
     codes, uniques = pd.factorize(arr.to_pandas(), sort=True)
-    return codes.astype(np.int64), [str(u) for u in uniques]
+    codes = codes.astype(np.int64)
+    uniques = [str(u) for u in uniques]
+    if (codes < 0).any():
+        codes = np.where(codes < 0, len(uniques), codes)
+        uniques = uniques + ["__null__"]
+    return codes, uniques
 
 
 # --- updaters (sketch, batch) -> None ---------------------------------------
+
+def encode_series(s: pd.Series) -> list[bytes]:
+    """Coerce a marker column to a list of bytes without a per-row
+    Python comprehension: bytes cells pass through; everything else
+    goes through the C-level ``Series.astype(str).str.encode`` path
+    (one type probe on the first cell instead of an isinstance per row).
+    """
+    if len(s) == 0:
+        return []
+    if isinstance(s.iloc[0], (bytes, bytearray)):
+        return list(s)
+    return list(s.astype(str).str.encode("utf-8"))
+
 
 def bloom_ngram_updater(n: int, token_col: str = "tokens") -> Callable[[Any, pd.DataFrame], None]:
     """Insert every token n-gram of each row into a Bloom sketch."""
@@ -60,11 +82,7 @@ def bloom_binary_updater(col: str) -> Callable[[Any, pd.DataFrame], None]:
     """Insert a binary/string column's byte values (reference marker path)."""
 
     def update(sk: BloomSketch, pdf: pd.DataFrame) -> None:
-        items = [
-            v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
-            for v in pdf[col]
-        ]
-        sk.insert(items)
+        sk.insert(encode_series(pdf[col]))
 
     return update
 

@@ -40,14 +40,12 @@ def make_pairwise_marker_membership_udf():
 
     @F.pandas_udf("boolean")
     def member(sketch: pd.Series, marker: pd.Series) -> pd.Series:
+        from .kernels import encode_series
+
         out = np.zeros(len(marker), dtype=bool)
         for sk_bytes, idxs in _grouped_by_sketch(sketch).items():
             bf = unpack_state(BloomSketch, sk_bytes)
-            vals = [
-                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-                for v in marker.iloc[idxs]
-            ]
-            out[idxs] = bf.contains(vals)
+            out[idxs] = bf.contains(encode_series(marker.iloc[idxs]))
         return pd.Series(out)
 
     return member

@@ -65,10 +65,13 @@ class CmsSketch:
         else:
             counts = counts.astype(np.uint64, copy=False)
         cols = self._cols(h1, h2)
+        # bincount's float64 weights are exact only while any per-cell sum
+        # stays below 2^53; a batch's worst case is bounded by its total.
+        bincount_exact = int(counts.sum()) < (1 << 53)
         for i in range(self.d):
             # bincount is a buffered C histogram — much faster than the
             # unbuffered np.add.at scatter for w up to a few million.
-            if self.w <= (1 << 24):
+            if self.w <= (1 << 24) and bincount_exact:
                 self.grid[i] += np.bincount(
                     cols[i], weights=counts.astype(np.float64), minlength=self.w
                 ).astype(np.uint64)

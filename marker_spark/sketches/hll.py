@@ -47,6 +47,10 @@ class HllSketch:
             raise ValueError(f"p must be in [4,18], got {p}")
         self.p = int(p)
         self.m = 1 << self.p
+        if registers is not None and len(registers) != self.m:
+            raise ValueError(
+                f"HLL register array length {len(registers)} != 2^p = {self.m}"
+            )
         self.registers = (
             np.zeros(self.m, dtype=np.uint8) if registers is None else registers
         )
@@ -107,5 +111,10 @@ class HllSketch:
     def from_bytes(cls, buf: bytes) -> "HllSketch":
         off = unpack_header(buf, KIND_HLL)
         (p,) = _PARAMS.unpack_from(buf, off)
-        regs = np.frombuffer(buf, dtype=np.uint8, offset=off + _PARAMS.size).copy()
+        # count= bounds the read so a truncated/over-long buffer raises in
+        # frombuffer (or the __init__ length check) instead of silently
+        # producing a malformed sketch.
+        regs = np.frombuffer(
+            buf, dtype=np.uint8, offset=off + _PARAMS.size, count=1 << p
+        ).copy()
         return cls(p=p, registers=regs)

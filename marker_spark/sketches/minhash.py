@@ -1,9 +1,18 @@
 """Mergeable MinHash signature sketch (Broder 1997).
 
-State: num_perm uint64 minima over universal-hash permutations
+State: num_perm uint64 minima over keyed permutations
 h_i(x) = (a_i * mmh3(x) + b_i) mod (2^61 - 1), seeded deterministically
 — merge is elementwise min (exactly associative+commutative), estimate
 is signature-agreement Jaccard between two sketches.
+
+NOTE on the hash family: the product a_i * mmh3(x) is computed in
+vectorized uint64, so it wraps mod 2^64 *before* the Mersenne mod —
+this is deliberately the datasketch-style wrapped variant, not the
+textbook mod-p universal family (whose modular product would need
+128-bit limbs).  The deviation is empirically validated: the 3-sigma
+Jaccard accuracy test in tests/test_sketches.py holds across seeds,
+and the wrap only perturbs which permutation each key induces, not the
+min-wise symmetry the estimator relies on.
 
 Std error of the Jaccard estimate ~ 1/sqrt(num_perm).
 

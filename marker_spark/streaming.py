@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cache.sketch_cache import SketchCache
+from .kernels import encode_series
 
 
 def stream_into_cache(
@@ -87,8 +88,7 @@ def stateful_distinct_estimate(
         )
         n_rows = int(state.get[1]) if state.exists else 0
         for pdf in pdf_iter:
-            vals = [str(v).encode() for v in pdf[value_col]]
-            sk.update(vals)
+            sk.update(encode_series(pdf[value_col]))
             n_rows += len(pdf)
         state.update((sk.to_bytes(), n_rows))
         yield pd.DataFrame(
@@ -147,11 +147,7 @@ def stateful_bucket_bloom(
         )
         n_rows = int(state.get[1]) if state.exists else 0
         for pdf in pdf_iter:
-            vals = [
-                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-                for v in pdf[marker_col]
-            ]
-            sk.insert(vals)
+            sk.insert(encode_series(pdf[marker_col]))
             n_rows += len(pdf)
         buf = sk.to_bytes()
         state.update((buf, n_rows))

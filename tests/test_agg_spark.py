@@ -117,3 +117,25 @@ def test_shuffle_mode_matches_mapside(spark, tokseq_df):
     )
     np.testing.assert_array_equal(a.blocks, b.blocks)
     assert a.n_inserted == b.n_inserted
+
+
+def test_null_group_keys_reach_a_sketch(spark):
+    """Rows with a null group key must be sketched under the sentinel
+    group, not silently dropped (ADVICE: pandas groupby dropna)."""
+    import pandas as pd
+
+    from marker_spark.agg import NULL_KEY
+    from marker_spark.kernels import bloom_factory, bloom_binary_updater
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a", None, None, None], "v": list("vwxyz")}),
+        schema="g string, v string",
+    ).repartition(2)
+    out = sketch_agg(df, bloom_factory(1000, 0.01), bloom_binary_updater("v"),
+                     BloomSketch, group_cols=["g"])
+    sketches = collect_sketches(out, BloomSketch, ["g"])
+    assert (NULL_KEY,) in sketches
+    null_sk = sketches[(NULL_KEY,)]
+    assert null_sk.n_inserted == 3
+    assert null_sk.contains([b"x", b"y", b"z"]).all()
+    assert sketches[("a",)].n_inserted == 2

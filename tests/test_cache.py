@@ -82,13 +82,13 @@ def test_ageing(events, props):
     c = SketchCache(PARAMS)
     c.insert_batch(events, ts_col="ts", marker_col="marker")
     c.open_bucket(NOW)
-    n_data_buckets = sum(1 for b in c.buckets if b.n_rows > 0)
+    n_data_buckets = sum(1 for b in c.buckets if b.n_markers > 0)
     now = NOW
     for _ in range(PARAMS.num_filters):
         now += DUR
         assert c.maybe_age(now, force=True)
     # All original data buckets evicted by now.
-    assert all(b.n_rows == 0 for b in c.buckets)
+    assert all(b.n_markers == 0 for b in c.buckets)
     assert not c.lookup_from(0, OPEN_END, props[:100]).any()
     # Epoch-aligned grid: 30 days of events straddle 4 ten-day buckets.
     assert n_data_buckets == 4
@@ -136,7 +136,7 @@ def test_resume_gap_rebuild(tmp_path, events, spark):
     # bucket are the reference's blind spot too: it trusts restored
     # filters as-is, markercache.cpp:86-93).
     r = SketchCache.resume(PARAMS, ckpt, now=NOW, source_df=events, ts_col="ts", marker_col="marker")
-    rebuilt_lo = max(b.start for b in r.buckets if b.source == "rebuild" or b.n_rows > 0)
+    rebuilt_lo = max(b.start for b in r.buckets if b.source == "rebuild" or b.n_markers > 0)
     gap_lo = min(
         (b.start for b in r.buckets if b.source == "rebuild"), default=rebuilt_lo
     )
@@ -151,6 +151,6 @@ def test_resume_gap_rebuild(tmp_path, events, spark):
 def test_metrics_lineage(cache):
     m = cache.metrics()
     assert len(m) == len(cache.buckets)
-    data = [x for x in m if x["n_rows"] > 0]
+    data = [x for x in m if x["n_markers"] > 0]
     assert data and all(x["build_secs"] >= 0 for x in data)
     assert all(0 <= x["fill_ratio"] <= 1 for x in m)

@@ -291,3 +291,33 @@ def test_theta_merge_order_invariant_and_serde():
     np.testing.assert_array_equal(a.samples, b.samples)
     back = ThetaSketch.from_bytes(a.to_bytes())
     assert back.estimate() == a.estimate()
+
+
+def test_hll_malformed_buffer_rejected():
+    """Truncated or over-long serialized HLL must raise, not silently
+    produce a malformed sketch (ADVICE: hll.py from_bytes read to EOF)."""
+    from marker_spark.sketches.hll import HllSketch
+
+    sk = HllSketch(p=10)
+    sk.update([b"a", b"b", b"c"])
+    buf = sk.to_bytes()
+    with pytest.raises(ValueError):
+        HllSketch.from_bytes(buf[:-5])  # truncated register block
+    # over-long buffer: trailing junk must not leak into the registers
+    rt = HllSketch.from_bytes(buf + b"\xff" * 16)
+    assert rt.m == sk.m and np.array_equal(rt.registers, sk.registers)
+    with pytest.raises(ValueError):
+        HllSketch(p=10, registers=np.zeros(17, dtype=np.uint8))
+
+
+def test_cms_huge_weights_exact():
+    """Per-batch counts beyond float64's 2^53 integer range must take the
+    exact np.add.at path instead of rounding in bincount."""
+    from marker_spark.sketches.cms import CmsSketch
+
+    sk = CmsSketch(d=3, w=1 << 10)
+    big = np.array([(1 << 53) + 3, 5], dtype=np.uint64)
+    sk.update([b"x", b"y"], counts=big)
+    est = sk.query([b"x", b"y"])
+    assert int(est[0]) >= (1 << 53) + 3  # CMS never undershoots
+    assert int(est[0]) - ((1 << 53) + 3) < 1 << 20  # and wasn't rounded

@@ -49,7 +49,7 @@ def test_stream_into_cache(spark, stream_dir, tmp_path):
     assert not q.isActive
     probes = [m.encode() for m in pdf["marker"].tolist()[:500]]
     assert cache.lookup_from(0, OPEN_END, probes).all()
-    assert any(b.n_rows > 0 for b in cache.buckets)
+    assert any(b.n_markers > 0 for b in cache.buckets)
     # ageing ran: manifest + sealed checkpoints written
     import os
     assert os.path.exists(tmp_path / "ckpt" / "manifest.json")
