@@ -519,7 +519,12 @@ def q_minhash_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_theta_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set-operation estimates between the two largest
     sources: distinct 3-grams of each, their intersection and
-    differences — the sketch-level INTERSECT/EXCEPT."""
+    differences — the sketch-level INTERSECT/EXCEPT.
+
+    Accuracy bound: with k=4096 the KMV relative std error is
+    1/sqrt(k-1) ~ 1.6%; every estimate is asserted within 5x that of
+    the exact distinct-3-gram set algebra in
+    tests/test_builtin_oracles.py::test_theta_setops_query_within_bound."""
     import pandas as pd
 
     from marker_spark.agg import collect_sketches

@@ -115,6 +115,8 @@ def stateful_bucket_bloom(
     fp: float = 0.001,
     ts_col: str = "ts",
     marker_col: str = "marker",
+    lifespan_secs: int | None = None,
+    watermark_delay_secs: int = 1,
 ):
     """Per-bucket Bloom filters as streaming group state — the
     reference's bucket ring (markercache.h:41-42) held by Spark's state
@@ -126,7 +128,15 @@ def stateful_bucket_bloom(
     sketch bytes live in the state store, surviving restarts via the
     streaming checkpoint — complementary to the foreachBatch
     SketchCache path (which owns ageing + archive files).
-    """
+
+    ``lifespan_secs`` enables the reference's ageing
+    (markercache.cpp:203-242) as watermark-driven eviction: the stream
+    is watermarked on ``ts_col`` and each bucket's state carries an
+    event-time timeout at ``bucket_end + lifespan``; when the watermark
+    passes it, the bucket emits one final row with ``sealed=true`` and
+    its state is REMOVED from the store — without this, state grows
+    with the number of buckets forever, the exact unbounded growth the
+    reference's retention rule prevents."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -134,12 +144,33 @@ def stateful_bucket_bloom(
     from .sketches.bloom import BloomSketch
 
     bp = BloomParams.solve(capacity, fp)
-    keyed = stream_df.withColumn(
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if lifespan_secs is not None:
+        src = src.withWatermark(ts_col, f"{watermark_delay_secs} seconds")
+    keyed = src.withColumn(
         "bucket_start",
         (F.floor(F.unix_timestamp(F.col(ts_col)) / duration_secs) * duration_secs).cast("long"),
     )
 
+    def _emit(key, sk: "BloomSketch", n_rows: int, buf: bytes, sealed: bool) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "bucket_start": [key[0]],
+                "n_rows": [n_rows],
+                "n_inserted": [sk.n_inserted],
+                "sketch_bytes": [len(buf)],
+                "sealed": [sealed],
+            }
+        )
+
     def update_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            buf = bytes(state.get[0])
+            sk = BloomSketch.from_bytes(buf)
+            n_rows = int(state.get[1])
+            state.remove()
+            yield _emit(key, sk, n_rows, buf, True)
+            return
         sk = (
             BloomSketch.from_bytes(bytes(state.get[0]))
             if state.exists
@@ -151,21 +182,21 @@ def stateful_bucket_bloom(
             n_rows += len(pdf)
         buf = sk.to_bytes()
         state.update((buf, n_rows))
-        yield pd.DataFrame(
-            {
-                "bucket_start": [key[0]],
-                "n_rows": [n_rows],
-                "n_inserted": [sk.n_inserted],
-                "sketch_bytes": [len(buf)],
-            }
-        )
+        if lifespan_secs is not None:
+            state.setTimeoutTimestamp((int(key[0]) + duration_secs + lifespan_secs) * 1000)
+        yield _emit(key, sk, n_rows, buf, False)
 
     return keyed.groupBy("bucket_start").applyInPandasWithState(
         update_fn,
-        outputStructType="bucket_start long, n_rows long, n_inserted long, sketch_bytes long",
+        outputStructType="bucket_start long, n_rows long, n_inserted long, "
+        "sketch_bytes long, sealed boolean",
         stateStructType="sketch binary, n_rows long",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if lifespan_secs is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -80,3 +80,54 @@ def test_range_join_lookup_matches_driver_api(spark):
     want = cache.lookup_from(t0, t0 + 10 * DAY - 1, probes)
     for m, w in zip(got, want):
         assert got[m] == bool(w), f"range-join vs driver mismatch for {m}"
+
+
+def test_theta_setops_query_within_bound(spark):
+    """Accuracy gate for the theta_source_setops driver query: every
+    estimate (per-source distinct, intersection, differences) must sit
+    within 5x the KMV relative standard error (1/sqrt(k-1), k=4096 ->
+    ~1.6%) of the EXACT distinct-3-gram set algebra, computed with
+    plain DataFrame ops over the same tokenized corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from marker_spark.tokenize import tokenize_documents
+
+    res = E.queries()["theta_source_setops"](spark, SF_DIR).collect()[0]
+    a_name, b_name = res["source_a"], res["source_b"]
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("source").isin(a_name, b_name)
+    )
+    tok = tokenize_documents(docs)
+    n = F.size("tokens")
+    idx = F.sequence(F.lit(0), n - 3)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                ",", F.transform(F.slice("tokens", i + 1, 3), lambda t: t.cast("string"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = (
+        tok.select("source", F.explode(grams).alias("g")).distinct().cache()
+    )
+    a = sets.where(F.col("source") == a_name).select("g")
+    b = sets.where(F.col("source") == b_name).select("g")
+    na, nb = a.count(), b.count()
+    ninter = a.intersect(b).count()
+    rse = 1.0 / (4096 - 1) ** 0.5
+    for est, exact in [
+        (res["distinct_a_est"], na),
+        (res["distinct_b_est"], nb),
+        (res["intersection_est"], ninter),
+        (res["a_minus_b_est"], na - ninter),
+        (res["b_minus_a_est"], nb - ninter),
+    ]:
+        # set-op estimates inherit the union's absolute error, so bound
+        # by 5*rse of the union size (plus a small-count floor)
+        union = na + nb - ninter
+        assert abs(est - exact) <= max(5 * rse * union, 10), (est, exact, union)

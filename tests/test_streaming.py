@@ -148,3 +148,46 @@ def test_stateful_bucket_bloom(spark, stream_dir, tmp_path):
         .to_dict()
     )
     assert got == exact, (got, exact)
+
+
+def test_stateful_bucket_bloom_evicts_aged_state(spark, stream_dir, tmp_path):
+    """Watermark-driven ageing: buckets whose end + lifespan falls behind
+    the watermark must emit a final sealed row and have their state
+    REMOVED — the streaming analogue of the reference's maybe_age
+    retention (markercache.cpp:203-242).  Events span ~30 days; with
+    5-day buckets and a 2-day lifespan the early buckets must age out
+    while the stream is still running."""
+    from marker_spark.streaming import stateful_bucket_bloom
+
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stateful_bucket_bloom(
+        stream, duration_secs=5 * DAY, capacity=50_000,
+        ts_col="ts", marker_col="marker", lifespan_secs=2 * DAY,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bucketbloom_aged")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "bb_aged_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from bucketbloom_aged").collect()
+    sealed = {r["bucket_start"]: r["n_rows"] for r in rows if r["sealed"]}
+    assert sealed, "no bucket state was evicted despite watermark passing lifespan"
+    # sealed buckets are the OLD ones: every sealed bucket must end before
+    # the final watermark (max event time), with lifespan to spare
+    ts_epoch = pdf["ts"].astype("int64") // 10**9
+    max_ev = int(ts_epoch.max())
+    for bstart in sealed:
+        assert bstart + 5 * DAY + 2 * DAY <= max_ev + 1
+    # a sealed bucket's final row carries the complete per-bucket count
+    exact = (
+        pdf.assign(bucket=(ts_epoch // (5 * DAY)) * (5 * DAY))
+        .groupby("bucket")["marker"].size().to_dict()
+    )
+    for bstart, n in sealed.items():
+        assert n == exact[bstart], (bstart, n, exact[bstart])
