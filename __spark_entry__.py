@@ -463,6 +463,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (codec-library-free) decode path: deterministic BMP images
+    and PCM16 WAV audio are decoded + featurized distributed with
+    fake=False — pure-numpy header parsing, one real format per
+    modality (marker_spark/ops/multimodal.py)."""
+    from marker_spark.ops.multimodal import extract_features, synth_real_assets
+
+    assets = synth_real_assets(spark, n=32, seed=42)
+    feats = extract_features(assets, fake=False)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_feat0"),
+    )
+
+
 def q_sketch_table_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read-side flow: write a per-source sketch table, then probe the
     corpus against it with the broadcast-join membership path."""
@@ -663,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "minhash_source_similarity": q_minhash_source_similarity,
         "sketch_table_probe": q_sketch_table_probe,
         "theta_source_setops": q_theta_source_setops,
