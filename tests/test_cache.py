@@ -154,3 +154,46 @@ def test_metrics_lineage(cache):
     data = [x for x in m if x["n_markers"] > 0]
     assert data and all(x["build_secs"] >= 0 for x in data)
     assert all(0 <= x["fill_ratio"] <= 1 for x in m)
+
+
+def test_probe_during_age_consistency(spark):
+    """Reader/writer interleave (the reference's sharable-vs-exclusive
+    lock split, markercache.cpp:175-177,223-226, mapped to the
+    share-nothing model): probing between ageing steps must keep the
+    zero-FN invariant for every still-live bucket, and eviction must
+    only ever remove the OLDEST bucket's answers."""
+    import pandas as pd
+
+    params = CacheParams(duration=100, lifespan=300, fp=0.001, total_capacity=10_000)
+    c = SketchCache(params)
+
+    def batch(tag, ts):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime([ts] * 50, unit="s", utc=True).tz_localize(None),
+             "marker": [f"{tag}-{i}" for i in range(50)]}
+        )
+        return spark.createDataFrame(pdf)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probes = {tag: [f"{tag}-{i}".encode() for i in range(50)] for tag in "abcd"}
+    for i, tag in enumerate("abcd"):
+        c.insert_batch(batch(tag, 1000 + i * 100), ts_col="ts", marker_col="marker")
+        # reader probes between writer steps: everything inserted so far
+        # must be found over all-time (zero FN survives interleaving)
+        for seen in "abcd"[: i + 1]:
+            assert c.lookup_from(0, OPEN_END, probes[seen]).all(), (tag, seen)
+    # writer ages far past the last bucket: num_filters = lifespan/duration
+    # + 1 = 4, so rotation evicts the oldest bucket(s)
+    n_before = len(c.buckets)
+    assert c.maybe_age(2000)
+    # reader again: still-live buckets keep answering with zero FN
+    live_lo = c.buckets[0].start
+    for tag, base in zip("abcd", range(1000, 1400, 100)):
+        want_live = base >= live_lo
+        hits = c.lookup_from(0, OPEN_END, probes[tag])
+        if want_live:
+            assert hits.all(), tag
+        else:
+            # evicted bucket: only FPs remain (bounded well below all-hit)
+            assert hits.mean() < 0.5, tag
+    assert len(c.buckets) <= max(n_before, params.num_filters)
