@@ -437,6 +437,31 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(with_buckets, [float(x) for x in query], k=10, n_planes=12)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate subword (BPE-ish) token budgeting per source: GPT2-ish
+    pre-token counts vs whitespace word counts — pure Catalyst regex
+    (marker_spark/ops/text.py::bpe_ish_token_count_col), exact DuckDB
+    oracle with the identical RE2/Java-compatible pattern."""
+    from marker_spark.ops.text import bpe_ish_token_count_col, words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    n_bpe = bpe_ish_token_count_col("text")
+    n_words = F.size(words_col(F.col("text")))
+    return (
+        docs.select("source", n_bpe.alias("n_bpe"), n_words.alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.round(F.avg("n_bpe"), 6).alias("avg_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe") / F.greatest(F.sum("n_words"), F.lit(1)), 6
+            ).alias("bpe_per_word"),
+        )
+    )
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.text import doc_fingerprint
 
@@ -663,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "top_words": q_top_words,
+        "bpe_token_counts": q_bpe_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
@@ -876,6 +902,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_markers_reappearing
             FROM early WHERE marker IN (SELECT marker FROM late)
             GROUP BY event_type
+        """,
+        "bpe_token_counts": """
+            WITH t AS (
+                SELECT source,
+                       len(regexp_extract_all(coalesce(text, ''),
+                           '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+')) AS n_bpe,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words
+                FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                   CAST(sum(n_words) AS BIGINT) AS total_words,
+                   round(avg(n_bpe), 6) AS avg_bpe_tokens,
+                   round(sum(n_bpe) * 1.0 / greatest(sum(n_words), 1), 6) AS bpe_per_word
+            FROM t GROUP BY source
         """,
         # Zero-false-negative invariants (reference DBAppUnitTests.cpp:97-106)
         # make the Bloom self-probe queries exactly SQL-expressible: every doc

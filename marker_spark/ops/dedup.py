@@ -187,6 +187,11 @@ def lsh_candidate_pairs(
     Explode to (band_id, band_hash, id) rows, then a self-equi-join on
     the band key — the all-pairs problem becomes a keyed shuffle whose
     fan-out is bounded by bucket sizes, not corpus size.
+
+    The banded table is persisted before the self-join: both join sides
+    reference it, and without materialization Spark would re-run the
+    signature UDF (the expensive stage) once per side.  At corpus scale
+    the same role is played by writing signatures to a table first.
     """
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig_df.select(
@@ -208,7 +213,7 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash").persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -321,9 +326,11 @@ def simhash_near_dup_pairs(
             for i in range(4)
         ]
     )
+    # persist: both self-join sides reference the banded table; without
+    # materialization the simhash UDF would run once per side.
     banded = fp_df.select(
         F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("band")
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    ).select(id_col, "simhash", "band.band_id", "band.band_val").persist()
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

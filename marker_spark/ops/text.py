@@ -80,6 +80,23 @@ def lang_id_col(text_col: str = "text") -> Column:
     return expr
 
 
+# GPT2-style pre-tokenizer classes (letter runs, short digit runs,
+# punctuation runs) WITHOUT lookahead, so the identical pattern runs in
+# Java regex (Spark) and RE2 (the DuckDB oracle).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count_col(text_col: str = "text") -> Column:
+    """Approximate subword token count: number of GPT2-ish pre-token
+    matches.  Counts pre-tokens, not BPE merges — the standard cheap
+    estimator for corpus token budgeting; pure Catalyst expression."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(F.col(text_col), F.lit("")), F.lit(BPE_ISH_PATTERN), F.lit(0)
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 5) -> DataFrame:
     """Shingle-min fingerprint (1-permutation MinHash over word
     5-grams): fingerprint = min(xxhash64(shingle)).  Near-duplicate
