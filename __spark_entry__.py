@@ -306,9 +306,9 @@ def q_bloom_ngram_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from marker_spark.agg import collect_sketches, sketch_agg
+    """Per-source distinct 3-gram estimates, finalized in the merge
+    task (no sketch-state collect to the driver)."""
+    from marker_spark.agg import sketch_agg
     from marker_spark.ngrams import list_column_to_flat, ngram_bytes
     from marker_spark.sketches.hll import HllSketch
 
@@ -322,13 +322,11 @@ def q_hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             sk.update_fixed_width(mat)
 
     tok = _tokenized_docs(spark, sf_dir)
-    result = sketch_agg(tok, factory, update, HllSketch, group_cols=["source"])
-    sketches = collect_sketches(result, HllSketch, ["source"])
-    rows = [
-        {"source": src, "est_distinct_ngrams": int(round(sk.estimate()))}
-        for (src,), sk in sorted(sketches.items())
-    ]
-    return spark.createDataFrame(pd.DataFrame(rows), schema="source string, est_distinct_ngrams long")
+    return sketch_agg(
+        tok, factory, update, HllSketch, group_cols=["source"],
+        finalize=lambda sk: {"est_distinct_ngrams": int(round(sk.estimate()))},
+        finalize_schema="est_distinct_ngrams long",
+    ).orderBy("source")
 
 
 def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,9 +382,9 @@ def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from marker_spark.agg import collect_sketches, sketch_agg
+    """Per-event-type t-digest quantiles, finalized in the merge task
+    (no sketch-state collect to the driver)."""
+    from marker_spark.agg import sketch_agg
     from marker_spark.sketches.tdigest import TDigestSketch
 
     def factory():
@@ -396,19 +394,14 @@ def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.update(pdf["value"].to_numpy(dtype="float64"))
 
     ev = _read(spark, sf_dir, "events")
-    result = sketch_agg(ev, factory, update, TDigestSketch, group_cols=["event_type"])
-    sketches = collect_sketches(result, TDigestSketch, ["event_type"])
-    rows = [
-        {
-            "event_type": et,
+    return sketch_agg(
+        ev, factory, update, TDigestSketch, group_cols=["event_type"],
+        finalize=lambda sk: {
             "p50_est": round(float(sk.quantile(0.5)), 2),
             "p90_est": round(float(sk.quantile(0.9)), 2),
-        }
-        for (et,), sk in sorted(sketches.items())
-    ]
-    return spark.createDataFrame(
-        pd.DataFrame(rows), schema="event_type string, p50_est double, p90_est double"
-    )
+        },
+        finalize_schema="p50_est double, p90_est double",
+    ).orderBy("event_type")
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
