@@ -97,6 +97,101 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img.astype(np.float64) / 255.0
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """[H, W, 3] uint8 RGB -> PNG bytes (8-bit truecolor, filter type 0
+    per row, one zlib-compressed IDAT). stdlib zlib only."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, truecolor
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * 3)  # filter byte 0 per row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit greyscale/RGB/RGBA PNG -> float64 [H, W, C] in [0,1].
+    stdlib zlib + numpy: IHDR parse, IDAT concat + inflate, per-row
+    filter reconstruction (None/Up vectorized across the row, Sub via
+    cumulative sum mod 256, Average/Paeth per-pixel — the spec's
+    sequential left-dependency)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    off, idat, ihdr = 8, [], None
+    while off + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[off : off + 4])
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        off += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced grey/RGB(A) PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * channels
+    rows = raw[: h * stride].reshape(h, stride)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)  # headroom for the adds
+    bpp = channels
+    out = np.zeros_like(data)
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        f, line = int(ftypes[y]), data[y]
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 1:  # Sub: cumsum mod 256 per bpp lane
+            rec = line.reshape(-1, bpp).cumsum(axis=0).astype(np.int64).reshape(-1) & 0xFF
+            # cumsum above mixes lanes only within columns of the reshape,
+            # which is exactly the bpp-offset left neighbor
+        elif f in (3, 4):  # Average / Paeth: sequential left dependency
+            rec = np.empty_like(line)
+            for x in range(len(line)):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return out.reshape(h, w, channels).astype(np.float64) / 255.0
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 [N] or [N, C] PCM samples -> WAV bytes."""
     s = np.asarray(samples, dtype="<i2")
@@ -183,13 +278,22 @@ def _decode_stub(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     # real decode: dispatch on payload magic, not just `kind`
     if payload[:2] == b"BM":
         return _image_features(decode_bmp(payload))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        img = decode_png(payload)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] in (2, 4):  # drop alpha (grey+A / RGBA)
+            img = img[:, :, : img.shape[2] - 1]
+            if img.shape[2] == 1:
+                img = np.repeat(img, 3, axis=2)
+        return _image_features(img)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _audio_features(samples)
     raise NotImplementedError(
-        f"real decode for kind={kind!r} supports uncompressed BMP and PCM16 "
-        "WAV (pure numpy); compressed formats need codec libraries not "
-        "present in this environment — pass fake=True for the synthetic path"
+        f"real decode for kind={kind!r} supports BMP, 8-bit PNG, and PCM16 "
+        "WAV (pure numpy + stdlib zlib); other formats need codec libraries "
+        "not present in this environment — pass fake=True for the synthetic path"
     )
 
 
@@ -203,8 +307,9 @@ def synth_real_assets(spark, n: int = 32, seed: int = 42) -> DataFrame:
         if i % 2 == 0:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            enc = encode_bmp if i % 4 == 0 else encode_png
             rows.append(
-                (f"real-{i:06d}", "image", encode_bmp(img),
+                (f"real-{i:06d}", "image", enc(img),
                  {"width": w, "height": h, "sample_rate": None, "n_frames": None})
             )
         else:
@@ -218,23 +323,26 @@ def synth_real_assets(spark, n: int = 32, seed: int = 42) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Distributed image resize over real BMP payloads: decode ->
-    nearest-neighbor index sampling -> re-encode BMP.  mapInPandas so
-    payload bytes stay in Arrow batches; non-image rows pass through
-    untouched (payload and meta unchanged)."""
+    """Distributed image resize over real BMP/PNG payloads: decode ->
+    nearest-neighbor index sampling -> re-encode in the same container.
+    mapInPandas so payload bytes stay in Arrow batches; non-image rows
+    pass through untouched (payload and meta unchanged)."""
     out_schema = ASSET_SCHEMA
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
-                if k == "image" and bytes(p[:2]) == b"BM":
-                    img = decode_bmp(bytes(p))
+                pb = bytes(p)
+                is_bmp = pb[:2] == b"BM"
+                is_png = pb[:8] == b"\x89PNG\r\n\x1a\n"
+                if k == "image" and (is_bmp or is_png):
+                    img = decode_bmp(pb) if is_bmp else decode_png(pb)[:, :, :3]
                     h0, w0, _ = img.shape
                     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
                     small = (img[yi][:, xi] * 255.0).round().astype(np.uint8)
-                    payloads.append(encode_bmp(small))
+                    payloads.append(encode_bmp(small) if is_bmp else encode_png(small))
                     m = dict(m)
                     m["width"], m["height"] = width, height
                     metas.append(m)

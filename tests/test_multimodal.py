@@ -67,11 +67,14 @@ def test_real_decode_rejects_unknown_format(spark):
 
 
 def test_resize_images(spark):
+    from marker_spark.ops.multimodal import decode_png
+
     assets = synth_real_assets(spark, n=8, seed=7)
     out = resize_images(assets, width=16, height=12).collect()
     for r in out:
         if r["kind"] == "image":
-            img = decode_bmp(bytes(r["payload"]))
+            pb = bytes(r["payload"])
+            img = decode_bmp(pb) if pb[:2] == b"BM" else decode_png(pb)
             assert img.shape == (12, 16, 3)
             assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
         else:
@@ -100,3 +103,99 @@ def test_fake_plumbing_and_frame_sample(spark):
     assert len(feats) == 12 and all(len(r["feature"]) == FEATURE_DIM for r in feats)
     frames = frame_sample(assets, every_n=10).collect()
     assert len(frames) >= 12  # videos explode to >=1 frame row each
+
+
+def _png_with_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Build a PNG whose every scanline uses filter `ftype` (the inverse
+    of decode's reconstruction), to exercise all five filter paths."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    bpp = c
+    flat = img.astype(np.int64).reshape(h, w * c)
+    out_rows = []
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        rec = flat[y]
+        filt = np.empty_like(rec)
+        for x in range(len(rec)):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            filt[x] = (rec[x] - pred) & 0xFF
+        out_rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prev = rec
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out_rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_exact():
+    from marker_spark.ops.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == (9, 11, 3)
+    assert np.array_equal((out * 255.0).round().astype(np.uint8), img)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types(ftype):
+    from marker_spark.ops.multimodal import decode_png
+
+    rng = np.random.default_rng(10 + ftype)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    out = decode_png(_png_with_filter(img, ftype))
+    assert np.array_equal((out * 255.0).round().astype(np.uint8), img), ftype
+
+
+def test_png_greyscale_and_rgba():
+    from marker_spark.ops.multimodal import decode_png
+
+    rng = np.random.default_rng(21)
+    grey = rng.integers(0, 256, size=(5, 5, 1), dtype=np.uint8)
+    assert decode_png(_png_with_filter(grey, 1)).shape == (5, 5, 1)
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    out = decode_png(_png_with_filter(rgba, 2))
+    assert np.array_equal((out * 255.0).round().astype(np.uint8), rgba)
+
+
+def test_png_in_distributed_pipeline(spark):
+    """synth_real_assets mixes BMP and PNG images; feature extraction
+    and resize must handle both containers distributed."""
+    from marker_spark.ops.multimodal import decode_png, synth_real_assets
+
+    assets = synth_real_assets(spark, n=16, seed=11).repartition(4)
+    feats = extract_features(assets, fake=False).collect()
+    assert len(feats) == 16
+    magic = {bytes(r["payload"])[:2] for r in assets.collect() if r["kind"] == "image"}
+    assert b"BM" in magic and b"\x89P" in magic  # both containers present
+    resized = resize_images(assets, width=10, height=10).collect()
+    for r in resized:
+        if r["kind"] == "image" and bytes(r["payload"])[:2] != b"BM":
+            assert decode_png(bytes(r["payload"])).shape == (10, 10, 3)
