@@ -455,6 +455,21 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded k-means coarse quantizer ->
+    per-vector cell assignment -> probe the nprobe nearest cells.  Run
+    at FULL probe (nprobe = n_cells) it is exactly the brute-force
+    top-k, so it shares the knn oracle; partial-probe recall on
+    clustered data is gated in tests/test_similarity_ivf.py."""
+    from marker_spark.ops.similarity import ivf_assign, ivf_topk, kmeans_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = kmeans_centroids(emb, n_cells=8, seed=42)
+    cells = ivf_assign(emb, cents)
+    return ivf_topk(cells, cents, query, k=10, nprobe=8)
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.text import doc_fingerprint
 
@@ -696,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
@@ -837,6 +853,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
         "knn_bruteforce": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            z AS (
+                SELECT e.vec_id,
+                       unnest(CAST(e.embedding AS DOUBLE[])) AS ev,
+                       unnest(q.qv) AS qe
+                FROM embeddings e CROSS JOIN q
+            ), s AS (
+                SELECT vec_id, sum(ev * qe) AS dot, sqrt(sum(ev * ev)) AS ne
+                FROM z GROUP BY vec_id
+            ), qn AS (
+                SELECT sqrt(sum(x * x)) AS nq FROM (SELECT unnest(qv) AS x FROM q)
+            )
+            SELECT vec_id, round(dot / (ne * qn.nq), 6) AS cosine
+            FROM s, qn
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        # ivf_topk runs at full probe (nprobe = n_cells), which is exactly
+        # the brute-force top-k — same oracle as knn_bruteforce.
+        "ivf_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
             z AS (
                 SELECT e.vec_id,

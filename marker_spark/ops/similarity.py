@@ -7,6 +7,12 @@
    seed) assign each vector to a Hamming bucket; queries probe only
    matching (and optionally neighboring) buckets — the scale path where
    brute force would scan 100 TB.
+ * IVF ANN: a driver-side k-means coarse quantizer (tiny: n_cells × dim,
+   trained on a bounded sample, broadcast in UDF closures) assigns each
+   vector to its nearest-centroid cell; queries scan only the nprobe
+   nearest cells.  With the table written partitioned/bucketed by
+   `cell`, the cell filter is a partition-pruning IN-list — the
+   standard FAISS-style inverted-file layout expressed relationally.
 """
 
 from __future__ import annotations
@@ -67,6 +73,94 @@ def hyperplane_signatures(
         return pd.Series((signs * weights).sum(axis=1))
 
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 10,
+    max_sample: int = 100_000,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: seeded Lloyd iterations on a
+    BOUNDED sample (driver-side numpy — the quantizer is n_cells × dim
+    floats, the one structure that legitimately lives on the driver).
+    Vectors are L2-normalized so nearest-centroid = max cosine.
+    At corpus scale the sample fraction shrinks; the quantizer cost is
+    independent of corpus size."""
+    n_total = df.count()
+    fraction = min(1.0, max_sample / max(n_total, 1))
+    sample = df.select(vec_col)
+    if fraction < 1.0:
+        sample = sample.sample(withReplacement=False, fraction=fraction, seed=seed)
+    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_cells, len(mat))
+    # k-means++ seeding (deterministic): spread initial centroids by
+    # sampling proportional to squared cosine distance to the nearest
+    # seed so far — avoids the split/dead-cluster local optima of
+    # uniform init.
+    cents = np.empty((k, mat.shape[1]), dtype=np.float64)
+    cents[0] = mat[rng.integers(len(mat))]
+    d2 = np.maximum(1.0 - mat @ cents[0], 0.0) ** 2
+    for c in range(1, k):
+        p = d2 / max(d2.sum(), 1e-12)
+        cents[c] = mat[rng.choice(len(mat), p=p)]
+        d2 = np.minimum(d2, np.maximum(1.0 - mat @ cents[c], 0.0) ** 2)
+    for _ in range(n_iter):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds `cell: int` — index of the max-cosine centroid.  Arrow-batched
+    numpy matmul; the centroid matrix ships in the UDF closure."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
+
+    return df.withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df_with_cells: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: score only the `nprobe` cells whose centroids are
+    nearest the query.  The cell filter is a pushdownable IN-list —
+    partition-prunable when the table is written partitioned by `cell`.
+    nprobe = n_cells degrades gracefully to exact brute force (the
+    oracle configuration)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ qn), kind="stable")
+    probe = [int(c) for c in order[: min(nprobe, len(cents))]]
+    cos = _cosine_to_query(F.col(vec_col), query)
+    return (
+        df_with_cells.where(F.col("cell").isin(probe))
+        .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
 
 
 def lsh_topk(

@@ -1,0 +1,75 @@
+"""IVF ANN tests: full-probe exactness vs brute force, and
+partial-probe recall on clustered data (IVF's operating assumption)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from marker_spark.ops.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_full_probe_equals_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = kmeans_centroids(emb, n_cells=8, seed=42)
+    got = ivf_topk(ivf_assign(emb, cents), cents, query, k=10, nprobe=8).collect()
+    want = brute_force_topk(emb, query, k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """64-dim vectors in 8 well-separated gaussian clusters."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 64)) * 4.0
+    rows = []
+    for i in range(800):
+        c = i % 8
+        v = centers[c] + rng.standard_normal(64) * 0.3
+        rows.append((i, v.astype(np.float32).tolist(), c))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "true_cluster"])
+    return spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>, true_cluster int"), centers
+
+
+def test_partial_probe_recall_on_clustered_data(spark, clustered):
+    """nprobe=1 on clustered data must recover (nearly) the exact top-10:
+    the query sits inside one cluster, and IVF scans exactly that cell."""
+    df, centers = clustered
+    query = [float(x) for x in (centers[3] * 1.02)]
+    cents = kmeans_centroids(df, n_cells=8, seed=7, n_iter=15)
+    cells = ivf_assign(df, cents)
+    exact = {r["vec_id"] for r in brute_force_topk(df, query, k=10).collect()}
+    got = {r["vec_id"] for r in ivf_topk(cells, cents, query, k=10, nprobe=1).collect()}
+    recall = len(exact & got) / 10.0
+    assert recall >= 0.9, recall
+    # and the scan fraction is bounded by the probed cell's size
+    probed = cells.where(F.col("cell").isin(
+        [int(np.argmax(cents @ (np.array(query) / np.linalg.norm(query))))]
+    )).count()
+    assert probed <= df.count() * 0.35  # ~1/8 expected, generous bound
+
+
+def test_cell_assignment_follows_clusters(spark, clustered):
+    """k-means cells must align with the planted clusters: vectors of
+    one true cluster land (almost) entirely in one cell."""
+    df, _ = clustered
+    cents = kmeans_centroids(df, n_cells=8, seed=7, n_iter=15)
+    cells = ivf_assign(df, cents).select("true_cluster", "cell").toPandas()
+    purity = (
+        cells.groupby("true_cluster")["cell"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity >= 0.95, purity
