@@ -191,3 +191,55 @@ def test_stateful_bucket_bloom_evicts_aged_state(spark, stream_dir, tmp_path):
     )
     for bstart, n in sealed.items():
         assert n == exact[bstart], (bstart, n, exact[bstart])
+
+
+def test_rate_source_soak_bucket_bloom(spark, tmp_path):
+    """Live soak: the built-in rate source feeds stateful_bucket_bloom
+    with processing-time events for several micro-batches; with 5-second
+    buckets and a 5-second lifespan, early buckets must seal (state
+    evicted) WHILE the stream is still running — the reference's
+    wall-clock ageing tick, driven by a real unbounded source instead
+    of availableNow file batches."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from marker_spark.streaming import stateful_bucket_bloom
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .withColumn("marker", F.concat_ws("-", F.lit("m"), F.col("value")))
+        .withColumnRenamed("timestamp", "ts")
+    )
+    out = stateful_bucket_bloom(
+        rate, duration_secs=5, capacity=10_000,
+        ts_col="ts", marker_col="marker", lifespan_secs=5,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_soak")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        sealed = []
+        while _time.time() < deadline:
+            _time.sleep(2)
+            sealed = spark.sql(
+                "select bucket_start, n_rows from rate_soak where sealed"
+            ).collect()
+            if sealed:
+                break
+        assert sealed, "no bucket aged out during the 60s soak"
+        # progress was continuous: multiple batches, rows flowed
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 2
+        live = spark.sql("select * from rate_soak where not sealed").collect()
+        assert live, "stream produced no live-bucket updates"
+        for r in sealed:
+            assert r["n_rows"] > 0
+    finally:
+        q.stop()
