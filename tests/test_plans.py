@@ -68,3 +68,32 @@ def test_topk_uses_takeordered(spark):
     q = entrymod.q_top_words(spark, SF_DIR)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan, "limit+orderBy should not global-sort"
+
+
+def test_bpe_token_count_scan_prunes_columns(spark):
+    """The BPE-ish token count is a pure Catalyst regex: its scan must
+    read only (text, source), never the full document row."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["bpe_token_counts"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in read_schema and "source" in read_schema
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+
+def test_ivf_cell_filter_is_in_list(spark):
+    """ivf_topk's cell restriction must appear as an IN-list filter —
+    the predicate that becomes partition pruning when the table is
+    written partitioned by cell."""
+    import numpy as np
+    from marker_spark.ops.similarity import ivf_assign, ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = kmeans_centroids(emb, n_cells=8, seed=42)
+    plan = _plan(ivf_topk(ivf_assign(emb, cents), cents, query, k=10, nprobe=2))
+    assert "cell" in plan and (" IN (" in plan or "cell#" in plan)
+    assert "TakeOrderedAndProject" in plan  # top-k stays a bounded heap
