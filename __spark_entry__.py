@@ -455,6 +455,19 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup candidates: Karp-Rabin rolling hash
+    over char 8-grams, window-4 minima, pairs sharing >= 3 fingerprints.
+    Guarantees any shared substring of length >= 11 chars yields a
+    shared fingerprint.  Rolling hash is engine-specific -> rows-only;
+    the MOSS properties are gated in tests/test_dedup_ops.py."""
+    from marker_spark.ops.text import winnowing_dup_pairs, winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, k=8, window=4)
+    return winnowing_dup_pairs(fps, min_shared=3).orderBy("id_a", "id_b")
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: seeded k-means coarse quantizer ->
     per-vector cell assignment -> probe the nprobe nearest cells.  Run
@@ -713,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
+        "winnowing_dups": q_winnowing_dups,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "minhash_source_similarity": q_minhash_source_similarity,

@@ -9,6 +9,8 @@ which depends on the engine hash function.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -78,6 +80,105 @@ def lang_id_col(text_col: str = "text") -> Column:
         cond = scores[lang] >= F.greatest(*later) if len(later) > 1 else scores[lang] >= later[0]
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): Karp–Rabin rolling hash over character k-grams,
+    then the minimum hash of every `window` consecutive k-grams, with
+    consecutive duplicates collapsed — guarantees every match of length
+    >= k + window - 1 between two documents shares a fingerprint.
+
+    Fully vectorized across the Arrow batch: all texts concatenate into
+    one char buffer; the rolling hash is computed in ONE pass with the
+    prefix trick H(i) = (P(i+k) - P(i)) * B^(k-1+i) where
+    P(j) = sum c_t * Binv^t (mod 2^64, B odd so Binv exists); window
+    minima via a strided sliding view.  No per-character Python; one
+    tiny per-batch numpy pass.
+
+    Returns (id_col, fingerprints array<long>).
+    """
+    B = np.uint64(1000003)  # odd -> invertible mod 2^64
+    Binv = np.uint64(pow(1000003, -1, 1 << 64))
+
+    @F.pandas_udf("array<long>")
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        enc = [(t or "").encode("utf-8", "ignore") for t in texts]
+        lens = np.fromiter(map(len, enc), dtype=np.int64, count=n_docs)
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        total = int(offs[-1])
+        out: list[np.ndarray] = []
+        if total == 0:
+            return pd.Series([np.empty(0, dtype=np.int64)] * n_docs)
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        # P(j) = sum_{t<j} c_t * Binv^t ; H(i) = (P(i+k)-P(i)) * B^(k-1+i)
+        # (the B^i factor cancels Binv^i, so H is position-independent)
+        binv_pow = np.empty(total + 1, dtype=np.uint64)
+        binv_pow[0] = 1
+        np.multiply.accumulate(np.full(total, Binv, dtype=np.uint64), out=binv_pow[1:])
+        P = np.zeros(total + 1, dtype=np.uint64)
+        np.cumsum(buf * binv_pow[:-1], out=P[1:])
+        b_pow = np.empty(total, dtype=np.uint64)
+        if total:
+            b_pow[0] = np.uint64(pow(1000003, k - 1, 1 << 64))
+            np.multiply.accumulate(
+                np.concatenate(([b_pow[0]], np.full(total - 1, B, dtype=np.uint64))),
+                out=b_pow,
+            )
+        n_grams_flat = total - k + 1
+        if n_grams_flat <= 0:
+            H = np.empty(0, dtype=np.uint64)
+        else:
+            H = (P[k:] - P[:-k]) * b_pow[:n_grams_flat]
+        for d in range(n_docs):
+            lo, hi = int(offs[d]), int(offs[d + 1])
+            g = hi - lo - k + 1  # k-grams fully inside this doc
+            if g <= 0:
+                # short doc: single whole-doc fingerprint
+                h = (P[hi] - P[lo]) * np.uint64(pow(1000003, max(hi - lo - 1, 0) + lo, 1 << 64))
+                out.append(np.array([h], dtype=np.uint64).view(np.int64))
+                continue
+            hd = H[lo : lo + g]
+            if g <= window:
+                mins = np.array([hd.min()], dtype=np.uint64)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(hd, window)
+                mins = sw.min(axis=1)
+                keep = np.ones(len(mins), dtype=bool)
+                keep[1:] = mins[1:] != mins[:-1]  # collapse runs (winnowing)
+                mins = mins[keep]
+            out.append(mins.view(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprints"))
+
+
+def winnowing_dup_pairs(
+    fp_df: DataFrame, id_col: str = "doc_id", min_shared: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnowed
+    fingerprints: explode -> self-equi-join on the fingerprint (keyed
+    shuffle, never all-pairs) -> count shared."""
+    ex = fp_df.select(
+        F.col(id_col), F.explode(F.array_distinct("fingerprints")).alias("fp")
+    ).persist()
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
 
 
 # GPT2-style pre-tokenizer classes (letter runs, short digit runs,

@@ -54,3 +54,90 @@ def test_lsh_candidates_cover_high_jaccard_pairs(spark, docs):
     }
     missed = truth - cands
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_shingle_hashes_match_reference_implementation():
+    """The fused _shingle_hashes kernel (flat buffers, window gathers,
+    scatter assembly) must agree doc-by-doc with a naive per-doc
+    implementation built on the generic golden-tested byte hasher —
+    including short docs (< shingle words) and empty docs."""
+    import numpy as np
+    import pandas as pd
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marker_spark.hashing import mmh3_x64_128
+    from marker_spark.ops.dedup import _shingle_hashes
+
+    def fold32(h64: np.ndarray) -> np.ndarray:
+        u = h64.view(np.uint64)
+        return (u ^ (u >> np.uint64(32))).astype(np.uint32)
+
+    def reference(docs: list[list[int]], shingle: int):
+        out, seg = [], []
+        for wh in docs:
+            seg.append(len(out))
+            f32 = fold32(np.asarray(wh, dtype=np.int64)) if wh else np.empty(0, np.uint32)
+            b = f32.astype("<u4").tobytes()
+            if len(wh) >= shingle:
+                items = [b[4 * i : 4 * (i + shingle)] for i in range(len(wh) - shingle + 1)]
+            else:
+                items = [b]  # whole-doc shingle ('' when empty)
+            h1, _ = mmh3_x64_128(items)
+            out.extend(h1.tolist())
+        return np.array(out, dtype=np.uint64), np.array(seg, dtype=np.int64)
+
+    word_hash = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    docs_strategy = st.lists(st.lists(word_hash, max_size=12), min_size=1, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(docs=docs_strategy, shingle=st.integers(min_value=2, max_value=5))
+    def run(docs, shingle):
+        got_flat, got_seg = _shingle_hashes(
+            pd.Series([np.array(d, dtype=np.int64) for d in docs]), shingle
+        )
+        want_flat, want_seg = reference(docs, shingle)
+        assert np.array_equal(got_seg, want_seg)
+        assert np.array_equal(got_flat, want_flat)
+
+    run()
+
+
+def test_winnowing_fingerprints_guarantees(spark):
+    """MOSS properties: (1) exact duplicates have identical fingerprint
+    sets; (2) any shared substring of length >= k + window - 1 shares a
+    fingerprint; (3) fingerprints are position-independent; (4) the
+    pair query surfaces near-dups and not unrelated docs."""
+    import pandas as pd
+
+    from marker_spark.ops.text import winnowing_dup_pairs, winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "text": [
+            base,
+            "XX " + base + " with a different tail entirely",
+            "totally unrelated content with no overlap whatsoever here",
+            base,                      # exact dup of a
+            "",                        # empty doc must not crash
+        ],
+    }))
+    fps = winnowing_fingerprints(docs, k=8, window=4)
+    got = {r["doc_id"]: set(r["fingerprints"]) for r in fps.collect()}
+    assert got["a"] == got["d"]                      # (1)
+    assert len(got["a"] & got["b"]) >= 1             # (2) shared substring
+    assert len(got["a"] & got["c"]) == 0             # unrelated
+    assert len(got["e"]) <= 1                        # empty doc
+    pairs = {(r["id_a"], r["id_b"]) for r in winnowing_dup_pairs(fps, min_shared=2).collect()}
+    assert ("a", "d") in pairs and ("a", "b") in pairs
+    assert not any("c" in p for p in pairs)
+    # (3) position independence: same content at different offsets
+    docs2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["x", "y"],
+        "text": ["PREFIXPREFIX common window here tail", "common window here tail"],
+    }))
+    r2 = {r["doc_id"]: set(r["fingerprints"])
+          for r in winnowing_fingerprints(docs2, k=8, window=4).collect()}
+    assert r2["x"] & r2["y"]
