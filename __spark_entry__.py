@@ -465,7 +465,9 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(docs, k=8, window=4)
-    return winnowing_dup_pairs(fps, min_shared=3).orderBy("id_a", "id_b")
+    # max_df: stop-fingerprint cap (boilerplate shared by everything
+    # would fan out quadratically on one join key at corpus scale)
+    return winnowing_dup_pairs(fps, min_shared=3, max_df=200).orderBy("id_a", "id_b")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

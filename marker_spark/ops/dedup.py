@@ -180,7 +180,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 32, rows_per_band: int = 4
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 32, rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
 
@@ -192,6 +193,14 @@ def lsh_candidate_pairs(
     reference it, and without materialization Spark would re-run the
     signature UDF (the expensive stage) once per side.  At corpus scale
     the same role is played by writing signatures to a table first.
+
+    ``max_bucket`` drops band buckets holding more than that many docs
+    before the join — the degenerate-bucket cap: a bucket of size s
+    emits s^2/2 pairs on one shuffle key, so one pathological bucket
+    (empty docs, boilerplate) can dominate the whole job at corpus
+    scale.  Documented recall tradeoff: pairs ONLY co-occurring in
+    capped buckets are lost; with 32 bands a true near-dup pair almost
+    surely also collides in an uncapped band.
     """
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig_df.select(
@@ -214,6 +223,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash").persist()
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .where(F.col("sz") <= max_bucket)
+        )
+        banded = banded.join(
+            small.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi"
+        ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -164,14 +164,26 @@ def winnowing_fingerprints(
 
 
 def winnowing_dup_pairs(
-    fp_df: DataFrame, id_col: str = "doc_id", min_shared: int = 2
+    fp_df: DataFrame, id_col: str = "doc_id", min_shared: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared winnowed
     fingerprints: explode -> self-equi-join on the fingerprint (keyed
-    shuffle, never all-pairs) -> count shared."""
+    shuffle, never all-pairs) -> count shared.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents before the join — the stop-fingerprint cap: a boilerplate
+    phrase shared by 10^6 docs would otherwise fan out to 10^12 pairs
+    on one join key.  Dropping it loses no true near-dups that also
+    share rarer content (they still meet min_shared on the rest)."""
     ex = fp_df.select(
         F.col(id_col), F.explode(F.array_distinct("fingerprints")).alias("fp")
     ).persist()
+    if max_df is not None:
+        rare = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= max_df
+        )
+        ex = ex.join(rare.select("fp"), "fp", "left_semi").persist()
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

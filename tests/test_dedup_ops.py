@@ -141,3 +141,38 @@ def test_winnowing_fingerprints_guarantees(spark):
     r2 = {r["doc_id"]: set(r["fingerprints"])
           for r in winnowing_fingerprints(docs2, k=8, window=4).collect()}
     assert r2["x"] & r2["y"]
+
+
+def test_skew_caps_drop_hot_keys_only(spark):
+    """max_bucket / max_df must drop only the pathological hot keys:
+    pairs that also collide on a rare key survive."""
+    import pandas as pd
+
+    from marker_spark.ops.text import winnowing_dup_pairs
+
+    # 30 docs share one boilerplate fingerprint; two docs also share a
+    # rare one.  With max_df=5 the boilerplate key is dropped: only the
+    # rare-key pair survives (min_shared=1).
+    fps = [(f"d{i:02d}", [777]) for i in range(30)]
+    fps[3] = ("d03", [777, 42])
+    fps[7] = ("d07", [777, 42])
+    fp_df = spark.createDataFrame(
+        pd.DataFrame(fps, columns=["doc_id", "fingerprints"]),
+        schema="doc_id string, fingerprints array<long>",
+    )
+    capped = winnowing_dup_pairs(fp_df, min_shared=1, max_df=5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {("d03", "d07")}
+    uncapped = winnowing_dup_pairs(fp_df, min_shared=1).count()
+    assert uncapped == 30 * 29 // 2  # the quadratic blow-up the cap removes
+
+
+def test_lsh_max_bucket_cap(spark, docs):
+    """Capped LSH candidates are a subset; a tiny cap still keeps pairs
+    that collide in small buckets."""
+    sigs = minhash_signatures(docs, num_perm=128, shingle=3)
+    full = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket=2).collect()
+    }
+    assert capped <= full
