@@ -41,6 +41,7 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("marker-spark-build-sketches").getOrCreate()
 
     import numpy as np
@@ -116,7 +117,8 @@ def main(argv: list[str] | None = None) -> None:
         for rec in records:
             f.write(json.dumps(rec) + "\n")
     print(json.dumps({"groups": len(records), "output": args.output, "secs": round(time.time() - t_start, 2)}))
-    spark.stop()
+    if owns_session:  # don't tear down a caller-owned session (tests)
+        spark.stop()
 
 
 if __name__ == "__main__":

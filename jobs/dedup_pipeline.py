@@ -1,0 +1,108 @@
+"""spark-submit entry point: end-to-end training-data dedup pipeline.
+
+The composition a corpus-cleaning job runs at scale, each stage an
+operator from marker_spark.ops:
+
+  1. quality filter   — Catalyst text stats (ops/text.with_text_stats)
+  2. exact dedup      — digest groupBy, text never shuffled
+                        (ops/dedup.exact_dedup_scalable)
+  3. near-dup dedup   — MinHash signatures -> LSH banding (capped
+                        buckets) -> exact-Jaccard verify on candidates
+                        only -> drop the higher-id doc of each verified
+                        pair (ops/dedup.*)
+  4. write the clean corpus + one JSON report line
+
+Usage:
+    zip -r dist/marker_spark.zip marker_spark
+    spark-submit --master local[8] --py-files dist/marker_spark.zip \\
+        jobs/dedup_pipeline.py --input /path/documents.parquet \\
+        --output /tmp/clean_corpus --min-quality 0.3 --jaccard 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--shingle", type=int, default=3)
+    ap.add_argument("--max-bucket", type=int, default=10_000)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from marker_spark.ops.dedup import (
+        exact_dedup_scalable,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from marker_spark.ops.text import with_text_stats
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("marker-spark-dedup-pipeline").getOrCreate()
+    t0 = time.time()
+    idc, txt = args.id_col, args.text_col
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    # 1. quality filter (pure Catalyst — runs inside the scan stage)
+    scored = with_text_stats(docs, text_col=txt)
+    kept = scored.where(
+        (F.col("quality_score") >= args.min_quality) & (F.col("n_words") >= args.min_words)
+    ).drop("n_words", "avg_word_len", "punct_ratio", "stopword_ratio", "quality_score")
+    n_quality = kept.count()
+
+    # 2. exact dedup (shuffle carries digests + ids, never text)
+    exact = exact_dedup_scalable(kept, text_col=txt, id_col=idc).persist()
+    n_exact = exact.count()
+
+    # 3. near-dup: LSH candidates (capped buckets) -> exact-Jaccard
+    #    verification ONLY on candidates -> keep the min-id doc
+    sigs = minhash_signatures(exact, text_col=txt, num_perm=args.num_perm,
+                              shingle=args.shingle)
+    cands = lsh_candidate_pairs(sigs, id_col=idc, max_bucket=args.max_bucket)
+    cand_docs = (
+        cands.select(F.col("id_a").alias(idc))
+        .union(cands.select(F.col("id_b").alias(idc)))
+        .distinct()
+        .join(exact.select(idc, txt), idc)
+    )
+    verified = ngram_jaccard_pairs(
+        cand_docs, text_col=txt, id_col=idc,
+        shingle=args.shingle, threshold=args.jaccard,
+    )
+    # pairs from the FULL candidate set, verified exactly; drop id_b side
+    drop = verified.select(F.col("id_b").alias(idc)).distinct()
+    clean = exact.join(drop, idc, "left_anti").drop("dup_count")
+    clean.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+
+    print(json.dumps({
+        "input_docs": n_in,
+        "after_quality": n_quality,
+        "after_exact_dedup": n_exact,
+        "after_near_dedup": n_out,
+        "near_dup_pairs_verified": verified.count(),
+        "output": args.output,
+        "secs": round(time.time() - t0, 2),
+    }))
+    if owns_session:  # don't tear down a caller-owned session (tests)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

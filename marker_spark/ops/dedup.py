@@ -371,6 +371,32 @@ def simhash_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-scale embedding near-dup: random-hyperplane LSH buckets
+    as the blocking key (cos >= 0.95 pairs agree on all 8 sign bits
+    w.p. ~0.77 per plane set; same-bucket blocking bounds the quadratic
+    term by bucket size instead of label cardinality).  Composition of
+    :func:`marker_spark.ops.similarity.hyperplane_signatures` with the
+    blocked cosine join — the concrete form of the "LSH bucket at
+    scale" note on :func:`embedding_near_dup_pairs`."""
+    from .similarity import hyperplane_signatures
+
+    bucketed = hyperplane_signatures(
+        df.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
+    ).persist()
+    return embedding_near_dup_pairs(
+        bucketed, vec_col=vec_col, id_col=id_col, block_col="bucket", threshold=threshold
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

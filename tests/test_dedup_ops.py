@@ -176,3 +176,32 @@ def test_lsh_max_bucket_cap(spark, docs):
         for r in lsh_candidate_pairs(sigs, max_bucket=2).collect()
     }
     assert capped <= full
+
+
+def test_embedding_near_dup_lsh_finds_planted_pairs(spark):
+    """LSH-blocked embedding dedup must recover planted near-identical
+    vectors (cos ~0.999 -> same bucket w.h.p.) without a label column,
+    and never scan cross-bucket pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from marker_spark.ops.dedup import embedding_near_dup_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 32))
+    rows = [(i, v.astype(np.float32).tolist()) for i, v in enumerate(base)]
+    # plant 5 near-duplicates of vectors 0..4
+    for j in range(5):
+        v = base[j] + rng.standard_normal(32) * 0.01
+        rows.append((100 + j, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<float>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_lsh(df, dim=32, threshold=0.99, n_planes=6).collect()
+    }
+    planted = {(j, 100 + j) for j in range(5)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, (recall, pairs)
