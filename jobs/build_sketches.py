@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> None:
         help="per-partition checkpoint dir: completed partitions replay "
         "from disk on re-run (kill/restart resumability)",
     )
+    ap.add_argument(
+        "--merge-into",
+        default=None,
+        help="existing sketch table: its rows join the new partials as "
+        "extra partial states (associative merge), producing an "
+        "incrementally-updated table at --output — the daily-increment "
+        "production flow, no rebuild of history",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -71,8 +79,37 @@ def main(argv: list[str] | None = None) -> None:
     total = max(sum(stats.values()), 1)
     fp = args.fp
 
+    # Incremental mode: Bloom OR-merge requires identical (m, k), so
+    # existing groups must keep the PREVIOUS table's sizing.  Extract
+    # (group, m, k) executor-side (only scalars reach the driver).
+    prev_mk: dict[str, tuple[int, int]] = {}
+    if args.merge_into:
+        import pandas as pd
+
+        from marker_spark.agg import unpack_state
+
+        def _params_fn(batches):
+            for pdf in batches:
+                recs = []
+                for g, buf in zip(pdf[gcol], pdf[SKETCH_COL]):
+                    sk = unpack_state(BloomSketch, bytes(buf))
+                    recs.append((g, sk.m, sk.k))
+                yield pd.DataFrame(recs, columns=[gcol, "m", "k"])
+
+        prev_tbl = spark.read.parquet(args.merge_into)
+        prev_mk = {
+            r[gcol]: (int(r["m"]), int(r["k"]))
+            for r in prev_tbl.select(gcol, SKETCH_COL)
+            .mapInPandas(_params_fn, schema=f"`{gcol}` string, m long, k int")
+            .collect()
+        }
+
     def factory(key=None):
-        cap = max(int(stats.get(key[0] if key else None, total) * 1.2), 10_000)
+        g = key[0] if key else None
+        if g in prev_mk:
+            m, k = prev_mk[g]
+            return BloomSketch(m, k)
+        cap = max(int(stats.get(g, total) * 1.2), 10_000)
         return bloom_factory(capacity=cap, fp=fp)()
 
     def batch_update(states: dict, batch) -> None:
@@ -93,6 +130,11 @@ def main(argv: list[str] | None = None) -> None:
     shares = {g: c / total for g, c in stats.items()}
     salted = salted_repartition(df, gcol, shares, parallelism=parallelism)
     partials = build_partials_arrow(salted, batch_update, [gcol], ckpt_dir=args.ckpt)
+    if args.merge_into:
+        # merge associativity makes yesterday's merged states just more
+        # partials; groups new to either side pass through the merge
+        prev = spark.read.parquet(args.merge_into).select(gcol, SKETCH_COL)
+        partials = partials.select(gcol, SKETCH_COL).unionByName(prev)
     merged = merge_partials(partials, BloomSketch, [gcol])
     merged.write.mode("overwrite").parquet(args.output)
 

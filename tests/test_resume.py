@@ -83,3 +83,41 @@ def test_uncheckpointed_path_unchanged(spark, tokseq_path):
     a = collect_sketch(merge_partials(build_partials_arrow(df, _batch_update), BloomSketch), BloomSketch)
     b = collect_sketch(merge_partials(build_partials_arrow(df, _batch_update), BloomSketch), BloomSketch)
     np.testing.assert_array_equal(a.blocks, b.blocks)
+
+
+def test_incremental_merge_into(spark, tmp_path):
+    """--merge-into: day-2 increment merges into day-1's sketch table
+    without rebuilding history; the result answers membership for BOTH
+    days with zero false negatives, and existing groups keep their
+    (m, k) sizing so the OR-merge is well-defined."""
+    from jobs.build_sketches import main as build_main
+    from marker_spark.agg import SKETCH_COL, collect_sketches
+    from marker_spark.datagen import write_tokenized_sequences
+    from marker_spark.ngrams import list_column_to_flat, ngram_bytes
+    from marker_spark.sketches.bloom import BloomSketch
+
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    write_tokenized_sequences(day1, n_docs=2000, seed=1)
+    write_tokenized_sequences(day2, n_docs=2000, seed=2)
+    t1, t2 = str(tmp_path / "tbl1"), str(tmp_path / "tbl2")
+    build_main(["--input", day1, "--output", t1])
+    build_main(["--input", day2, "--output", t2, "--merge-into", t1])
+
+    merged = collect_sketches(
+        spark.read.parquet(t2), BloomSketch, ["source"]
+    )
+    prev = collect_sketches(spark.read.parquet(t1), BloomSketch, ["source"])
+    for key in prev:
+        assert merged[key].m == prev[key].m and merged[key].k == prev[key].k
+
+    # zero FN across both days
+    import pandas as pd
+
+    for path in (day1, day2):
+        pdf = pd.read_parquet(path)
+        for src, sub in pdf.groupby("source"):
+            flat, offsets = list_column_to_flat(sub["tokens"])
+            mat, _ = ngram_bytes(flat, offsets, 3)
+            if len(mat) and (src,) in merged:
+                assert merged[(src,)].contains_fixed_width(mat).all(), (path, src)
