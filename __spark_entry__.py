@@ -455,6 +455,28 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k sample: md5-rank ids, keep the 50 smallest
+    — uniform, mergeable (TakeOrderedAndProject), rerun-stable, and
+    exactly SQL-oracle-able (md5 agrees between Spark and DuckDB)."""
+    from marker_spark.ops.sample import bottom_k_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return bottom_k_sample(docs, k=50, id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "lang"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sample: 3 md5-smallest docs per source."""
+    from marker_spark.ops.sample import stratified_bottom_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_bottom_k(docs, k_per_group=3, group_col="source", id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
 def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) near-dup candidates: Karp-Rabin rolling hash
     over char 8-grams, window-4 minima, pairs sharing >= 3 fingerprints.
@@ -729,6 +751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_dups": q_winnowing_dups,
+        "sample_uniform": q_sample_uniform,
+        "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "minhash_source_similarity": q_minhash_source_similarity,
@@ -947,6 +971,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_markers_reappearing
             FROM early WHERE marker IN (SELECT marker FROM late)
             GROUP BY event_type
+        """,
+        "sample_uniform": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang
+            FROM documents
+            ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's42'))
+            LIMIT 50
+        """,
+        "sample_stratified": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's42'))
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
         """,
         "bpe_token_counts": """
             WITH t AS (
