@@ -424,9 +424,13 @@ def main() -> None:
         "token_counts",
         "exact_dedup",
         "top_words",
+        "bpe_token_counts",
         "knn_bruteforce",
+        "ivf_topk",
         "minhash_lsh_pairs",
         "simhash_near_dup",
+        "winnowing_dups",
+        "sample_uniform",
         "hll_distinct_ngrams",
         "cms_heavy_tokens",
         "kll_ntok_quantiles",
