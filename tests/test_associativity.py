@@ -108,3 +108,34 @@ def test_quantile_sketches_order_within_bound(cuts, order):
         e_td = td.quantile(q)
         rank_td = np.searchsorted(bounds_vals, e_td, side="right") / N_ITEMS
         assert abs(rank_td - q) <= 0.05
+
+
+@settings(max_examples=20, deadline=None)
+@given(cuts=cuts_strategy, order=perm_strategy)
+def test_minhash_theta_state_order_invariant(cuts, order):
+    """MinHash (elementwise min) and Theta/KMV (k smallest hashes) are
+    exactly order-invariant: identical state bytes across arbitrary
+    partition merge orders."""
+    from marker_spark.sketches.minhash import MinHashSketch
+    from marker_spark.sketches.theta import ThetaSketch
+
+    parts = _partition(_ITEMS, cuts)
+    order = [o for o in order if o < len(parts)]
+
+    def build_mh(p):
+        s = MinHashSketch(num_perm=64)
+        s.update(p)
+        return s
+
+    a = _merge_in_order([build_mh(p) for p in parts], order)
+    b = _merge_in_order([build_mh(p) for p in parts], list(range(len(parts))))
+    assert a.to_bytes() == b.to_bytes()
+
+    def build_th(p):
+        s = ThetaSketch(k=256)
+        s.update(p)
+        return s
+
+    ta = _merge_in_order([build_th(p) for p in parts], order)
+    tb = _merge_in_order([build_th(p) for p in parts], list(range(len(parts))))
+    assert ta.to_bytes() == tb.to_bytes()
