@@ -404,6 +404,44 @@ def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters WITHOUT a known candidate set: a distributed
+    Misra-Gries summary (k=256) over word hashes finds the candidates
+    (every word with frequency > N/257 is guaranteed present), then ONE
+    exact count pass restricted to the candidate IN-list ranks them —
+    so the final answer is exact and shares top_words' SQL oracle.  At
+    corpus scale the exact pass scans once with a tiny broadcast
+    filter; the naive alternative (exact groupBy over ALL words) pays a
+    full-vocabulary shuffle."""
+    from marker_spark.agg import collect_sketch, sketch_agg
+    from marker_spark.ops.text import words_col
+    from marker_spark.sketches.misra_gries import MisraGriesSketch
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .withColumn("wid", F.xxhash64("word"))
+        .cache()
+    )
+
+    def update(sk, pdf):
+        sk.update(pdf["wid"].to_numpy(dtype="int64"))
+
+    mg = collect_sketch(
+        sketch_agg(words, lambda: MisraGriesSketch(k=256), update, MisraGriesSketch),
+        MisraGriesSketch,
+    )
+    cand = [int(x) for x in mg.items]
+    return (
+        words.where(F.col("wid").isin(cand))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("word"))
+        .limit(20)
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
 
@@ -745,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_tokens": q_cms_heavy_tokens,
         "kll_ntok_quantiles": q_kll_ntok_quantiles,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "mg_heavy_words": q_mg_heavy_words,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
@@ -860,6 +899,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "top_words": """
+            SELECT w AS word, count(*) AS cnt
+            FROM documents,
+                 unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t(w)
+            WHERE w <> ''
+            GROUP BY w
+            ORDER BY cnt DESC, word
+            LIMIT 20
+        """,
+        # MG finds the candidates (guaranteed superset of the top 20 when
+        # cnt_20 > N/257), the exact pass ranks them: answer == exact top-20.
+        "mg_heavy_words": """
             SELECT w AS word, count(*) AS cnt
             FROM documents,
                  unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]

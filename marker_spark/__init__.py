@@ -22,6 +22,7 @@ from .sketches.cms import CmsSketch  # noqa: F401
 from .sketches.hll import HllSketch  # noqa: F401
 from .sketches.kll import KllSketch  # noqa: F401
 from .sketches.minhash import MinHashSketch  # noqa: F401
+from .sketches.misra_gries import MisraGriesSketch  # noqa: F401
 from .sketches.tdigest import TDigestSketch  # noqa: F401
 from .sketches.theta import ThetaSketch  # noqa: F401
 
@@ -33,6 +34,7 @@ __all__ = [
     "HllSketch",
     "KllSketch",
     "MinHashSketch",
+    "MisraGriesSketch",
     "TDigestSketch",
     "ThetaSketch",
     "build_partials",

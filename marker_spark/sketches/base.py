@@ -27,6 +27,7 @@ KIND_KLL = 4
 KIND_TDIGEST = 5
 KIND_MINHASH = 6
 KIND_THETA = 7
+KIND_MG = 8
 
 _HEADER = struct.Struct("<4sBB")  # magic, kind, version
 

@@ -321,3 +321,66 @@ def test_cms_huge_weights_exact():
     est = sk.query([b"x", b"y"])
     assert int(est[0]) >= (1 << 53) + 3  # CMS never undershoots
     assert int(est[0]) - ((1 << 53) + 3) < 1 << 20  # and wasn't rounded
+
+
+def test_misra_gries_bounds_and_recovery():
+    """MG guarantees: stored counts never overestimate, underestimate by
+    at most offset <= N/(k+1), and every item above that threshold is
+    present; zipf top items recovered."""
+    from marker_spark.sketches.misra_gries import MisraGriesSketch
+
+    rng = np.random.default_rng(11)
+    data = rng.zipf(1.5, 200_000)
+    data = data[data < 100_000].astype(np.int64)
+    sk = MisraGriesSketch(k=64)
+    for lo in range(0, len(data), 10_000):  # streamed batches
+        sk.update(data[lo : lo + 10_000])
+    true = {int(v): int(c) for v, c in zip(*np.unique(data, return_counts=True))}
+    n = len(data)
+    assert sk.total == n
+    assert sk.offset <= n // (64 + 1) + 1
+    est = sk.estimate(sk.items)
+    for item, lo_est in zip(sk.items, est):
+        t = true[int(item)]
+        assert lo_est <= t <= lo_est + sk.offset, (item, lo_est, t)
+    # every item above N/(k+1) must be in the summary
+    thresh = n / 65
+    for item, cnt in true.items():
+        if cnt > thresh:
+            assert item in set(sk.items.tolist()), (item, cnt, thresh)
+
+
+def test_misra_gries_merge_within_bound_and_serde():
+    from marker_spark.sketches.misra_gries import MisraGriesSketch
+
+    rng = np.random.default_rng(12)
+    data = rng.zipf(1.3, 90_000).astype(np.int64)
+    parts = np.array_split(data, 7)
+    orders = [list(range(7)), [3, 0, 6, 1, 5, 2, 4]]
+    merged = []
+    for order in orders:
+        sks = []
+        for p in parts:
+            s = MisraGriesSketch(k=48)
+            s.update(p)
+            sks.append(s)
+        acc = sks[order[0]]
+        for i in order[1:]:
+            acc.merge_in_place(sks[i])
+        merged.append(acc)
+    true = {int(v): int(c) for v, c in zip(*np.unique(data, return_counts=True))}
+    n = len(data)
+    for acc in merged:
+        assert acc.total == n and acc.offset <= n // 49 + 1
+        for item, lo in zip(acc.items, acc.counts):
+            t = true[int(item)]
+            assert lo <= t <= lo + acc.offset
+    # serde roundtrip is exact
+    rt = MisraGriesSketch.from_bytes(merged[0].to_bytes())
+    assert rt.k == merged[0].k and rt.offset == merged[0].offset
+    assert np.array_equal(rt.items, merged[0].items)
+    assert np.array_equal(rt.counts, merged[0].counts)
+    # weighted updates
+    w = MisraGriesSketch(k=8)
+    w.update(np.array([1, 2, 1]), weights=np.array([10, 5, 90]))
+    assert w.estimate(np.array([1]))[0] == 100
