@@ -200,6 +200,54 @@ def stateful_bucket_bloom(
     )
 
 
+def stateful_heavy_hitters(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+    top: int = 5,
+):
+    """Per-key running heavy hitters via a Misra-Gries summary in group
+    state: each micro-batch folds its values into the key's bounded
+    (<= k entries) summary and emits the current top items with their
+    count bounds — frequency tracking over an unbounded stream with
+    O(k) state per key, the third stateful-sketch operator alongside
+    the HLL distinct estimate and the per-bucket Bloom."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .sketches.misra_gries import MisraGriesSketch
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        sk = (
+            MisraGriesSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else MisraGriesSketch(k=k)
+        )
+        for pdf in pdf_iter:
+            sk.update(pdf[value_col].to_numpy(dtype="int64"))
+        state.update((sk.to_bytes(),))
+        hh = sk.heavy_hitters()[:top]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(hh),
+                "item": [h[0] for h in hh],
+                "count_lo": [h[1] for h in hh],
+                "count_hi": [h[2] for h in hh],
+                "n_total": [sk.total] * len(hh),
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType="key string, item long, count_lo long, count_hi long, n_total long",
+        stateStructType="sketch binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_marker_counts(
     stream_df: DataFrame,
     duration_secs: int,

@@ -243,3 +243,43 @@ def test_rate_source_soak_bucket_bloom(spark, tmp_path):
             assert r["n_rows"] > 0
     finally:
         q.stop()
+
+
+def test_stateful_heavy_hitters(spark, stream_dir, tmp_path):
+    """Streaming MG: after all batches, each key's reported items must
+    respect the MG bounds against the exact batch counts, and the true
+    top-1 item must be reported."""
+    from marker_spark.streaming import stateful_heavy_hitters
+
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = stateful_heavy_hitters(stream, key_col="event_type", value_col="user_id", k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hhits")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emission per key = final summary state
+    rows = spark.sql(
+        "select * from hhits where n_total = (select max(n_total) from hhits h2 "
+        "where h2.key = hhits.key)"
+    ).collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["key"], []).append((r["item"], r["count_lo"], r["count_hi"]))
+    exact = pdf.groupby(["event_type", "user_id"]).size()
+    for key, items in got.items():
+        sub = exact[key]
+        n = int(sub.sum())
+        for item, lo, hi in items:
+            t = int(sub.get(item, 0))
+            assert lo <= t <= hi, (key, item, lo, t, hi)
+            assert hi - lo <= n // 65 + 1  # offset bound
+        # the true most-frequent user for this key is reported
+        top_true = int(sub.idxmax())
+        assert top_true in {i for i, _, _ in items}, key
