@@ -52,8 +52,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     tok = tokenize_documents(docs).cache()
+    from marker_spark.agg import NULL_KEY
+
     counts = {
-        r["source"]: int(r["n"])
+        (NULL_KEY if r["source"] is None else r["source"]): int(r["n"])
         for r in tok.groupBy("source")
         .agg(F.sum(F.greatest(F.col("n_tok") - 2, F.lit(0))).alias("n"))
         .collect()
@@ -433,13 +435,27 @@ def q_mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         MisraGriesSketch,
     )
     cand = [int(x) for x in mg.items]
-    return (
+    ranked = (
         words.where(F.col("wid").isin(cand))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.col("word"))
-        .limit(20)
     )
+    top = ranked.limit(20)
+    # Exactness certificate: any word ABSENT from the MG summary has
+    # true count <= mg.offset, so if the 20th candidate's exact count
+    # beats the offset the top-20 is provably exact.  Flatter corpora
+    # (cnt_20 <= offset) fall back to the full exact groupBy — always
+    # correct, just without the candidate-pruned scan.
+    rows20 = top.collect()
+    if len(rows20) < 20 or rows20[-1]["cnt"] <= mg.error_bound:
+        return (
+            words.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("word"))
+            .limit(20)
+        )
+    return top
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

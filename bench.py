@@ -84,8 +84,10 @@ def sketch_build_throughput(spark, n_docs: int) -> tuple[float, int, float]:
     # Stats pass: per-group n-gram counts size each group's Bloom from
     # the reference's formulas (hot zipf source -> big m, tail -> small)
     # and drive proportional salting.
+    from marker_spark.agg import NULL_KEY
+
     stats = {
-        r["source"]: int(r["ngrams"])
+        (NULL_KEY if r["source"] is None else r["source"]): int(r["ngrams"])
         for r in df.groupBy("source")
         .agg(F.sum(F.greatest(F.col("n_tok") - 2, F.lit(0))).alias("ngrams"))
         .collect()

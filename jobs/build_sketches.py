@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> None:
         "production flow, no rebuild of history",
     )
     args = ap.parse_args(argv)
+    if args.merge_into:
+        import os as _os
+
+        if _os.path.abspath(args.merge_into) == _os.path.abspath(args.output):
+            raise SystemExit(
+                "--output must differ from --merge-into: the previous table is "
+                "read lazily while the output overwrites it (write to a new "
+                "path, then swap/rename atomically)"
+            )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -70,8 +79,10 @@ def main(argv: list[str] | None = None) -> None:
     n = args.ngram
     gcol = args.group_col
 
+    from marker_spark.agg import NULL_KEY
+
     stats = {
-        r[gcol]: int(r["ngrams"])
+        (NULL_KEY if r[gcol] is None else r[gcol]): int(r["ngrams"])
         for r in df.groupBy(gcol)
         .agg(F.sum(F.greatest(F.col("n_tok") - (n - 1), F.lit(0))).alias("ngrams"))
         .collect()

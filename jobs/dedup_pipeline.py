@@ -84,7 +84,7 @@ def main(argv: list[str] | None = None) -> None:
     verified = ngram_jaccard_pairs(
         cand_docs, text_col=txt, id_col=idc,
         shingle=args.shingle, threshold=args.jaccard,
-    )
+    ).persist()  # referenced by both the anti-join and the report count
     # pairs from the FULL candidate set, verified exactly; drop id_b side
     drop = verified.select(F.col("id_b").alias(idc)).distinct()
     clean = exact.join(drop, idc, "left_anti").drop("dup_count")

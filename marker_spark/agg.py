@@ -35,6 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SKETCH_COL = "sketch"
+# Sentinel group for null keys.  Caveat: a REAL group value literally
+# equal to "__null__" would merge with null-keyed rows — if your data
+# uses this placeholder, rename the sentinel before building.
 NULL_KEY = "__null__"
 _GROUP_NONE = "__all__"
 _ZMAGIC = b"MSKZ"

@@ -56,12 +56,18 @@ def arrow_str_codes(batch, col_name: str):
 def encode_series(s: pd.Series) -> list[bytes]:
     """Coerce a marker column to a list of bytes without a per-row
     Python comprehension: bytes cells pass through; everything else
-    goes through the C-level ``Series.astype(str).str.encode`` path
-    (one type probe on the first cell instead of an isinstance per row).
-    """
+    goes through the C-level ``Series.astype(str).str.encode`` path.
+    The path is chosen from the first NON-NULL cell, and null cells
+    encode as b"None" (matching the historical str(v).encode behavior)
+    — a batch of bytes markers with a stray NULL must not crash the
+    task."""
     if len(s) == 0:
         return []
-    if isinstance(s.iloc[0], (bytes, bytearray)):
+    na = s.isna()
+    first = s[~na].iloc[0] if not na.all() else None
+    if isinstance(first, (bytes, bytearray)):
+        if na.any():
+            return [b"None" if n else bytes(v) for v, n in zip(s, na)]
         return list(s)
     return list(s.astype(str).str.encode("utf-8"))
 

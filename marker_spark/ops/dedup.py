@@ -229,9 +229,12 @@ def lsh_candidate_pairs(
             .agg(F.count(F.lit(1)).alias("sz"))
             .where(F.col("sz") <= max_bucket)
         )
-        banded = banded.join(
+        capped = banded.join(
             small.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi"
         ).persist()
+        capped.count()  # materialize while the pre-cap copy is cached,
+        banded.unpersist()  # then drop it — one cached copy, not two
+        banded = capped
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -240,6 +240,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s.astype(np.float64) / 32768.0, rate
 
 
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize decoded channels to [H, W, 3]: grey repeats, alpha drops."""
+    c = img.shape[2]
+    if c == 4 or c == 2:  # RGBA / grey+alpha: drop alpha
+        img = img[:, :, : c - 1]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
 def _image_features(img: np.ndarray) -> np.ndarray:
     """[H, W, 3] floats -> FEATURE_DIM vector: per-channel mean+std (6)
     + 26-bin normalized luminance histogram."""
@@ -279,14 +289,7 @@ def _decode_stub(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     if payload[:2] == b"BM":
         return _image_features(decode_bmp(payload))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        img = decode_png(payload)
-        if img.shape[2] == 1:
-            img = np.repeat(img, 3, axis=2)
-        elif img.shape[2] in (2, 4):  # drop alpha (grey+A / RGBA)
-            img = img[:, :, : img.shape[2] - 1]
-            if img.shape[2] == 1:
-                img = np.repeat(img, 3, axis=2)
-        return _image_features(img)
+        return _image_features(_to_rgb(decode_png(payload)))
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _audio_features(samples)
@@ -337,7 +340,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 is_bmp = pb[:2] == b"BM"
                 is_png = pb[:8] == b"\x89PNG\r\n\x1a\n"
                 if k == "image" and (is_bmp or is_png):
-                    img = decode_bmp(pb) if is_bmp else decode_png(pb)[:, :, :3]
+                    img = decode_bmp(pb) if is_bmp else _to_rgb(decode_png(pb))
                     h0, w0, _ = img.shape
                     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)

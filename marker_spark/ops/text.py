@@ -183,7 +183,10 @@ def winnowing_dup_pairs(
         rare = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") <= max_df
         )
-        ex = ex.join(rare.select("fp"), "fp", "left_semi").persist()
+        capped = ex.join(rare.select("fp"), "fp", "left_semi").persist()
+        capped.count()  # materialize, then drop the pre-cap cached copy
+        ex.unpersist()
+        ex = capped
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

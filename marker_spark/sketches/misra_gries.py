@@ -53,23 +53,33 @@ class MisraGriesSketch:
         self.total = int(total)
 
     # --- update -----------------------------------------------------------------
+    @staticmethod
+    def _sum_by(inv: np.ndarray, counts: np.ndarray, n_uniq: int) -> np.ndarray:
+        """Exact per-group int64 sums: bincount's float64 weights only
+        while the total stays below 2^53 (same guard as cms.py),
+        np.add.at otherwise."""
+        if int(counts.sum()) < (1 << 53):
+            return np.bincount(
+                inv, weights=counts.astype(np.float64), minlength=n_uniq
+            ).astype(np.int64)
+        out = np.zeros(n_uniq, dtype=np.int64)
+        np.add.at(out, inv, counts)
+        return out
+
     def _combine(self, items: np.ndarray, counts: np.ndarray) -> None:
         """Fold (item, count) pairs into the bounded state."""
         all_items = np.concatenate([self.items, items])
         all_counts = np.concatenate([self.counts, counts])
         uniq, inv = np.unique(all_items, return_inverse=True)
-        summed = np.bincount(inv, weights=all_counts.astype(np.float64)).astype(np.int64)
+        summed = self._sum_by(inv, all_counts, len(uniq))
         if len(uniq) > self.k:
-            # subtract the (k+1)-th largest count from everything
+            # subtract the (k+1)-th largest count from everything; at most
+            # k entries are strictly greater, so <= k survive the cut
             kth = np.partition(summed, len(summed) - self.k - 1)[len(summed) - self.k - 1]
             self.offset += int(kth)
             summed = summed - kth
             keep = summed > 0
             uniq, summed = uniq[keep], summed[keep]
-            if len(uniq) > self.k:  # ties at the cut: keep the k largest
-                top = np.argsort(-summed, kind="stable")[: self.k]
-                top.sort()
-                uniq, summed = uniq[top], summed[top]
         self.items, self.counts = uniq, summed
 
     def update(self, values: np.ndarray, weights: np.ndarray | None = None) -> None:
@@ -81,9 +91,7 @@ class MisraGriesSketch:
             cnt = cnt.astype(np.int64)
         else:
             uniq, inv = np.unique(values, return_inverse=True)
-            cnt = np.bincount(inv, weights=np.asarray(weights, dtype=np.float64)).astype(
-                np.int64
-            )
+            cnt = self._sum_by(inv, np.asarray(weights, dtype=np.int64), len(uniq))
         self.total += int(cnt.sum())
         self._combine(uniq, cnt)
 

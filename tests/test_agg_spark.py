@@ -139,3 +139,18 @@ def test_null_group_keys_reach_a_sketch(spark):
     assert null_sk.n_inserted == 3
     assert null_sk.contains([b"x", b"y", b"z"]).all()
     assert sketches[("a",)].n_inserted == 2
+
+
+def test_encode_series_null_cells():
+    """A bytes marker column with a stray NULL must encode, not crash
+    (regression: the vectorized path chose by first cell and len(None)
+    blew up in pad_bytes)."""
+    import pandas as pd
+
+    from marker_spark.kernels import encode_series
+
+    assert encode_series(pd.Series([b"abc", None, b"x"])) == [b"abc", b"None", b"x"]
+    assert encode_series(pd.Series([None, b"abc"])) == [b"None", b"abc"]
+    assert encode_series(pd.Series([None, None], dtype=object)) == [b"None", b"None"]
+    assert encode_series(pd.Series(["a", None])) == [b"a", b"None"]
+    assert encode_series(pd.Series([], dtype=object)) == []

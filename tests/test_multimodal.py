@@ -199,3 +199,27 @@ def test_png_in_distributed_pipeline(spark):
     for r in resized:
         if r["kind"] == "image" and bytes(r["payload"])[:2] != b"BM":
             assert decode_png(bytes(r["payload"])).shape == (10, 10, 3)
+
+
+def test_resize_handles_greyscale_png(spark):
+    """resize_images must resize greyscale/alpha PNGs (decode_png
+    supports them) instead of crashing in the RGB re-encode."""
+    import pandas as pd
+
+    from marker_spark.ops.multimodal import decode_png
+
+    rng = np.random.default_rng(31)
+    grey = rng.integers(0, 256, size=(7, 9, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(6, 6, 4), dtype=np.uint8)
+    rows = [
+        ("g", "image", _png_with_filter(grey, 0),
+         {"width": 9, "height": 7, "sample_rate": None, "n_frames": None}),
+        ("r", "image", _png_with_filter(rgba, 0),
+         {"width": 6, "height": 6, "sample_rate": None, "n_frames": None}),
+    ]
+    df = spark.createDataFrame(rows, schema=(
+        "asset_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"))
+    out = resize_images(df, width=4, height=4).collect()
+    for r in out:
+        assert decode_png(bytes(r["payload"])).shape == (4, 4, 3)
