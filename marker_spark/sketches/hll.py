@@ -23,7 +23,8 @@ import numpy as np
 from ..hashing import mmh3_fixed_width, mmh3_x64_128
 from .base import KIND_HLL, pack_header, unpack_header
 
-_PARAMS = struct.Struct("<B")
+_PARAMS = struct.Struct("<BB")  # p, encoding (0 = dense registers, 1 = sparse pairs)
+_SPARSE_N = struct.Struct("<I")
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
@@ -105,16 +106,43 @@ class HllSketch:
         return self
 
     def to_bytes(self) -> bytes:
-        return pack_header(KIND_HLL) + _PARAMS.pack(self.p) + self.registers.tobytes()
+        """Dense (2^p register bytes) or sparse ((idx u32, val u8) pairs)
+        — whichever is smaller.  Low-cardinality groups (the common case
+        for fine-grained (source, bucket) keys at scale) shrink from
+        2^p bytes to ~5 bytes per distinct-ish item, which matters
+        wherever states travel UNcompressed: streaming state stores and
+        UDF closures (the sketch-table sink already zlib-packs)."""
+        nz = np.flatnonzero(self.registers)
+        if len(nz) * 5 + _SPARSE_N.size < self.m:
+            return (
+                pack_header(KIND_HLL)
+                + _PARAMS.pack(self.p, 1)
+                + _SPARSE_N.pack(len(nz))
+                + nz.astype("<u4").tobytes()
+                + self.registers[nz].tobytes()
+            )
+        return pack_header(KIND_HLL) + _PARAMS.pack(self.p, 0) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HllSketch":
         off = unpack_header(buf, KIND_HLL)
-        (p,) = _PARAMS.unpack_from(buf, off)
-        # count= bounds the read so a truncated/over-long buffer raises in
-        # frombuffer (or the __init__ length check) instead of silently
-        # producing a malformed sketch.
-        regs = np.frombuffer(
-            buf, dtype=np.uint8, offset=off + _PARAMS.size, count=1 << p
-        ).copy()
+        p, enc = _PARAMS.unpack_from(buf, off)
+        off += _PARAMS.size
+        if enc == 0:
+            # count= bounds the read so a truncated/over-long buffer raises
+            # in frombuffer (or the __init__ length check) instead of
+            # silently producing a malformed sketch.
+            regs = np.frombuffer(buf, dtype=np.uint8, offset=off, count=1 << p).copy()
+            return cls(p=p, registers=regs)
+        if enc != 1:
+            raise ValueError(f"unknown HLL encoding {enc}")
+        (n,) = _SPARSE_N.unpack_from(buf, off)
+        off += _SPARSE_N.size
+        idx = np.frombuffer(buf, dtype="<u4", offset=off, count=n).astype(np.int64)
+        off += 4 * n
+        vals = np.frombuffer(buf, dtype=np.uint8, offset=off, count=n)
+        if n and int(idx.max(initial=0)) >= (1 << p):
+            raise ValueError("sparse HLL register index out of range")
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        regs[idx] = vals
         return cls(p=p, registers=regs)

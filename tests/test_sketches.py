@@ -384,3 +384,36 @@ def test_misra_gries_merge_within_bound_and_serde():
     w = MisraGriesSketch(k=8)
     w.update(np.array([1, 2, 1]), weights=np.array([10, 5, 90]))
     assert w.estimate(np.array([1]))[0] == 100
+
+
+def test_hll_sparse_serde():
+    """Low-cardinality sketches serialize sparse (far smaller than 2^p),
+    roundtrip exactly, and merge with dense ones; corrupted sparse
+    indices are rejected."""
+    from marker_spark.sketches.hll import HllSketch
+
+    small = HllSketch(p=14)
+    small.update([f"x{i}".encode() for i in range(50)])
+    buf = small.to_bytes()
+    assert len(buf) < (1 << 14) // 4  # way below dense size
+    rt = HllSketch.from_bytes(buf)
+    assert np.array_equal(rt.registers, small.registers)
+
+    big = HllSketch(p=14)
+    big.update([f"y{i}".encode() for i in range(100_000)])
+    dense_buf = big.to_bytes()
+    assert len(dense_buf) >= (1 << 14)  # dense form kept when smaller
+    merged = HllSketch.from_bytes(dense_buf).merge_in_place(HllSketch.from_bytes(buf))
+    ref = HllSketch(p=14)
+    ref.update([f"y{i}".encode() for i in range(100_000)])
+    ref.merge_in_place(small)
+    assert np.array_equal(merged.registers, ref.registers)
+
+    # corrupted sparse index (>= 2^p) is rejected
+    bad = bytearray(buf)
+    import struct as _s
+
+    # header(6) + params(2) + n(4): first index starts at offset 12
+    _s.pack_into("<I", bad, 12, 1 << 20)
+    with pytest.raises(ValueError):
+        HllSketch.from_bytes(bytes(bad))
