@@ -38,16 +38,19 @@ def arrow_tokens_view(batch, token_col: str = "tokens"):
 def arrow_str_codes(batch, col_name: str):
     """Group codes for a string column: (codes int64 per row, uniques list).
 
-    Null keys map to a trailing "__null__" group instead of factorize's
-    -1 sentinel, so callers can index partial-state arrays directly and
-    null-keyed rows still reach a sketch (mirrors agg.NULL_KEY)."""
+    Null keys map to a trailing ``agg.NULL_KEY`` group instead of
+    factorize's -1 sentinel, so callers can index partial-state arrays
+    directly and null-keyed rows still reach a sketch.  The sentinel is
+    imported (not re-hardcoded) so the two code paths can never drift."""
+    from .agg import NULL_KEY
+
     arr = batch.column(batch.schema.get_field_index(col_name))
     codes, uniques = pd.factorize(arr.to_pandas(), sort=True)
     codes = codes.astype(np.int64)
     uniques = [str(u) for u in uniques]
     if (codes < 0).any():
         codes = np.where(codes < 0, len(uniques), codes)
-        uniques = uniques + ["__null__"]
+        uniques = uniques + [NULL_KEY]
     return codes, uniques
 
 
@@ -60,15 +63,32 @@ def encode_series(s: pd.Series) -> list[bytes]:
     The path is chosen from the first NON-NULL cell, and null cells
     encode as b"None" (matching the historical str(v).encode behavior)
     — a batch of bytes markers with a stray NULL must not crash the
-    task."""
+    task.  Spark columns are type-homogeneous so the fast path always
+    wins there, but the helper also sees raw pandas Series (foreachBatch
+    / probe paths), where a MIXED bytes+str batch falls back to a
+    per-row isinstance dispatch instead of crashing (bytes(str)) or
+    silently encoding a bytes repr (str(bytes))."""
     if len(s) == 0:
         return []
     na = s.isna()
-    first = s[~na].iloc[0] if not na.all() else None
+    if na.all():
+        return [b"None"] * len(s)
+    first = s[~na].iloc[0]
+
+    def _slow() -> list[bytes]:
+        return [
+            b"None" if n
+            else (bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
+            for v, n in zip(s, na)
+        ]
+
     if isinstance(first, (bytes, bytearray)):
-        if na.any():
-            return [b"None" if n else bytes(v) for v, n in zip(s, na)]
-        return list(s)
+        out = list(s)
+        if na.any() or not all(type(v) is bytes for v in out):
+            return _slow()
+        return out
+    if any(isinstance(v, (bytes, bytearray)) for v in s[~na]):
+        return _slow()
     return list(s.astype(str).str.encode("utf-8"))
 
 

@@ -94,7 +94,10 @@ def kmeans_centroids(
     sample = df.select(vec_col)
     if fraction < 1.0:
         sample = sample.sample(withReplacement=False, fraction=fraction, seed=seed)
-    mat = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+    vals = sample.toPandas()[vec_col].to_numpy()
+    if len(vals) == 0:
+        raise ValueError("kmeans_centroids: embedding table/sample is empty")
+    mat = np.stack(vals).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     k = min(n_cells, len(mat))
@@ -106,9 +109,17 @@ def kmeans_centroids(
     cents[0] = mat[rng.integers(len(mat))]
     d2 = np.maximum(1.0 - mat @ cents[0], 0.0) ** 2
     for c in range(1, k):
-        p = d2 / max(d2.sum(), 1e-12)
-        cents[c] = mat[rng.choice(len(mat), p=p)]
+        s = float(d2.sum())
+        if s <= 0.0:
+            # every sampled vector coincides with an existing seed
+            # (constant table): further centroids would duplicate, so
+            # return the distinct ones found — callers size nprobe off
+            # len(centroids).
+            cents = cents[:c]
+            break
+        cents[c] = mat[rng.choice(len(mat), p=d2 / s)]
         d2 = np.minimum(d2, np.maximum(1.0 - mat @ cents[c], 0.0) ** 2)
+    k = len(cents)
     for _ in range(n_iter):
         assign = np.argmax(mat @ cents.T, axis=1)
         for c in range(k):

@@ -38,14 +38,26 @@ def pack_header(kind: int, version: int = 1) -> bytes:
 
 def unpack_header(buf: bytes | memoryview, expect_kind: int) -> int:
     """Validate the 6-byte common header; return offset of the payload."""
+    off, version = unpack_header_versioned(buf, expect_kind, max_version=1)
+    return off
+
+
+def unpack_header_versioned(
+    buf: bytes | memoryview, expect_kind: int, max_version: int
+) -> tuple[int, int]:
+    """Like :func:`unpack_header` but returns ``(payload_offset, version)``
+    for sketches whose wire format has evolved — the version byte is the
+    dispatch key for parsing legacy payload layouts (e.g. HLL v1 dense
+    vs v2 dense/sparse), so persisted state (streaming state-store
+    checkpoints, saved sketch tables) stays readable across upgrades."""
     magic, kind, version = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError(f"bad sketch magic {magic!r}")
     if kind != expect_kind:
         raise ValueError(f"sketch kind mismatch: got {kind}, want {expect_kind}")
-    if version != 1:
+    if not (1 <= version <= max_version):
         raise ValueError(f"unsupported sketch version {version}")
-    return _HEADER.size
+    return _HEADER.size, version
 
 
 @runtime_checkable

@@ -21,10 +21,12 @@ import struct
 import numpy as np
 
 from ..hashing import mmh3_fixed_width, mmh3_x64_128
-from .base import KIND_HLL, pack_header, unpack_header
+from .base import KIND_HLL, pack_header, unpack_header_versioned
 
 _PARAMS = struct.Struct("<BB")  # p, encoding (0 = dense registers, 1 = sparse pairs)
 _SPARSE_N = struct.Struct("<I")
+_LEGACY_P = struct.Struct("<B")  # version-1 payload: p byte, then dense registers
+_VERSION = 2  # v1 = 1-byte p + dense registers; v2 adds the encoding byte + sparse
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
@@ -115,17 +117,36 @@ class HllSketch:
         nz = np.flatnonzero(self.registers)
         if len(nz) * 5 + _SPARSE_N.size < self.m:
             return (
-                pack_header(KIND_HLL)
+                pack_header(KIND_HLL, _VERSION)
                 + _PARAMS.pack(self.p, 1)
                 + _SPARSE_N.pack(len(nz))
                 + nz.astype("<u4").tobytes()
                 + self.registers[nz].tobytes()
             )
-        return pack_header(KIND_HLL) + _PARAMS.pack(self.p, 0) + self.registers.tobytes()
+        return (
+            pack_header(KIND_HLL, _VERSION)
+            + _PARAMS.pack(self.p, 0)
+            + self.registers.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HllSketch":
-        off = unpack_header(buf, KIND_HLL)
+        off, version = unpack_header_versioned(buf, KIND_HLL, _VERSION)
+        if version == 1:
+            # Two historical layouts carried a version-1 header:
+            #  (a) the original 1-byte-p + dense registers
+            #      (len == off + 1 + 2^p), and
+            #  (b) an interim 2-byte (p, encoding) layout that forgot to
+            #      bump the version.  Disambiguate by total length — the
+            #      lengths can never coincide (off+1+2^p == off+2+2^p is
+            #      false for dense, and the sparse length 12+5n == 7+2^p
+            #      would need 2^p ≡ 0 mod 5, impossible).
+            (p_legacy,) = _LEGACY_P.unpack_from(buf, off)
+            if 4 <= p_legacy <= 18 and len(buf) == off + _LEGACY_P.size + (1 << p_legacy):
+                regs = np.frombuffer(
+                    buf, dtype=np.uint8, offset=off + _LEGACY_P.size, count=1 << p_legacy
+                ).copy()
+                return cls(p=p_legacy, registers=regs)
         p, enc = _PARAMS.unpack_from(buf, off)
         off += _PARAMS.size
         if enc == 0:

@@ -136,7 +136,7 @@ class MisraGriesSketch:
         return (
             pack_header(KIND_MG)
             + _PARAMS.pack(self.k, self.offset, self.total)
-            + np.int64(len(self.items)).tobytes()
+            + struct.pack("<q", len(self.items))  # explicit LE, matches the "<q" reader
             + self.items.astype("<i8", copy=False).tobytes()
             + self.counts.astype("<i8", copy=False).tobytes()
         )

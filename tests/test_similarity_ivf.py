@@ -73,3 +73,29 @@ def test_cell_assignment_follows_clusters(spark, clustered):
         .min()
     )
     assert purity >= 0.95, purity
+
+
+def test_kmeans_degenerate_inputs(spark):
+    """Constant / single-vector / empty samples must not crash k-means++
+    seeding (ADVICE r2: d2 all-zero made rng.choice raise)."""
+    const = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(10), "embedding": [[1.0, 0.0, 0.0]] * 10}),
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(const, n_cells=4, seed=1)
+    assert 1 <= len(cents) <= 4
+    # assignment + full-probe topk still work with the reduced cell count
+    got = ivf_topk(ivf_assign(const, cents), cents, [1.0, 0.0, 0.0], k=3,
+                   nprobe=len(cents)).collect()
+    assert len(got) == 3
+
+    single = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[0.5, 0.5]]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(single, n_cells=4, seed=1)
+    assert len(cents) == 1
+
+    empty = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_centroids(empty, n_cells=4, seed=1)

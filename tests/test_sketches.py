@@ -417,3 +417,71 @@ def test_hll_sparse_serde():
     _s.pack_into("<I", bad, 12, 1 << 20)
     with pytest.raises(ValueError):
         HllSketch.from_bytes(bytes(bad))
+
+
+def test_hll_serde_version_compat():
+    """from_bytes must parse BOTH historical layouts (ADVICE r2): the
+    original v1 payload (1-byte p + dense registers) and the interim
+    2-byte (p, encoding) payload that shipped under a v1 header, while
+    new buffers carry version 2."""
+    import struct
+
+    from marker_spark.sketches.base import KIND_HLL, pack_header
+    from marker_spark.sketches.hll import _PARAMS, _SPARSE_N, HllSketch
+
+    sk = HllSketch(p=10)
+    sk.update([f"item-{i}".encode() for i in range(5_000)])
+    regs = sk.registers
+
+    # new buffers: version byte == 2, roundtrip exact
+    buf = sk.to_bytes()
+    assert buf[5] == 2
+    assert np.array_equal(HllSketch.from_bytes(buf).registers, regs)
+
+    # (a) original v1: 1-byte p, dense registers
+    legacy = pack_header(KIND_HLL, 1) + struct.pack("<B", sk.p) + regs.tobytes()
+    back = HllSketch.from_bytes(legacy)
+    assert back.p == sk.p and np.array_equal(back.registers, regs)
+
+    # (b) interim v1 header with the 2-byte (p, encoding) payload — dense
+    interim_dense = pack_header(KIND_HLL, 1) + _PARAMS.pack(sk.p, 0) + regs.tobytes()
+    back = HllSketch.from_bytes(interim_dense)
+    assert np.array_equal(back.registers, regs)
+
+    # (b) interim sparse
+    nz = np.flatnonzero(regs)[:50]
+    sparse_regs = np.zeros_like(regs)
+    sparse_regs[nz] = regs[nz]
+    interim_sparse = (
+        pack_header(KIND_HLL, 1)
+        + _PARAMS.pack(sk.p, 1)
+        + _SPARSE_N.pack(len(nz))
+        + nz.astype("<u4").tobytes()
+        + regs[nz].tobytes()
+    )
+    back = HllSketch.from_bytes(interim_sparse)
+    assert np.array_equal(back.registers, sparse_regs)
+
+    # unknown future version still rejected
+    future = bytes(buf[:5]) + b"\x09" + bytes(buf[6:])
+    with pytest.raises(ValueError):
+        HllSketch.from_bytes(future)
+
+
+def test_mg_serde_explicit_little_endian():
+    """The MG item-count field is explicit little-endian on the wire
+    (ADVICE r2: np.int64.tobytes() was native-order while the reader
+    used '<q')."""
+    import struct
+
+    from marker_spark.sketches.misra_gries import _PARAMS, MisraGriesSketch
+
+    sk = MisraGriesSketch(k=8)
+    sk.update(np.array([1, 1, 2, 3, 3, 3], dtype=np.int64))
+    buf = sk.to_bytes()
+    off = 6 + _PARAMS.size
+    (n,) = struct.unpack_from("<q", buf, off)
+    assert n == len(sk.items)
+    back = MisraGriesSketch.from_bytes(buf)
+    assert np.array_equal(back.items, sk.items)
+    assert np.array_equal(back.counts, sk.counts)
