@@ -699,9 +699,13 @@ def q_theta_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cache_from_events(spark: SparkSession, sf_dir: str):
     """Shared setup for the cache-lifecycle queries: insert all event
-    markers into a time-bucketed SketchCache, return (cache, probes) where
-    probes are the first-window markers (events start at t0, so every
-    probe's insertion bucket overlaps the first window)."""
+    markers into a time-bucketed SketchCache, return (cache, probe_df)
+    where probe_df holds the first-window markers AS A DATAFRAME (events
+    start at t0, so every probe's insertion bucket overlaps the first
+    window).  The probe set is corpus-proportional, so it never touches
+    the driver — lookups go through the distributed
+    SketchCache.lookup_range_join path (the cache's own bounded state is
+    the only thing the driver holds)."""
     from marker_spark.cache.sketch_cache import SketchCache
     from marker_spark.params import CacheParams
 
@@ -714,9 +718,8 @@ def _cache_from_events(spark: SparkSession, sf_dir: str):
     )
     cache = SketchCache(params)
     cache.insert_batch(ev, ts_col="ts", marker_col="marker")
-    probes = [r["marker"].encode() for r in
-              ev.where(F.unix_timestamp("ts") < t0 + 10 * day).select("marker").collect()]
-    return cache, probes, t0, day
+    probe_df = ev.where(F.unix_timestamp("ts") < t0 + 10 * day).select("marker")
+    return cache, probe_df, t0, day
 
 
 def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,24 +728,35 @@ def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's own hard invariants, DBAppUnitTests.cpp:97-106):
     zero false negatives make first_window == all_time == n_probes,
     and the inverted-range guard makes inverted == 0.  The non-overlapping
-    range (false-positive measurement) lives in q_cache_fp_window."""
-    import pandas as pd
+    range (false-positive measurement) lives in q_cache_fp_window.
 
+    Fully distributed: ONE pass over the probe set answers all three
+    ranges — the multi-range closure-broadcast lookup UDF hashes each
+    marker once and memoizes per-bucket membership across ranges — and
+    found-counts aggregate map-side.  No probe list ever reaches the
+    driver (the r2 scale-killer); only 1 row of 3 counters does."""
     from marker_spark.cache.sketch_cache import OPEN_END
 
-    cache, probes, t0, day = _cache_from_events(spark, sf_dir)
-    ranges = {
-        "all_time": (0, OPEN_END),
-        "first_window": (t0, t0 + 10 * day - 1),
-        "inverted": (100, 50),
-    }
-    rows = [
-        {"range_name": name, "n_probes": len(probes), "n_found": int(cache.lookup_from(a, b, probes).sum())}
-        for name, (a, b) in sorted(ranges.items())
+    cache, probe_df, t0, day = _cache_from_events(spark, sf_dir)
+    ranges = [
+        ("all_time", 0, OPEN_END),
+        ("first_window", t0, t0 + 10 * day - 1),
+        ("inverted", 100, 50),
     ]
-    return spark.createDataFrame(
-        pd.DataFrame(rows), schema="range_name string, n_probes long, n_found long"
+    udf = cache.lookup_multi_range_udf([(lo, hi) for _, lo, hi in ranges])
+    hits = probe_df.select(udf(F.col("marker")).alias("h"))
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("h")[i].cast("long")).alias(f"f{i}")
+            for i in range(len(ranges))
+        ],
     )
+    stack = "stack(%d, %s) as (range_name, n_probes, n_found)" % (
+        len(ranges),
+        ", ".join(f"'{name}', n, f{i}" for i, (name, _, _) in enumerate(ranges)),
+    )
+    return agg.selectExpr(stack).orderBy("range_name")
 
 
 def q_cache_fp_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,24 +764,26 @@ def q_cache_fp_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     every hit is a Bloom false positive, so observed_fp must stay within
     the reference's tolerance of the configured bound (DBAppUnitTests.cpp:93,
     fp asserted within 30% relative).  Rows-only check: the exact FP count
-    is hash-determined, not SQL-expressible."""
-    import pandas as pd
-
-    cache, probes, t0, day = _cache_from_events(spark, sf_dir)
-    n_found = int(cache.lookup_from(t0 + 20 * day, t0 + 40 * day, probes).sum())
-    fp_rate = n_found / max(len(probes), 1)
-    rows = [{
-        "range_name": "last_window",
-        "n_probes": len(probes),
-        "n_found": n_found,
-        "observed_fp": round(fp_rate, 6),
-        "fp_bound": 0.001,
-        "within_bound": bool(fp_rate <= 0.001 * 1.3 + 3.0 / max(len(probes), 1)),
-    }]
-    return spark.createDataFrame(
-        pd.DataFrame(rows),
-        schema="range_name string, n_probes long, n_found long, "
-        "observed_fp double, fp_bound double, within_bound boolean",
+    is hash-determined, not SQL-expressible.  Distributed end to end —
+    the FP-rate arithmetic runs on the single aggregate row."""
+    cache, probe_df, t0, day = _cache_from_events(spark, sf_dir)
+    probes = probe_df.withColumn("q_start", F.lit(t0 + 20 * day)).withColumn(
+        "q_end", F.lit(t0 + 40 * day)
+    )
+    found = cache.lookup_range_join(spark, probes, "marker", "q_start", "q_end")
+    agg = found.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("found").cast("long")).alias("n_found"),
+    )
+    fp = F.col("n_found") / F.greatest(F.col("n_probes"), F.lit(1))
+    tol = F.lit(0.001 * 1.3) + F.lit(3.0) / F.greatest(F.col("n_probes"), F.lit(1))
+    return agg.select(
+        F.lit("last_window").alias("range_name"),
+        F.col("n_probes"),
+        F.col("n_found"),
+        F.round(fp, 6).alias("observed_fp"),
+        F.lit(0.001).alias("fp_bound"),
+        (fp <= tol).alias("within_bound"),
     )
 
 

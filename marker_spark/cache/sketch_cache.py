@@ -198,45 +198,120 @@ class SketchCache:
         )
         return spark.createDataFrame(rows, schema="bucket_start long, bucket_end long, sketch binary")
 
+    def lookup_range_udf(self):
+        """Vectorized pandas UDF ``(marker, start, end) -> found`` with
+        the bucket deque baked into the closure — the distributed form
+        of :meth:`lookup_from`.
+
+        The cache state is bounded (num_filters sketches, independent
+        of corpus size), so it ships ONCE per executor inside the task
+        binary and is deserialized lazily once per python worker; probe
+        rows then stream through with ONE MurmurHash pass feeding every
+        bucket (markercache.cpp:168-169), newest-first with found rows
+        skipped (:181-192), and the reference's edge guards (start > end
+        -> false, :164; end older than the oldest bucket -> false,
+        :166).  This is the 100 TB shape: a join against the bucket
+        table would replicate each multi-hundred-KB sketch blob onto
+        every probe-x-bucket pair row through the Arrow path, moving
+        O(probes * m) bytes; the closure moves O(num_filters * m) per
+        executor, full stop."""
+        from pyspark.sql.functions import pandas_udf
+
+        bucket_blobs = [
+            (b.start, b.end, b.sketch.to_bytes()) for b in reversed(self.buckets)
+        ]  # newest-first
+        oldest = self.buckets[0].start if self.buckets else None
+        state: dict[str, list] = {}
+
+        @pandas_udf("boolean")
+        def found_udf(marker: pd.Series, lo: pd.Series, hi: pd.Series) -> pd.Series:
+            out = np.zeros(len(marker), dtype=bool)
+            if oldest is None or len(marker) == 0:
+                return pd.Series(out)
+            lo_np = lo.to_numpy(dtype=np.int64)
+            hi_np = hi.to_numpy(dtype=np.int64)
+            valid = (lo_np <= hi_np) & (hi_np >= oldest)
+            if not valid.any():
+                return pd.Series(out)
+            sks = state.get("sks")
+            if sks is None:
+                sks = state["sks"] = [
+                    (s, e, BloomSketch.from_bytes(blob)) for s, e, blob in bucket_blobs
+                ]
+            from ..hashing import mmh3_x64_128
+            from ..kernels import encode_series
+
+            h1, h2 = mmh3_x64_128(encode_series(marker))  # hash once for all buckets
+            for s, e, sk in sks:
+                idx = np.flatnonzero(valid & ~out & (s <= hi_np) & (lo_np <= e))
+                if len(idx):
+                    out[idx] = sk.contains_hashes(h1[idx], h2[idx])
+            return pd.Series(out)
+
+        return found_udf
+
+    def lookup_multi_range_udf(self, ranges: list[tuple[int, int]]):
+        """Vectorized pandas UDF ``marker -> array<boolean>`` answering
+        ALL the given (start, end) ranges in one pass: markers are
+        hashed once per batch, each bucket's membership vector is
+        computed at most once (memoized across ranges), and each range
+        ORs the vectors of its overlapping buckets.  For R query-level
+        ranges this scans the probe set once instead of R times — the
+        fan-out-free form of repeating :meth:`lookup_range_join` per
+        range."""
+        from pyspark.sql.functions import pandas_udf
+
+        bucket_blobs = [
+            (b.start, b.end, b.sketch.to_bytes()) for b in reversed(self.buckets)
+        ]
+        oldest = self.buckets[0].start if self.buckets else None
+        rng = [(int(lo), int(hi)) for lo, hi in ranges]
+        state: dict[str, list] = {}
+
+        @pandas_udf("array<boolean>")
+        def found_udf(marker: pd.Series) -> pd.Series:
+            n = len(marker)
+            out = np.zeros((n, len(rng)), dtype=bool)
+            if oldest is not None and n:
+                sks = state.get("sks")
+                if sks is None:
+                    sks = state["sks"] = [
+                        (s, e, BloomSketch.from_bytes(blob)) for s, e, blob in bucket_blobs
+                    ]
+                from ..hashing import mmh3_x64_128
+                from ..kernels import encode_series
+
+                h1, h2 = mmh3_x64_128(encode_series(marker))
+                memo: dict[int, np.ndarray] = {}
+                for j, (lo, hi) in enumerate(rng):
+                    if lo > hi or hi < oldest:  # markercache.cpp:164,:166
+                        continue
+                    for bi, (s, e, sk) in enumerate(sks):
+                        if not (s <= hi and lo <= e):  # overlap, :271-274
+                            continue
+                        m = memo.get(bi)
+                        if m is None:
+                            m = memo[bi] = sk.contains_hashes(h1, h2)
+                        out[:, j] |= m
+            return pd.Series([row.tolist() for row in out])
+
+        return found_udf
+
     def lookup_range_join(
         self, spark, probe_df: DataFrame, marker_col: str, start_col: str, end_col: str
     ) -> DataFrame:
-        """Range-join form of lookup_from: probes x buckets on the
-        inclusive overlap predicate (markercache.cpp:271-274), Bloom
-        membership per pair, OR per probe.  The bucket side is tiny
-        (num_filters rows) so Spark broadcasts it — the declarative
-        equivalent of the reference's per-bucket OR loop
-        (markercache.cpp:181-192)."""
-        from pyspark.sql.functions import pandas_udf
-
-        buckets = F.broadcast(self.bucket_table(spark))
-        overlap = (F.col("bucket_start") <= F.col(end_col)) & (
-            F.col(start_col) <= F.col("bucket_end")
-        ) & (F.col(start_col) <= F.col(end_col))
-        pairs = probe_df.join(buckets, overlap, "left")
-
-        @pandas_udf("boolean")
-        def member(sketch: pd.Series, marker: pd.Series) -> pd.Series:
-            out = np.zeros(len(marker), dtype=bool)
-            if len(marker) == 0:
-                return pd.Series(out)
-            groups: dict[bytes, list[int]] = {}
-            for i, sk in enumerate(sketch):
-                if sk is not None:
-                    groups.setdefault(bytes(sk), []).append(i)
-            from ..kernels import encode_series
-
-            for sk_bytes, idxs in groups.items():
-                bf = BloomSketch.from_bytes(sk_bytes)
-                out[idxs] = bf.contains(encode_series(marker.iloc[idxs]))
-            return pd.Series(out)
-
-        hit = pairs.withColumn(
-            "__hit",
-            F.when(F.col("sketch").isNotNull(), member(F.col("sketch"), F.col(marker_col))).otherwise(F.lit(False)),
+        """Per-probe time-range membership: adds a boolean ``found``
+        column to probe_df, one row per input row.  Logically the
+        broadcast join of probes x buckets on the inclusive overlap
+        predicate (markercache.cpp:271-274) with a per-probe OR; executed
+        via :meth:`lookup_range_udf` so the bounded bucket state rides
+        the UDF closure instead of being replicated onto every joined
+        row (``spark`` is kept for API compatibility)."""
+        udf = self.lookup_range_udf()
+        return probe_df.withColumn(
+            "found",
+            udf(F.col(marker_col), F.col(start_col).cast("long"), F.col(end_col).cast("long")),
         )
-        probe_cols = [c for c in probe_df.columns]
-        return hit.groupBy(*probe_cols).agg(F.max(F.col("__hit").cast("int")).cast("boolean").alias("found"))
 
     # --- ageing ------------------------------------------------------------------
     def maybe_age(self, now: int, force: bool = False) -> bool:

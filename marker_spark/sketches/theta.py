@@ -1,10 +1,15 @@
 """Theta sketch (KMV variant — k minimum hash values).
 
-State: the k smallest distinct uint64 hash values seen (sorted array)
-plus theta = the k-th smallest (or 2^64 while fewer than k values).
-Merge: union the samples, keep the k smallest below min(theta) —
-associative and commutative.  Estimates (Beyer et al. 2007 /
-DataSketches theta):
+State: the k smallest distinct uint64 hash values seen (sorted array,
+INCLUSIVE of the k-th) plus theta = the k-th smallest (or 2^64 while
+fewer than k values).  Because "the k smallest distinct values of a
+set" is a pure function of the set, merge (union the samples, keep the
+k smallest at or below min(theta)) is EXACTLY associative and
+commutative — identical state bytes for any partition/merge order.
+(An earlier exclusive-theta variant that dropped the k-th value at
+truncation was only approximately order-invariant: intermediate
+truncations could land on different thetas per merge tree.)
+Estimates (Beyer et al. 2007 / DataSketches theta):
 
  * distinct count: (k - 1) / (theta / 2^64)  [unbiased KMV estimator]
  * set operations: the retained samples are a uniform hash sample of
@@ -43,16 +48,17 @@ class ThetaSketch:
         return 1.0 / ((self.k - 2) ** 0.5)
 
     def _absorb(self, h: np.ndarray) -> None:
-        h = h[h < np.uint64(self.theta)]
+        # theta is INCLUSIVE: values == theta are duplicates of the
+        # retained k-th value and unify in np.unique; values > theta
+        # can never enter the bottom-k (theta is already the k-th
+        # smallest of a subset), so the filter is a pure optimization.
+        h = h[h <= np.uint64(self.theta)]
         if len(h) == 0:
             return
         merged = np.unique(np.concatenate([self.samples, h]))
         if len(merged) > self.k:
             merged = merged[: self.k]
             self.theta = int(merged[-1])
-            # theta is exclusive: drop the k-th value itself
-            merged = merged[:-1]
-            # keep k-1 below theta; next absorptions refill up to k
         self.samples = merged
 
     def update_hashes(self, h1: np.ndarray) -> None:
@@ -72,10 +78,14 @@ class ThetaSketch:
         return self.theta / float(1 << 64)
 
     def estimate(self) -> float:
-        """Distinct count estimate."""
+        """Distinct count estimate: samples STRICTLY below theta scaled
+        by the sampled fraction — (k-1)/theta_frac for a full sketch
+        (the unbiased KMV estimator; the inclusive k-th value defines
+        theta but is not itself a sample of [0, theta))."""
         if self.theta == int(_U64_MAX):
             return float(len(self.samples))  # exact below k
-        return len(self.samples) / self._theta_frac()
+        n_below = int(np.count_nonzero(self.samples < np.uint64(self.theta)))
+        return n_below / self._theta_frac()
 
     @staticmethod
     def _common_theta(a: "ThetaSketch", b: "ThetaSketch") -> int:
@@ -98,15 +108,17 @@ class ThetaSketch:
 
     # --- merge / serde --------------------------------------------------------------
     def merge_in_place(self, other: "ThetaSketch") -> "ThetaSketch":
+        """Union: bottom-k of the combined samples at or below the
+        common (inclusive) theta — a pure function of the union of the
+        two input sets, hence exactly order-invariant."""
         if self.k != other.k:
             raise ValueError(f"theta k mismatch: {self.k} vs {other.k}")
         self.theta = min(self.theta, other.theta)
         merged = np.unique(np.concatenate([self.samples, other.samples]))
-        merged = merged[merged < np.uint64(self.theta)]
+        merged = merged[merged <= np.uint64(self.theta)]
         if len(merged) > self.k:
             merged = merged[: self.k]
             self.theta = int(merged[-1])
-            merged = merged[:-1]
         self.samples = merged
         return self
 

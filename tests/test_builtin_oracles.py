@@ -131,3 +131,40 @@ def test_theta_setops_query_within_bound(spark):
         # by 5*rse of the union size (plus a small-count floor)
         union = na + nb - ninter
         assert abs(est - exact) <= max(5 * rse * union, 10), (est, exact, union)
+
+
+def test_range_join_per_row_ranges_and_guards(spark):
+    """The closure-broadcast lookup UDF must honor per-row (start, end)
+    ranges, the inverted-range guard, and the too-early-window guard —
+    row for row against the driver API."""
+    from marker_spark.cache.sketch_cache import OPEN_END, SketchCache
+    from marker_spark.params import CacheParams
+
+    params = CacheParams(duration=10 * DAY, lifespan=30 * DAY, fp=0.001, total_capacity=100_000)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "marker", F.concat_ws("|", F.col("event_id"), F.col("props"))
+    )
+    cache = SketchCache(params)
+    cache.insert_batch(ev, ts_col="ts", marker_col="marker")
+
+    t0 = 1_704_067_200
+    oldest = cache.buckets[0].start
+    ranges = [
+        (t0, t0 + 10 * DAY - 1),          # first window
+        (0, OPEN_END),                    # all time
+        (100, 50),                        # inverted -> guard, all False
+        (0, oldest - 1),                  # ends before the oldest bucket -> False
+        (t0 + 20 * DAY, t0 + 40 * DAY),   # non-overlapping late window
+    ]
+    base = ev.select("marker").limit(40).collect()
+    rows = [
+        (r["marker"], int(lo), int(hi))
+        for i, r in enumerate(base)
+        for (lo, hi) in [ranges[i % len(ranges)]]
+    ]
+    probe = spark.createDataFrame(rows, schema="marker string, q_start long, q_end long")
+    got = cache.lookup_range_join(spark, probe, "marker", "q_start", "q_end").collect()
+    assert len(got) == len(rows)  # one output row per input row, no dedup
+    for r in got:
+        want = bool(cache.lookup_from(r["q_start"], r["q_end"], [r["marker"].encode()])[0])
+        assert r["found"] == want, (r["marker"], r["q_start"], r["q_end"])
