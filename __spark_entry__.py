@@ -52,6 +52,9 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     tok = tokenize_documents(docs).cache()
+    from marker_spark.cacheutil import register
+
+    register(tok)
     from marker_spark.agg import NULL_KEY
 
     counts = {
@@ -293,7 +296,9 @@ def q_bloom_ngram_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.kernels import bloom_factory, bloom_ngram_updater, make_ngram_membership_udf
     from marker_spark.sketches.bloom import BloomSketch
 
-    tok = _tokenized_docs(spark, sf_dir).cache()
+    from marker_spark.cacheutil import register
+
+    tok = register(_tokenized_docs(spark, sf_dir).cache())
     factory = bloom_factory(capacity=2_000_000, fp=0.001)
     result = sketch_agg(tok, factory, bloom_ngram_updater(3), BloomSketch)
     sketches = collect_sketches(result, BloomSketch, [])
@@ -332,11 +337,14 @@ def q_hll_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CMS frequency estimates for the exact top-20 tokens."""
+    """CMS frequency estimates for the exact top-20 tokens.  The probe
+    list (20 driver-known token ids) ships INTO the merge task's
+    finalize closure, which emits the estimate vector — the merged CMS
+    grid never leaves the executor (r2 collected + queried it on the
+    driver)."""
     import numpy as np
-    import pandas as pd
 
-    from marker_spark.agg import collect_sketch, sketch_agg
+    from marker_spark.agg import sketch_agg
     from marker_spark.ngrams import list_column_to_flat
     from marker_spark.sketches.cms import CmsSketch
 
@@ -349,25 +357,46 @@ def q_cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat = flat.astype("<i4").reshape(-1, 1).view(np.uint8).reshape(-1, 4)
             sk.update_fixed_width(mat)
 
-    tok = _tokenized_docs(spark, sf_dir).cache()
-    sk = collect_sketch(sketch_agg(tok, factory, update, CmsSketch), CmsSketch)
+    from marker_spark.cacheutil import register
+
+    tok = register(_tokenized_docs(spark, sf_dir).cache())
     top = (
         tok.select(F.explode("tokens").alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.col("token")).limit(20).toPandas()
+    )  # bounded driver data: exactly 20 (token, count) rows
+    probe = top["token"].to_numpy().astype("<i4").reshape(-1, 1).view(np.uint8).reshape(-1, 4)
+
+    def finalize(sk):
+        return {"cms_cnt": [int(c) for c in sk.query_fixed_width(probe)]}
+
+    res = sketch_agg(
+        tok, factory, update, CmsSketch,
+        finalize=finalize, finalize_schema="cms_cnt array<long>",
     )
-    mat = top["token"].to_numpy().astype("<i4").reshape(-1, 1).view(np.uint8).reshape(-1, 4)
-    top["cms_cnt"] = sk.query_fixed_width(mat).astype(np.int64)
-    return spark.createDataFrame(
-        pd.DataFrame(top), schema="token int, exact_cnt long, cms_cnt long"
+    tok_arr = F.array(*[F.lit(int(t)) for t in top["token"]])
+    exact_arr = F.array(*[F.lit(int(c)) for c in top["exact_cnt"]])
+    return (
+        res.withColumn("token", tok_arr)
+        .withColumn("exact_cnt", exact_arr)
+        .select(F.explode(F.arrays_zip("token", "exact_cnt", "cms_cnt")).alias("z"))
+        .select(
+            F.col("z.token").cast("int").alias("token"),
+            F.col("z.exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("z.cms_cnt").cast("long").alias("cms_cnt"),
+        )
     )
 
 
 def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    from marker_spark.agg import collect_sketch, sketch_agg
+    """Token-length quantile estimates, finalized in the merge task: the
+    quantile vector is emitted as array columns and exploded to rows —
+    no KLL state is ever deserialized on the driver (r2 used
+    collect_sketch)."""
+    from marker_spark.agg import sketch_agg
     from marker_spark.sketches.kll import KllSketch
+
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
     def factory():
         return KllSketch(k=256)
@@ -375,12 +404,20 @@ def q_kll_ntok_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(sk, pdf):
         sk.update(pdf["n_tok"].to_numpy(dtype="float64"))
 
+    def finalize(sk):
+        return {
+            "q": [float(q) for q in qs],
+            "est_n_tok": [float(e) for e in sk.quantile(qs)],
+        }
+
     tok = _tokenized_docs(spark, sf_dir)
-    sk = collect_sketch(sketch_agg(tok, factory, update, KllSketch), KllSketch)
-    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-    est = sk.quantile(qs)
-    rows = [{"q": q, "est_n_tok": float(e)} for q, e in zip(qs, est)]
-    return spark.createDataFrame(pd.DataFrame(rows), schema="q double, est_n_tok double")
+    res = sketch_agg(
+        tok, factory, update, KllSketch,
+        finalize=finalize, finalize_schema="q array<double>, est_n_tok array<double>",
+    )
+    return res.select(F.explode(F.arrays_zip("q", "est_n_tok")).alias("z")).select(
+        F.col("z.q").alias("q"), F.col("z.est_n_tok").alias("est_n_tok")
+    )
 
 
 def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +463,9 @@ def q_mg_heavy_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wid", F.xxhash64("word"))
         .cache()
     )
+    from marker_spark.cacheutil import register
+
+    register(words)
 
     def update(sk, pdf):
         sk.update(pdf["wid"].to_numpy(dtype="int64"))

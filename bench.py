@@ -440,11 +440,17 @@ def main() -> None:
         "cache_timerange_lookup",
     ]
     qmap = entrymod.queries()
+    from marker_spark.cacheutil import release_all
+
     for name in bench_queries:
         t0 = time.monotonic()
         df = qmap[name](spark, sf_dir)
         df.collect()
         timings[name] = round(time.monotonic() - t0, 3)
+        # long-lived-session discipline: drop the query's persisted
+        # intermediates so storage memory doesn't accumulate across the
+        # sweep; between-request bookkeeping, hence outside the timer
+        release_all()
 
     fp_check = bloom_fp_check(spark, n_docs)
 

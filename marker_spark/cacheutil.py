@@ -1,0 +1,42 @@
+"""Registry for persisted intermediates, so long-lived sessions can
+release them.
+
+Several operators persist a UDF-derived table because both sides of a
+self-join reference it (re-running the signature/fingerprint UDF per
+side measured 2-3x slower — see ops/dedup.py).  The handle must stay
+cached until the caller CONSUMES the returned DataFrame, which the
+operator cannot observe — so operators register their persisted handles
+here and the session owner calls :func:`release_all` between queries
+(bench.py does; a service would hook its request boundary).  Releasing
+is always safe: an unpersisted plan that is collected again simply
+recomputes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def register(df: DataFrame) -> DataFrame:
+    """Track a persisted/cached DataFrame for later release; returns it."""
+    _LIVE.append(df)
+    return df
+
+
+def release_all() -> int:
+    """Unpersist every registered handle (idempotent); returns how many."""
+    n = 0
+    for df in _LIVE:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _LIVE.clear()
+    return n
+
+
+def live_count() -> int:
+    return len(_LIVE)

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import words_col
+from ..cacheutil import register
 
 
 def _perm_keys(num_perm: int, seed: int = 42) -> np.ndarray:
@@ -235,6 +236,7 @@ def lsh_candidate_pairs(
         capped.count()  # materialize while the pre-cap copy is cached,
         banded.unpersist()  # then drop it — one cached copy, not two
         banded = capped
+    register(banded)  # released by the session owner after consumption
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -349,9 +351,11 @@ def simhash_near_dup_pairs(
     )
     # persist: both self-join sides reference the banded table; without
     # materialization the simhash UDF would run once per side.
-    banded = fp_df.select(
-        F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("band")
-    ).select(id_col, "simhash", "band.band_id", "band.band_val").persist()
+    banded = register(
+        fp_df.select(
+            F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("band")
+        ).select(id_col, "simhash", "band.band_id", "band.band_val").persist()
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -392,9 +396,11 @@ def embedding_near_dup_lsh(
     scale" note on :func:`embedding_near_dup_pairs`."""
     from .similarity import hyperplane_signatures
 
-    bucketed = hyperplane_signatures(
-        df.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
-    ).persist()
+    bucketed = register(
+        hyperplane_signatures(
+            df.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
+        ).persist()
+    )
     return embedding_near_dup_pairs(
         bucketed, vec_col=vec_col, id_col=id_col, block_col="bucket", threshold=threshold
     )

@@ -4,13 +4,16 @@ Images/audio/video are `binary` columns with a metadata struct; decode
 and feature extraction run as Arrow-batched `mapInPandas` so payload
 bytes never round-trip through per-row Python.
 
-Codec coverage: one REAL format per modality is implemented in pure
-numpy so the full decode -> feature path runs end-to-end with no codec
-libraries — uncompressed 24-bit BMP for images (header-parse +
-stride/BGR handling) and PCM16 WAV for audio (RIFF chunk walk).
-Compressed formats (JPEG/PNG/MP3/video) raise NotImplementedError with
-`fake=False`; `fake=True` substitutes a deterministic synthetic decode
-so plumbing tests don't depend on payload format.
+Codec coverage (all pure numpy, no codec libraries): uncompressed
+24-bit BMP (header-parse + stride/BGR handling) and 8-bit PNG with all
+five filter types (zlib IDAT inflate via stdlib, :func:`decode_png`)
+for images; PCM16 WAV (RIFF chunk walk) for audio.  Of the PNG filters,
+Sub/Up/None vectorize fully; Average/Paeth rows decode with a
+per-pixel loop (the spec's left-neighbor dependency is sequential), so
+a large Paeth-heavy PNG is the slow path.  JPEG/MP3/video raise
+NotImplementedError with `fake=False`; `fake=True` substitutes a
+deterministic synthetic decode so plumbing tests don't depend on
+payload format.
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..cacheutil import register
 
 # Tiny per-language stopword lists for the n-gram/keyword heuristic.
 # Deterministic and SQL-replicable; accuracy is secondary to determinism
@@ -187,6 +188,7 @@ def winnowing_dup_pairs(
         capped.count()  # materialize, then drop the pre-cap cached copy
         ex.unpersist()
         ex = capped
+    register(ex)  # released by the session owner after consumption
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
