@@ -515,13 +515,22 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN at FULL probe (probe_hamming = n_planes):
+    every bucket is scanned, so the result is exactly the brute-force
+    top-k and shares the kNN oracle — gating the signature + bucket
+    machinery end to end.  Partial-probe recall-vs-scan-fraction is
+    gated in tests/test_api.py (the synthetic embeddings are
+    near-orthogonal, so partial-probe recall is data-bounded, not
+    implementation-bounded)."""
     from marker_spark.ops.similarity import hyperplane_signatures, lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     dim = len(query)
     with_buckets = hyperplane_signatures(emb, dim=dim, n_planes=12)
-    return lsh_topk(with_buckets, [float(x) for x in query], k=10, n_planes=12)
+    return lsh_topk(
+        with_buckets, [float(x) for x in query], k=10, n_planes=12, probe_hamming=12
+    )
 
 
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,6 +1045,26 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk runs at full probe (nprobe = n_cells), which is exactly
         # the brute-force top-k — same oracle as knn_bruteforce.
         "ivf_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            z AS (
+                SELECT e.vec_id,
+                       unnest(CAST(e.embedding AS DOUBLE[])) AS ev,
+                       unnest(q.qv) AS qe
+                FROM embeddings e CROSS JOIN q
+            ), s AS (
+                SELECT vec_id, sum(ev * qe) AS dot, sqrt(sum(ev * ev)) AS ne
+                FROM z GROUP BY vec_id
+            ), qn AS (
+                SELECT sqrt(sum(x * x)) AS nq FROM (SELECT unnest(qv) AS x FROM q)
+            )
+            SELECT vec_id, round(dot / (ne * qn.nq), 6) AS cosine
+            FROM s, qn
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        # lsh_topk runs at full probe (probe_hamming = n_planes), which is
+        # exactly the brute-force top-k — same oracle as knn_bruteforce.
+        "lsh_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
             z AS (
                 SELECT e.vec_id,

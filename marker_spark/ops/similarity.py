@@ -188,25 +188,33 @@ def lsh_topk(
     `probe_hamming` bit flips of the query's bucket (multi-probe LSH).
     The bucket filter is a pushdown-able IN-list predicate — at scale,
     with the table written bucketed/partitioned by `bucket`, this scans
-    a tiny fraction of files."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((len(query), n_planes))
-    q = np.asarray(query, dtype=np.float64)
-    qbucket = int(((q @ planes) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64)))
+    a tiny fraction of files.
 
-    probe = {qbucket}
-    if probe_hamming >= 1:
-        for i in range(n_planes):
-            probe.add(qbucket ^ (1 << i))
-    if probe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probe.add(qbucket ^ (1 << i) ^ (1 << j))
-
+    ``probe_hamming >= n_planes`` probes every bucket, degrading
+    gracefully to exact brute force — the oracle configuration (same
+    exact-kNN oracle as ivf_topk at full probe); partial-probe recall
+    is gated separately in tests."""
     cos = _cosine_to_query(F.col(vec_col), query)
+    scored = df_with_buckets
+    if probe_hamming < n_planes:
+        import itertools
+
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((len(query), n_planes))
+        q = np.asarray(query, dtype=np.float64)
+        qbucket = int(
+            ((q @ planes) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64))
+        )
+        probe = {qbucket}
+        for r in range(1, probe_hamming + 1):
+            for bits in itertools.combinations(range(n_planes), r):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                probe.add(qbucket ^ flip)
+        scored = scored.where(F.col("bucket").isin(list(probe)))
     return (
-        df_with_buckets.where(F.col("bucket").isin(list(probe)))
-        .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        scored.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )

@@ -14,6 +14,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entrymod
+from marker_spark.cacheutil import release_all
 
 SF_DIR = os.environ.get("MARKER_TEST_SF", "/root/testdata/sf0.001")
 TABLES = entrymod.SOURCES_TBL
@@ -62,6 +63,7 @@ def test_query_matches_oracle(spark, ddb, name):
     b = _normalize([dict(zip(ddb_cols, r)) for r in ddb_rows], ddb_cols)
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     assert a == b, f"{name}: value mismatch\nspark={a[:3]}\nduckdb={b[:3]}"
+    release_all()  # session-owner discipline between queries
 
 
 @pytest.mark.parametrize("name", [k for k in ALL_KEYS if k not in ORACLE_KEYS])
@@ -71,6 +73,7 @@ def test_rows_only_query_runs(spark, name):
     rows = sdf.collect()
     assert rows is not None
     assert len(sdf.columns) > 0
+    release_all()
 
 
 def test_entry_smoke(spark):

@@ -241,6 +241,20 @@ def test_rate_source_soak_bucket_bloom(spark, tmp_path):
         assert live, "stream produced no live-bucket updates"
         for r in sealed:
             assert r["n_rows"] > 0
+        # State-count plateau: with 5s buckets and a 5s lifespan, at most
+        # ~3 bucket states coexist (current + up to two awaiting the
+        # watermark); sample the state store across several more trigger
+        # cycles and assert it stays bounded — creation is balanced by
+        # eviction, the unbounded-growth failure the lifespan prevents.
+        state_counts = []
+        plateau_deadline = _time.time() + 12
+        while _time.time() < plateau_deadline:
+            _time.sleep(2)
+            prog = q.lastProgress
+            if prog and prog.get("stateOperators"):
+                state_counts.append(int(prog["stateOperators"][0]["numRowsTotal"]))
+        assert len(state_counts) >= 2, "too few progress samples for plateau check"
+        assert max(state_counts) <= 5, f"state grew unboundedly: {state_counts}"
     finally:
         q.stop()
 
