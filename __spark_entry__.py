@@ -611,6 +611,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-min (1-perm MinHash) fingerprints per source.  The
+    fingerprint hash is md5, which DuckDB computes identically, so this
+    query carries an EXACT SQL oracle (r2 used xxhash64 and was
+    rows-only)."""
     from marker_spark.ops.text import doc_fingerprint
 
     docs = _read(spark, sf_dir, "documents")
@@ -1139,6 +1143,26 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        # Same md5-based shingle-min construction; md5 agrees between
+        # Spark and DuckDB so the fingerprint hex strings are identical.
+        "doc_fingerprints": """
+            WITH w AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+                FROM documents
+            ), fp AS (
+                SELECT source,
+                       CASE WHEN len(words) >= 5 THEN
+                           list_min(list_transform(range(1, len(words) - 3),
+                                    i -> md5(array_to_string(words[i:i+4], ' '))))
+                       ELSE md5(array_to_string(words, ' ')) END AS fingerprint
+                FROM w
+            )
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT fingerprint) AS n_distinct_fp
+            FROM fp GROUP BY source
         """,
         "bpe_token_counts": """
             WITH t AS (

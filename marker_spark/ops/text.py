@@ -217,15 +217,17 @@ def bpe_ish_token_count_col(text_col: str = "text") -> Column:
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 5) -> DataFrame:
     """Shingle-min fingerprint (1-permutation MinHash over word
-    5-grams): fingerprint = min(xxhash64(shingle)).  Near-duplicate
-    docs that share their minimal shingle collide — a cheap rolling
-    first-pass before full MinHash-LSH.  Engine-hash-dependent, so
-    correctness-checked rows-only."""
+    5-grams): fingerprint = min(md5(shingle)).  Near-duplicate docs
+    that share their minimal shingle collide — a cheap rolling
+    first-pass before full MinHash-LSH.  md5 (not xxhash64) so the
+    fingerprint is engine-independent: DuckDB computes the identical
+    hex string, making the driver query EXACTLY oracle-able (the same
+    trick as the bottom-k sampling oracles in ops/sample.py)."""
     words = words_col(F.col(text_col))
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle, F.lit(0)))
     shingles = F.when(n >= shingle, F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle))
     )).otherwise(F.array(F.concat_ws(" ", words)))
-    fp = F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+    fp = F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
     return df.withColumn("fingerprint", fp)
