@@ -221,6 +221,62 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.3, block_col="label")
 
 
+_LSH_DEDUP_PLANES = 6
+_LSH_DEDUP_SEED = 42
+_LSH_DEDUP_THRESHOLD = 0.3
+
+
+def _lsh_dedup_plane_matrix(dim: int):
+    import numpy as np
+
+    rng = np.random.default_rng(_LSH_DEDUP_SEED)
+    return rng.standard_normal((dim, _LSH_DEDUP_PLANES))
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale embedding near-dup: hyperplane-LSH buckets as the
+    blocking key instead of the label column — the shape that works when
+    no label exists and all-pairs is impossible.  EXACTLY oracle-able:
+    the (dim x n_planes) plane matrix is a deterministic seeded literal,
+    so DuckDB recomputes the same sign-pattern buckets via
+    list_dot_product and the same blocked cosine join."""
+    from marker_spark.ops.dedup import embedding_near_dup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    return embedding_near_dup_lsh(
+        emb, dim=dim, threshold=_LSH_DEDUP_THRESHOLD,
+        n_planes=_LSH_DEDUP_PLANES, seed=_LSH_DEDUP_SEED,
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_lsh_oracle_sql(dim: int = 64) -> str:
+    """Generate the DuckDB oracle: bucket = sign pattern against the
+    same seeded plane literals, pairs blocked by bucket, cosine >= t."""
+    planes = _lsh_dedup_plane_matrix(dim)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[:, j])}]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_DEDUP_PLANES)
+    )
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket_terms} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(bb.embedding AS DOUBLE[])), 6) AS cosine
+        FROM b a JOIN b bb
+          ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(bb.embedding AS DOUBLE[])), 6)
+              >= {_LSH_DEDUP_THRESHOLD}
+        ORDER BY id_a, id_b
+    """
+
+
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact oracle of the Bloom time-range lookup: which early-window
     markers reappear in the late window (semi-join form)."""
@@ -860,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "marker_membership_exact": q_marker_membership_exact,
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
@@ -1095,6 +1152,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
+        "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
         "window_top_orders": """
             SELECT o_custkey, o_orderkey,
                    round(o_totalprice, 4) AS totalprice, rn

@@ -428,6 +428,7 @@ def main() -> None:
         "top_words",
         "bpe_token_counts",
         "knn_bruteforce",
+        "embedding_near_dup_lsh",
         "ivf_topk",
         "minhash_lsh_pairs",
         "simhash_near_dup",
