@@ -96,72 +96,136 @@ def winnowing_fingerprints(
     consecutive duplicates collapsed — guarantees every match of length
     >= k + window - 1 between two documents shares a fingerprint.
 
-    Fully vectorized across the Arrow batch: all texts concatenate into
-    one char buffer; the rolling hash is computed in ONE pass with the
+    Fully vectorized across the Arrow batch with ZERO per-doc Python:
+    the text column's raw utf-8 buffer is taken straight from Arrow (no
+    per-row encode), the rolling hash is computed in ONE pass with the
     prefix trick H(i) = (P(i+k) - P(i)) * B^(k-1+i) where
-    P(j) = sum c_t * Binv^t (mod 2^64, B odd so Binv exists); window
-    minima via a strided sliding view.  No per-character Python; one
-    tiny per-batch numpy pass.
+    P(j) = sum c_t * Binv^t (mod 2^64, B odd so Binv exists; the B^i
+    factor cancels Binv^i so H is position-independent), window minima
+    come from one global strided sliding view, the winnowing collapse
+    is a flat mask with per-doc boundaries, and the output ships back
+    as an Arrow ListArray built from (values, offsets).  ``mapInArrow``
+    instead of a pandas UDF: a list-typed pandas result materializes
+    one Python object per row — the loop this rewrite removes.
 
     Returns (id_col, fingerprints array<long>).
     """
+    import pyarrow as pa
+
     B = np.uint64(1000003)  # odd -> invertible mod 2^64
     Binv = np.uint64(pow(1000003, -1, 1 << 64))
+    Bk1 = np.uint64(pow(1000003, k - 1, 1 << 64))
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    @F.pandas_udf("array<long>")
-    def fp_udf(texts: pd.Series) -> pd.Series:
-        n_docs = len(texts)
-        if n_docs == 0:
-            return pd.Series([], dtype=object)
-        enc = [(t or "").encode("utf-8", "ignore") for t in texts]
-        lens = np.fromiter(map(len, enc), dtype=np.int64, count=n_docs)
-        offs = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(lens, out=offs[1:])
-        total = int(offs[-1])
-        out: list[np.ndarray] = []
-        if total == 0:
-            return pd.Series([np.empty(0, dtype=np.int64)] * n_docs)
-        buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
-        # P(j) = sum_{t<j} c_t * Binv^t ; H(i) = (P(i+k)-P(i)) * B^(k-1+i)
-        # (the B^i factor cancels Binv^i, so H is position-independent)
-        binv_pow = np.empty(total + 1, dtype=np.uint64)
-        binv_pow[0] = 1
-        np.multiply.accumulate(np.full(total, Binv, dtype=np.uint64), out=binv_pow[1:])
-        P = np.zeros(total + 1, dtype=np.uint64)
-        np.cumsum(buf * binv_pow[:-1], out=P[1:])
-        b_pow = np.empty(total, dtype=np.uint64)
-        if total:
-            b_pow[0] = np.uint64(pow(1000003, k - 1, 1 << 64))
-            np.multiply.accumulate(
-                np.concatenate(([b_pow[0]], np.full(total - 1, B, dtype=np.uint64))),
-                out=b_pow,
-            )
-        n_grams_flat = total - k + 1
-        if n_grams_flat <= 0:
-            H = np.empty(0, dtype=np.uint64)
-        else:
-            H = (P[k:] - P[:-k]) * b_pow[:n_grams_flat]
-        for d in range(n_docs):
-            lo, hi = int(offs[d]), int(offs[d + 1])
-            g = hi - lo - k + 1  # k-grams fully inside this doc
-            if g <= 0:
-                # short doc: single whole-doc fingerprint
-                h = (P[hi] - P[lo]) * np.uint64(pow(1000003, max(hi - lo - 1, 0) + lo, 1 << 64))
-                out.append(np.array([h], dtype=np.uint64).view(np.int64))
+    def batch_fn(batches):
+        for batch in batches:
+            n_docs = batch.num_rows
+            if n_docs == 0:
                 continue
-            hd = H[lo : lo + g]
-            if g <= window:
-                mins = np.array([hd.min()], dtype=np.uint64)
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hd, window)
-                mins = sw.min(axis=1)
-                keep = np.ones(len(mins), dtype=bool)
-                keep[1:] = mins[1:] != mins[:-1]  # collapse runs (winnowing)
-                mins = mins[keep]
-            out.append(mins.view(np.int64))
-        return pd.Series(out)
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            tx = batch.column(batch.schema.get_field_index(text_col))
+            # raw utf-8 straight from the Arrow buffers (nulls have
+            # zero-length slots in Spark-produced arrays)
+            off_dtype = np.int64 if pa.types.is_large_string(tx.type) else np.int32
+            bufs = tx.buffers()
+            offs_raw = np.frombuffer(bufs[1], dtype=off_dtype)[
+                tx.offset : tx.offset + n_docs + 1
+            ].astype(np.int64)
+            base = offs_raw[0]
+            offs = offs_raw - base
+            total = int(offs[-1])
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)[base : base + total]
+                if bufs[2] is not None and total
+                else np.empty(0, dtype=np.uint8)
+            )
+            lens = np.diff(offs)
 
-    return df.select(F.col(id_col), fp_udf(F.col(text_col)).alias("fingerprints"))
+            # --- one flat hash pass over the whole batch buffer -------
+            P = np.zeros(total + 1, dtype=np.uint64)
+            powB = np.empty(total + 1, dtype=np.uint64)
+            powB[0] = 1
+            if total:
+                binv_pow = np.empty(total, dtype=np.uint64)
+                binv_pow[0] = 1
+                if total > 1:
+                    np.multiply.accumulate(
+                        np.full(total - 1, Binv, dtype=np.uint64), out=binv_pow[1:]
+                    )
+                np.cumsum(data.astype(np.uint64) * binv_pow, out=P[1:])
+                np.multiply.accumulate(
+                    np.full(total, B, dtype=np.uint64), out=powB[1:]
+                )
+            nH = total - k + 1
+            H = (P[k:] - P[:-k]) * (Bk1 * powB[:nH]) if nH > 0 else np.empty(0, np.uint64)
+
+            # --- per-doc geometry, three regimes -----------------------
+            g = lens - k + 1  # k-grams fully inside each doc
+            case_a = g > window  # sliding window minima + collapse
+            case_b = (g >= 1) & ~case_a  # single min over the doc's k-grams
+            case_c = g < 1  # short doc: whole-doc hash
+
+            # case A: global sliding minima, gathered per doc
+            cA = np.where(case_a, g - window + 1, 0).astype(np.int64)
+            ccum = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(cA, out=ccum[1:])
+            totA = int(ccum[-1])
+            kcA = np.zeros(n_docs, dtype=np.int64)
+            vals_a = np.empty(0, dtype=np.uint64)
+            if totA:
+                mins_flat = np.lib.stride_tricks.sliding_window_view(H, window).min(axis=1)
+                within = np.arange(totA, dtype=np.int64) - np.repeat(ccum[:-1], cA)
+                sel = mins_flat[np.repeat(offs[:-1], cA) + within]
+                keep = np.ones(totA, dtype=bool)
+                keep[1:] = sel[1:] != sel[:-1]  # collapse runs (winnowing)
+                keep[ccum[:-1][case_a]] = True  # never collapse across docs
+                doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), cA)
+                kcA = np.bincount(doc_of[keep], minlength=n_docs).astype(np.int64)
+                vals_a = sel[keep]
+
+            # case B: one min per doc over its (1..window) k-gram hashes
+            docs_b = np.flatnonzero(case_b)
+            vals_b = np.empty(0, dtype=np.uint64)
+            if len(docs_b):
+                gb = g[docs_b]
+                bcum = np.zeros(len(docs_b) + 1, dtype=np.int64)
+                np.cumsum(gb, out=bcum[1:])
+                withinb = np.arange(int(bcum[-1]), dtype=np.int64) - np.repeat(bcum[:-1], gb)
+                vals_b = np.minimum.reduceat(
+                    H[np.repeat(offs[:-1][docs_b], gb) + withinb], bcum[:-1]
+                )
+
+            # case C: whole-doc hash (P diff scaled position-independent)
+            docs_c = np.flatnonzero(case_c)
+            vals_c = np.empty(0, dtype=np.uint64)
+            if len(docs_c):
+                lo, hi = offs[:-1][docs_c], offs[1:][docs_c]
+                vals_c = (P[hi] - P[lo]) * powB[np.maximum(hi - lo - 1, 0) + lo]
+
+            # --- assemble the ListArray in original doc order ----------
+            n_fp = np.where(case_a, kcA, 1).astype(np.int64)
+            out_off = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(n_fp, out=out_off[1:])
+            final = np.empty(int(out_off[-1]), dtype=np.uint64)
+            if totA:
+                kcum = np.zeros(n_docs + 1, dtype=np.int64)
+                np.cumsum(kcA, out=kcum[1:])
+                wA = np.arange(len(vals_a), dtype=np.int64) - np.repeat(kcum[:-1], kcA)
+                final[np.repeat(out_off[:-1], kcA) + wA] = vals_a
+            if len(docs_b):
+                final[out_off[:-1][docs_b]] = vals_b
+            if len(docs_c):
+                final[out_off[:-1][docs_c]] = vals_c
+
+            fps = pa.ListArray.from_arrays(
+                pa.array(out_off, type=pa.int32()),
+                pa.array(final.view(np.int64), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, fps], names=[id_col, "fingerprints"])
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        batch_fn, schema=f"`{id_col}` {id_type}, fingerprints array<long>"
+    )
 
 
 def winnowing_dup_pairs(
