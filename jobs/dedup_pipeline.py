@@ -73,7 +73,7 @@ def main(argv: list[str] | None = None) -> None:
     # 3. near-dup: LSH candidates (capped buckets) -> exact-Jaccard
     #    verification ONLY on candidates -> keep the min-id doc
     sigs = minhash_signatures(exact, text_col=txt, num_perm=args.num_perm,
-                              shingle=args.shingle)
+                              shingle=args.shingle, id_col=idc)
     cands = lsh_candidate_pairs(sigs, id_col=idc, max_bucket=args.max_bucket)
     cand_docs = (
         cands.select(F.col("id_a").alias(idc))

@@ -57,9 +57,42 @@ def _word_hash_col(text_col: str):
     return F.transform(words, lambda w: F.xxhash64(w))
 
 
+def _arrow_list_i64(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 values, 0-based int64 offsets) view of an Arrow
+    list<int64> column — no per-row Python objects (the CLAUDE.md
+    gotcha: a pandas Series of lists materializes one object per row)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    flat = np.ascontiguousarray(flat[offsets[0] : offsets[-1]])
+    return flat.astype(np.int64, copy=False).view(np.uint64), offsets - offsets[0]
+
+
 def _shingle_hashes(wh: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndarray]:
-    """Series of list<int64> word hashes -> (flat uint64 shingle hashes,
-    per-doc segment starts int64, one segment per doc, all non-empty).
+    """pandas-Series entry point for :func:`_shingle_hashes_flat` (used
+    by tests and any pandas-side callers; the Spark operators go through
+    mapInArrow + :func:`_arrow_list_i64` instead)."""
+    values = list(wh)
+    n_docs = len(values)
+    lengths = np.fromiter(map(len, values), dtype=np.int64, count=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    if offsets[-1]:
+        flat = np.concatenate(values).astype(np.int64, copy=False).view(np.uint64)
+    else:
+        flat = np.empty(0, dtype=np.uint64)
+    return _shingle_hashes_flat(flat, offsets, shingle)
+
+
+def _shingle_hashes_flat(
+    flat: np.ndarray, offsets: np.ndarray, shingle: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint64 word hashes + 0-based offsets (n_docs+1) ->
+    (flat uint64 shingle hashes, per-doc segment starts int64, one
+    segment per doc, all non-empty).
 
     Shingle identity = the window of word hashes, hashed with the fused
     int32-window MurmurHash3 kernel (collision-equivalent to hashing the
@@ -72,15 +105,8 @@ def _shingle_hashes(wh: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndarray
     from ..hashing import mmh3_ngram_i32, mmh3_offsets
     from ..ngrams import ngram_starts
 
-    values = list(wh)
-    n_docs = len(values)
-    lengths = np.fromiter(map(len, values), dtype=np.int64, count=n_docs)
-    offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(lengths, out=offsets[1:])
-    if offsets[-1]:
-        flat = np.concatenate(values).astype(np.int64, copy=False).view(np.uint64)
-    else:
-        flat = np.empty(0, dtype=np.uint64)
+    n_docs = len(offsets) - 1
+    lengths = np.diff(offsets)
     # fold 64 -> 32 bits; window hash = fused mmh3 over int32 windows
     flat32 = (flat ^ (flat >> np.uint64(32))).astype(np.uint32).view(np.int32)
     starts, per_doc = ngram_starts(offsets, shingle)
@@ -153,31 +179,45 @@ def minhash_signatures(
     num_perm: int = 128,
     shingle: int = 3,
     seed: int = 42,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Adds `signature: array<bigint>` — MinHash over word shingles.
+    """(id_col, signature array<bigint>) — MinHash over word shingles.
 
     The JVM contributes one xxhash64 per word (:func:`_word_hash_col`);
-    the pandas UDF forms shingle hashes from the flat word-hash buffer
-    with the fused mmh3 window kernel (:func:`_shingle_hashes`), applies
-    each keyed :func:`_mix64` permutation over the flat buffer, and
-    min-reduces per-doc segments with np.minimum.reduceat — zero
-    per-row Python string work.
+    ``mapInArrow`` consumes the list column as flat Arrow buffers
+    (:func:`_arrow_list_i64` — no per-row Python list materialization),
+    forms shingle hashes with the fused mmh3 window kernel
+    (:func:`_shingle_hashes_flat`), applies each keyed :func:`_mix64`
+    permutation over the flat buffer, min-reduces per-doc segments with
+    np.minimum.reduceat, and ships the signature matrix back as ONE
+    Arrow ListArray — zero per-row Python end to end.
     """
+    import pyarrow as pa
+
     keys = _perm_keys(num_perm, seed)
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
 
-    @F.pandas_udf("array<long>")
-    def sig_udf(word_hashes: pd.Series) -> pd.Series:
-        n_docs = len(word_hashes)
-        if n_docs == 0:
-            return pd.Series([], dtype=object)
-        flat, seg = _shingle_hashes(word_hashes, shingle)
-        sigs = np.empty((n_docs, num_perm), dtype=np.int64)
-        for j in range(num_perm):
-            hv = _mix64(flat, keys[j])
-            sigs[:, j] = np.minimum.reduceat(hv, seg).view(np.int64)
-        return pd.Series(list(sigs))
+    def batch_fn(batches):
+        for batch in batches:
+            n_docs = batch.num_rows
+            if n_docs == 0:
+                continue
+            flat, offsets = _arrow_list_i64(batch.column(1))
+            sh, seg = _shingle_hashes_flat(flat, offsets, shingle)
+            sigs = np.empty((n_docs, num_perm), dtype=np.int64)
+            for j in range(num_perm):
+                hv = _mix64(sh, keys[j])
+                sigs[:, j] = np.minimum.reduceat(hv, seg).view(np.int64)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(n_docs + 1, dtype=np.int32) * num_perm, type=pa.int32()),
+                pa.array(sigs.reshape(-1), type=pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), sig_arr], names=[id_col, "signature"]
+            )
 
-    return df.withColumn("signature", sig_udf(_word_hash_col(text_col)))
+    return src.mapInArrow(batch_fn, schema=f"`{id_col}` {id_type}, signature array<long>")
 
 
 def lsh_candidate_pairs(
@@ -299,33 +339,42 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", shingle: int = 2
+    df: DataFrame, text_col: str = "text", shingle: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Adds `simhash: bigint` — 64-bit SimHash over word shingles.
+    """(id_col, simhash bigint) — 64-bit SimHash over word shingles.
 
     The JVM contributes one xxhash64 per word (:func:`_word_hash_col`);
-    the pandas UDF forms shingle hashes numerically
-    (:func:`_shingle_hashes`), unpacks them to a [G, 64] bit matrix,
-    ±1-sums per doc with np.add.reduceat, sign -> bits — zero per-row
-    Python string work.
+    ``mapInArrow`` consumes the list column as flat Arrow buffers
+    (:func:`_arrow_list_i64`), forms shingle hashes numerically
+    (:func:`_shingle_hashes_flat`), unpacks them to a [G, 64] bit
+    matrix, ±1-sums per doc with np.add.reduceat, sign -> bits — zero
+    per-row Python end to end.
     """
+    import pyarrow as pa
 
-    @F.pandas_udf("long")
-    def simhash_udf(word_hashes: pd.Series) -> pd.Series:
-        n_docs = len(word_hashes)
-        if n_docs == 0:
-            return pd.Series([], dtype=np.int64)
-        flat, seg = _shingle_hashes(word_hashes, shingle)
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        contrib = 2 * bits - 1  # ±1
-        sums = np.add.reduceat(contrib, seg, axis=0)  # [n_docs, 64]
-        fp_bits = (sums > 0).astype(np.uint64)
-        fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-        return pd.Series(fp.view(np.int64))
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
 
-    return df.withColumn("simhash", simhash_udf(_word_hash_col(text_col)))
+    def batch_fn(batches):
+        for batch in batches:
+            n_docs = batch.num_rows
+            if n_docs == 0:
+                continue
+            flat, offsets = _arrow_list_i64(batch.column(1))
+            sh, seg = _shingle_hashes_flat(flat, offsets, shingle)
+            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            contrib = 2 * bits - 1  # ±1
+            sums = np.add.reduceat(contrib, seg, axis=0)  # [n_docs, 64]
+            fp_bits = (sums > 0).astype(np.uint64)
+            fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(fp.view(np.int64), type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return src.mapInArrow(batch_fn, schema=f"`{id_col}` {id_type}, simhash long")
 
 
 def simhash_near_dup_pairs(
