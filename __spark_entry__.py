@@ -277,6 +277,37 @@ def _embedding_lsh_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep as ONE composed query: quality
+    filter (pure-Catalyst text stats) -> exact dedup (keep the min-id
+    doc per text) -> per-source deterministic bottom-k sample.  The
+    whole composition carries an exact DuckDB oracle (quality formula,
+    dedup window, and md5 sample rank all replicate), gating the
+    pipeline a real corpus-prep user would run — not just its stages in
+    isolation."""
+    from pyspark.sql import Window
+
+    from marker_spark.ops.sample import stratified_bottom_k
+    from marker_spark.ops.text import with_text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    # round before thresholding so the boundary compare can't split on
+    # sub-1e-6 float differences between engines
+    quality = with_text_stats(docs).where(F.round("quality_score", 6) >= 0.5)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    unique = (
+        quality.withColumn("__rep", F.row_number().over(w))
+        .where(F.col("__rep") == 1)
+        .drop("__rep")
+    )
+    sampled = stratified_bottom_k(unique, k_per_group=3, group_col="source", id_col="doc_id")
+    return sampled.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.round("quality_score", 6).alias("quality"),
+    ).orderBy("source", "doc_id")
+
+
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact oracle of the Bloom time-range lookup: which early-window
     markers reappear in the late window (semi-join form)."""
@@ -917,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
@@ -1153,6 +1185,46 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        # Full-pipeline oracle: quality formula == with_text_stats, dedup
+        # window == min-id per text, sample rank == md5 bottom-k.
+        "corpus_prep": """
+            WITH stats AS (
+                SELECT doc_id, source, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+                       CASE WHEN length(text) > 0
+                            THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                            ELSE 0.0 END AS punct_ratio,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 w -> w IN ('the','and','of','to','in','is','a'))) END AS n_stop
+                FROM documents
+            ), q AS (
+                SELECT doc_id, source, text,
+                       least(n_words / 100.0, 1.0) * 0.3
+                       + (1.0 - punct_ratio) * 0.3
+                       + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5.0, 1.0) * 0.4
+                       AS quality
+                FROM stats
+            ), filtered AS (
+                SELECT * FROM q WHERE round(quality, 6) >= 0.5
+            ), uniq AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rep
+                    FROM filtered
+                ) WHERE rep = 1
+            ), samp AS (
+                SELECT doc_id, source, quality,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's42'))
+                       ) AS rn
+                FROM uniq
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source, round(quality, 6) AS quality
+            FROM samp WHERE rn <= 3
+            ORDER BY source, doc_id
+        """,
         "window_top_orders": """
             SELECT o_custkey, o_orderkey,
                    round(o_totalprice, 4) AS totalprice, rn
