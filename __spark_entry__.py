@@ -277,6 +277,25 @@ def _embedding_lsh_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: exact n-gram Jaccard pairs ->
+    connected components via iterative min-label propagation (the
+    transitive-closure step a real dedup pipeline applies before
+    choosing representatives).  Oracle: DuckDB recursive CTE computes
+    the same components over the same pair predicate — an iterative
+    distributed algorithm with an exact SQL gate."""
+    from marker_spark.ops.dedup import connected_components, ngram_jaccard_pairs
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents").where(F.size(words_col(F.col("text"))) >= 3)
+    pairs = ngram_jaccard_pairs(docs, shingle=3, threshold=0.5, id_col="doc_id")
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep as ONE composed query: quality
     filter (pure-Catalyst text stats) -> exact dedup (keep the min-id
@@ -948,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
         "window_top_orders": q_window_top_orders,
@@ -1185,6 +1205,44 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        # Components via recursive transitive closure over the same exact
+        # Jaccard pair predicate; min labels compare as strings on both
+        # sides (cast to BIGINT only at the end), matching Spark.
+        "dedup_clusters": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+                FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT CAST(a AS BIGINT) AS doc_id,
+                   CAST(least(a, min(b)) AS BIGINT) AS component
+            FROM reach GROUP BY a
+            ORDER BY doc_id
+        """,
         # Full-pipeline oracle: quality formula == with_text_stats, dedup
         # window == min-id per text, sample rank == md5 bottom-k.
         "corpus_prep": """

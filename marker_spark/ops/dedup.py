@@ -485,3 +485,68 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components via
+    iterative min-label propagation — each round every node adopts the
+    minimum label among itself and its neighbors; fixpoint = every node
+    carries its component's minimum id.
+
+    This is the step a real dedup pipeline needs beyond candidate
+    pairs: transitive closure ("A~B, B~C => keep one of {A,B,C}").
+    Each round is one keyed join + groupBy-min (shuffles only (node,
+    label) pairs); rounds needed = graph diameter, and near-dup graphs
+    are overwhelmingly tiny cliques (diameter 1-2).  At 10^12-edge
+    scale the round count can be cut to O(log d) with the small-star /
+    large-star transforms (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — same per-round plan shape.
+    Convergence is detected with a scalar changed-count per round (a
+    driver decision, not driver data).
+
+    Returns (id, component) — component = min id in the node's
+    component; only nodes that appear in `pairs` are returned
+    (singletons are their own trivial component).
+    """
+    from ..cacheutil import register
+
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    register(edges)
+    labels = edges.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+    labels.count()  # materialize so each round starts from a stable snapshot
+    register(labels)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.a == labels.id)
+            .groupBy(F.col("b").alias("id2"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
+                "label",
+            )
+        )
+        changed = new_labels.where(F.col("new_label") < F.col("label")).count()
+        nxt = new_labels.select("id", F.col("new_label").alias("label")).persist()
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+        register(labels)
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

@@ -205,3 +205,31 @@ def test_embedding_near_dup_lsh_finds_planted_pairs(spark):
     planted = {(j, 100 + j) for j in range(5)}
     recall = len(pairs & planted) / len(planted)
     assert recall >= 0.8, (recall, pairs)
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation must close transitive chains (A-B, B-C,
+    C-D => one component) — the multi-round convergence case — and
+    keep disjoint cliques apart."""
+    import pandas as pd
+
+    from marker_spark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 1-2-3-4 (diameter 3: needs >1 round), clique {7,8,9},
+                # isolated pair {5,6}
+                "id_a": ["1", "2", "3", "7", "7", "8", "5"],
+                "id_b": ["2", "3", "4", "8", "9", "9", "6"],
+            }
+        ),
+        schema="id_a string, id_b string",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {comp["1"], comp["2"], comp["3"], comp["4"]} == {"1"}
+    assert {comp["7"], comp["8"], comp["9"]} == {"7"}
+    assert {comp["5"], comp["6"]} == {"5"}
+    from marker_spark.cacheutil import release_all
+
+    release_all()
