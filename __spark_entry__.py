@@ -277,6 +277,17 @@ def _embedding_lsh_oracle_sql(dim: int = 64) -> str:
     """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per source by summed TF-IDF — pure
+    Catalyst (explode, two aggs, vocabulary join, window top-k) with an
+    exact DuckDB oracle (scores round to 6 before ranking; word
+    tie-break makes the order deterministic)."""
+    from marker_spark.ops.text import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).orderBy("source", F.desc("tfidf"), "word")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: exact n-gram Jaccard pairs ->
     connected components via iterative min-label propagation (the
@@ -967,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
@@ -1205,6 +1217,33 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        # Summed tf-idf factorizes as tf_total * ln(N/df); round(6) +
+        # word tie-break keeps ranking engine-independent.
+        "tfidf_top_terms": """
+            WITH wd AS (
+                SELECT doc_id, source, w AS word
+                FROM documents,
+                     unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t(w)
+                WHERE w <> ''
+            ), tf AS (
+                SELECT source, word, count(*) AS tf FROM wd GROUP BY source, word
+            ), dfreq AS (
+                SELECT word, count(DISTINCT doc_id) AS df FROM wd GROUP BY word
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT source, tf.word AS word,
+                       round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+                FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
+            )
+            SELECT source, word, tfidf FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY tfidf DESC, word) AS rn
+                FROM scored
+            ) WHERE rn <= 3
+            ORDER BY source, tfidf DESC, word
+        """,
         # Components via recursive transitive closure over the same exact
         # Jaccard pair predicate; min labels compare as strings on both
         # sides (cast to BIGINT only at the end), matching Spark.

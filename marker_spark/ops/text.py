@@ -295,3 +295,49 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 5) -> 
     )).otherwise(F.array(F.concat_ws(" ", words)))
     fp = F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary"))))
     return df.withColumn("fingerprint", fp)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per group by summed TF-IDF — pure
+    Catalyst (explode + two aggregations + one join + window top-k),
+    whole-stage-codegen end to end.
+
+    Summed tf-idf of a (group, word) factorizes as
+    ``total_occurrences_in_group * ln(N / df)`` since the idf is
+    constant per word, so no per-(doc, word) score materializes.  The
+    vocabulary join is a plain shuffle join keyed by word (the df table
+    IS the vocabulary — too big to broadcast at corpus scale); the
+    1-row corpus count broadcasts.  Scores round to 6 decimals before
+    ranking with a word tie-break, so the rank order is deterministic
+    and engine-independent (ln is the one non-correctly-rounded IEEE op
+    in the formula).
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.col(id_col), F.col(group_col), F.explode(words_col(F.col(text_col))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tf = words.groupBy(group_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        words.select(id_col, "word").distinct()
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.col("word"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(group_col, "word", "tfidf")
+    )
