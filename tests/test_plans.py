@@ -97,3 +97,32 @@ def test_ivf_cell_filter_is_in_list(spark):
     plan = _plan(ivf_topk(ivf_assign(emb, cents), cents, query, k=10, nprobe=2))
     assert "cell" in plan and (" IN (" in plan or "cell#" in plan)
     assert "TakeOrderedAndProject" in plan  # top-k stays a bounded heap
+
+
+def test_signature_ops_run_as_map_in_arrow(spark):
+    """MinHash/SimHash/winnowing must enter Python via MapInArrow (flat
+    buffer access), never ArrowEvalPython over a list-typed column (one
+    Python object per row — the CLAUDE.md gotcha)."""
+    from marker_spark.ops.dedup import minhash_signatures, simhash_fingerprints
+    from marker_spark.ops.text import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for q in (
+        minhash_signatures(docs, num_perm=16, shingle=3),
+        simhash_fingerprints(docs, shingle=2),
+        winnowing_fingerprints(docs, k=8, window=4),
+    ):
+        plan = _plan(q)
+        assert "MapInArrow" in plan, plan[:500]
+        assert "ArrowEvalPython" not in plan
+
+
+def test_tfidf_no_cartesian_product(spark):
+    """The 1-row corpus count joins via broadcast nested loop, never a
+    CartesianProduct; the vocabulary join stays a keyed join."""
+    from marker_spark.ops.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
