@@ -278,3 +278,68 @@ def windowed_marker_counts(
             "n_distinct",
         )
     )
+
+
+def stateful_novelty_filter(
+    stream_df: DataFrame,
+    marker_col: str = "marker",
+    n_shards: int = 8,
+    capacity: int = 100_000,
+    fp: float = 0.001,
+):
+    """Online dedup for a training-data ingest stream: emit each marker
+    AT MOST ONCE across the stream's lifetime, dropping re-occurrences.
+
+    Rows shard by hash(marker) so each shard's group state holds one
+    bounded Bloom filter sized for capacity/n_shards — state volume is
+    configured, not corpus-proportional, and shards parallelize the
+    stateful operator.  Guarantees (Bloom semantics): a duplicate is
+    NEVER emitted twice (no false negatives), and at most ~fp of novel
+    markers are wrongly dropped (false positives).  Within a batch the
+    first occurrence wins; the probe and the insert are one vectorized
+    hash pass.  The streaming form of the reference's insert+lookup
+    cycle (markercache.cpp:161-201) with emission semantics.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .hashing import mmh3_x64_128
+    from .params import BloomParams
+    from .sketches.bloom import BloomSketch
+
+    bp = BloomParams.solve(max(capacity // n_shards, 1_000), fp)
+    keyed = stream_df.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(marker_col)), F.lit(n_shards)).cast("int")
+    )
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        sk = (
+            BloomSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else BloomSketch(bp.m, bp.k)
+        )
+        import numpy as np
+
+        outs = []
+        for pdf in pdf_iter:
+            markers = encode_series(pdf[marker_col])
+            h1, h2 = mmh3_x64_128(markers)
+            seen = sk.contains_hashes(h1, h2)
+            later_dup = pd.Series(markers).duplicated().to_numpy()
+            novel = ~seen & ~later_dup
+            if novel.any():
+                sk.insert_hashes(h1[novel], h2[novel])
+                outs.append(pdf.loc[novel, [marker_col]])
+        state.update((sk.to_bytes(),))
+        if outs:
+            yield pd.concat(outs)
+        else:
+            yield pd.DataFrame({marker_col: pd.Series([], dtype=object)})
+
+    return keyed.groupBy("__shard").applyInPandasWithState(
+        update_fn,
+        outputStructType=f"{marker_col} string",
+        stateStructType="sketch binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

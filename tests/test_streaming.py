@@ -297,3 +297,35 @@ def test_stateful_heavy_hitters(spark, stream_dir, tmp_path):
         # the true most-frequent user for this key is reported
         top_true = int(sub.idxmax())
         assert top_true in {i for i, _, _ in items}, key
+
+
+def test_stateful_novelty_filter_emits_each_marker_once(spark, tmp_path):
+    """Online dedup: across micro-batches containing repeats, every
+    distinct marker is emitted exactly once (fp sized so false drops
+    are ~0 at this n), and nothing is emitted twice."""
+    import pandas as pd
+
+    from marker_spark.streaming import stateful_novelty_filter
+
+    d = tmp_path / "novelty_src"
+    d.mkdir()
+    # 3 chunks with heavy overlap: chunk2 repeats half of chunk1 etc.
+    base = [f"m-{i}" for i in range(300)]
+    chunks = [base[:200], base[100:250] + base[:50], base[200:300] + base[:100]]
+    for i, ch in enumerate(chunks):
+        pd.DataFrame({"marker": ch}).to_parquet(d / f"c{i}.parquet", index=False)
+
+    stream = spark.readStream.schema("marker string").parquet(str(d))
+    out = stateful_novelty_filter(stream, capacity=10_000, fp=1e-6, n_shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("novelty")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "novelty_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [r["marker"] for r in spark.sql("select marker from novelty").collect()]
+    assert len(emitted) == len(set(emitted)), "a marker was emitted twice"
+    assert set(emitted) == set(base), "novel markers were lost"
