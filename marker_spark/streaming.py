@@ -336,10 +336,13 @@ def stateful_novelty_filter(
         else:
             yield pd.DataFrame({marker_col: pd.Series([], dtype=object)})
 
+    # append mode: every emitted row is final (a marker is emitted at
+    # most once), so the operator composes with append-only sinks (file
+    # sinks) and checkpoint recovery.
     return keyed.groupBy("__shard").applyInPandasWithState(
         update_fn,
         outputStructType=f"{marker_col} string",
         stateStructType="sketch binary",
-        outputMode="update",
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

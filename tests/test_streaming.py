@@ -320,7 +320,7 @@ def test_stateful_novelty_filter_emits_each_marker_once(spark, tmp_path):
     q = (
         out.writeStream.format("memory")
         .queryName("novelty")
-        .outputMode("update")
+        .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "novelty_ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -329,3 +329,49 @@ def test_stateful_novelty_filter_emits_each_marker_once(spark, tmp_path):
     emitted = [r["marker"] for r in spark.sql("select marker from novelty").collect()]
     assert len(emitted) == len(set(emitted)), "a marker was emitted twice"
     assert set(emitted) == set(base), "novel markers were lost"
+
+
+def test_stateful_novelty_filter_resumes_across_restart(spark, tmp_path):
+    """The dedup state must survive a query restart: markers emitted
+    before the stop are NOT re-emitted by a new query started from the
+    same checkpoint (state-store recovery, the streaming analogue of
+    the cache's resume path).  File sink + append mode: the combination
+    that actually supports checkpoint recovery."""
+    import pandas as pd
+
+    from marker_spark.streaming import stateful_novelty_filter
+
+    d = tmp_path / "novelty_resume_src"
+    d.mkdir()
+    ckpt = str(tmp_path / "novelty_resume_ckpt")
+    sink = str(tmp_path / "novelty_resume_out")
+    pd.DataFrame({"marker": [f"a-{i}" for i in range(200)]}).to_parquet(
+        d / "c0.parquet", index=False
+    )
+
+    def run():
+        stream = spark.readStream.schema("marker string").parquet(str(d))
+        out = stateful_novelty_filter(stream, capacity=10_000, fp=1e-6, n_shards=4)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [r["marker"] for r in spark.read.parquet(sink).collect()]
+
+    first = run()
+    assert set(first) == {f"a-{i}" for i in range(200)}
+    # second run from the SAME checkpoint: old markers repeat + new ones
+    pd.DataFrame(
+        {"marker": [f"a-{i}" for i in range(200)] + [f"b-{i}" for i in range(100)]}
+    ).to_parquet(d / "c1.parquet", index=False)
+    both = run()
+    second = set(both) - set(first)
+    assert second == {f"b-{i}" for i in range(100)}
+    assert len(both) == len(set(both)), (
+        "restarted query re-emitted markers already seen before the restart"
+    )
