@@ -31,6 +31,7 @@ from .sketches.cms import CmsSketch
 from .sketches.hll import HllSketch
 from .sketches.kll import KllSketch
 from .sketches.minhash import MinHashSketch
+from .sketches.misra_gries import MisraGriesSketch
 from .sketches.tdigest import TDigestSketch
 from .sketches.theta import ThetaSketch
 
@@ -157,3 +158,21 @@ def theta_agg(
     factory = lambda: ThetaSketch(k=k)  # noqa: E731
     update = _ngram_updater(lambda sk, h1, h2: sk.update_hashes(h1), ngram, token_col)
     return sketch_agg(df, factory, update, ThetaSketch, group_cols, **agg_kw)
+
+
+def mg_agg(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+    **agg_kw,
+) -> DataFrame:
+    """Misra-Gries heavy-hitters summary over an int64 item column per
+    group — frequent items WITHOUT a known candidate set (count-min's
+    complement), bounded O(k) state."""
+    factory = lambda: MisraGriesSketch(k=k)  # noqa: E731
+
+    def update(sk, pdf: pd.DataFrame) -> None:
+        sk.update(pdf[item_col].to_numpy(dtype="int64"))
+
+    return sketch_agg(df, factory, update, MisraGriesSketch, group_cols, **agg_kw)

@@ -133,3 +133,26 @@ def test_bucketed_grouped_bloom_membership(spark, tok, pdf):
         flat, offsets = list_column_to_flat(sub["tokens"])
         mat, _ = ngram_bytes(flat, offsets, 3)
         assert bool(sk.contains_fixed_width(mat).all()), (src, bkt)
+
+
+def test_mg_agg_finds_heavy_items(spark):
+    """One-call MG aggregation: per-group summaries whose candidates
+    contain every item above N/(k+1)."""
+    import numpy as np
+    import pandas as pd
+
+    from marker_spark.agg import collect_sketches
+    from marker_spark.api import mg_agg
+    from marker_spark.sketches.misra_gries import MisraGriesSketch
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in ["x", "y"]:
+        heavy = 1 if g == "x" else 2
+        items = np.where(rng.random(5_000) < 0.3, heavy, rng.integers(100, 10_000, 5_000))
+        rows.append(pd.DataFrame({"g": g, "item": items.astype("int64")}))
+    df = spark.createDataFrame(pd.concat(rows), schema="g string, item long")
+    result = mg_agg(df, item_col="item", group_cols=["g"], k=64)
+    sks = collect_sketches(result, MisraGriesSketch, ["g"])
+    assert 1 in set(int(i) for i in sks[("x",)].items)
+    assert 2 in set(int(i) for i in sks[("y",)].items)
