@@ -168,3 +168,36 @@ def test_range_join_per_row_ranges_and_guards(spark):
     for r in got:
         want = bool(cache.lookup_from(r["q_start"], r["q_end"], [r["marker"].encode()])[0])
         assert r["found"] == want, (r["marker"], r["q_start"], r["q_end"])
+
+
+def test_range_join_randomized_ranges(spark):
+    """200 random (start, end) ranges (including inverted and
+    out-of-window ones) against random probes — the closure-broadcast
+    UDF must agree with the driver API row for row."""
+    import numpy as np
+
+    from marker_spark.cache.sketch_cache import SketchCache
+    from marker_spark.params import CacheParams
+
+    params = CacheParams(duration=10 * DAY, lifespan=30 * DAY, fp=0.001, total_capacity=50_000)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "marker", F.concat_ws("|", F.col("event_id"), F.col("props"))
+    )
+    cache = SketchCache(params)
+    cache.insert_batch(ev, ts_col="ts", marker_col="marker")
+
+    rng = np.random.default_rng(17)
+    t0 = 1_704_067_200
+    markers = [r["marker"] for r in ev.select("marker").limit(100).collect()]
+    rows = []
+    for i in range(200):
+        m = markers[int(rng.integers(len(markers)))]
+        lo = int(t0 + rng.integers(-40, 40) * DAY)
+        hi = int(lo + rng.integers(-10, 40) * DAY)  # sometimes inverted
+        rows.append((m, lo, hi))
+    probe = spark.createDataFrame(rows, schema="marker string, q_start long, q_end long")
+    got = cache.lookup_range_join(spark, probe, "marker", "q_start", "q_end").collect()
+    assert len(got) == 200
+    for r in got:
+        want = bool(cache.lookup_from(r["q_start"], r["q_end"], [r["marker"].encode()])[0])
+        assert r["found"] == want, (r["marker"], r["q_start"], r["q_end"])
