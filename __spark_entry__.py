@@ -224,6 +224,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_DEDUP_PLANES = 6
 _LSH_DEDUP_SEED = 42
 _LSH_DEDUP_THRESHOLD = 0.3
+_LSH_DEDUP_DIM = 64  # testdata embedding dimension; oracle planes use it
 
 
 def _lsh_dedup_plane_matrix(dim: int):
@@ -244,13 +245,19 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
+    # the oracle bakes in plane literals for this dimension; fail loudly
+    # on a mismatched fixture instead of comparing different planes
+    assert dim == _LSH_DEDUP_DIM, (
+        f"embeddings dim {dim} != {_LSH_DEDUP_DIM}; regenerate the "
+        f"embedding_near_dup_lsh oracle via _embedding_lsh_oracle_sql(dim)"
+    )
     return embedding_near_dup_lsh(
         emb, dim=dim, threshold=_LSH_DEDUP_THRESHOLD,
         n_planes=_LSH_DEDUP_PLANES, seed=_LSH_DEDUP_SEED,
     ).orderBy("id_a", "id_b")
 
 
-def _embedding_lsh_oracle_sql(dim: int = 64) -> str:
+def _embedding_lsh_oracle_sql(dim: int = _LSH_DEDUP_DIM) -> str:
     """Generate the DuckDB oracle: bucket = sign pattern against the
     same seeded plane literals, pairs blocked by bucket, cosine >= t."""
     planes = _lsh_dedup_plane_matrix(dim)
@@ -918,7 +925,7 @@ def q_cache_timerange_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = hits.agg(
         F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(F.col("h")[i].cast("long")).alias(f"f{i}")
+            F.sum(F.col("h").getField(f"f{i}").cast("long")).alias(f"f{i}")
             for i in range(len(ranges))
         ],
     )
@@ -1376,7 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             WITH w AS (
                 SELECT source,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
                             ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
                 FROM documents
             ), fp AS (

@@ -169,10 +169,19 @@ def mg_agg(
 ) -> DataFrame:
     """Misra-Gries heavy-hitters summary over an int64 item column per
     group — frequent items WITHOUT a known candidate set (count-min's
-    complement), bounded O(k) state."""
+    complement), bounded O(k) state.
+
+    Null items are dropped (a nullable long column reaches pandas as
+    float64, where a blind int64 cast turns NaN into INT64_MIN — a
+    garbage heavy hitter).  Caveat that comes with that pandas float64
+    detour: if the column CONTAINS nulls, non-null ids above 2^53 lose
+    precision in transit — coalesce/filter upstream when ids are that
+    large."""
     factory = lambda: MisraGriesSketch(k=k)  # noqa: E731
 
     def update(sk, pdf: pd.DataFrame) -> None:
-        sk.update(pdf[item_col].to_numpy(dtype="int64"))
+        vals = pdf[item_col].dropna()
+        if len(vals):
+            sk.update(vals.to_numpy(dtype="int64"))
 
     return sketch_agg(df, factory, update, MisraGriesSketch, group_cols, **agg_kw)

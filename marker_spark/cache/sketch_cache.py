@@ -251,14 +251,17 @@ class SketchCache:
         return found_udf
 
     def lookup_multi_range_udf(self, ranges: list[tuple[int, int]]):
-        """Vectorized pandas UDF ``marker -> array<boolean>`` answering
-        ALL the given (start, end) ranges in one pass: markers are
-        hashed once per batch, each bucket's membership vector is
+        """Vectorized pandas UDF ``marker -> struct<f0..fR boolean>``
+        answering ALL the given (start, end) ranges in one pass: markers
+        are hashed once per batch, each bucket's membership vector is
         computed at most once (memoized across ranges), and each range
         ORs the vectors of its overlapping buckets.  For R query-level
         ranges this scans the probe set once instead of R times — the
         fan-out-free form of repeating :meth:`lookup_range_join` per
-        range."""
+        range.  The result is a STRUCT of boolean columns (one field
+        ``f{j}`` per range), which stays columnar through Arrow — an
+        array<boolean> return would materialize one Python list per
+        probe row."""
         from pyspark.sql.functions import pandas_udf
 
         bucket_blobs = [
@@ -266,10 +269,11 @@ class SketchCache:
         ]
         oldest = self.buckets[0].start if self.buckets else None
         rng = [(int(lo), int(hi)) for lo, hi in ranges]
+        out_type = "struct<" + ", ".join(f"f{j}: boolean" for j in range(len(rng))) + ">"
         state: dict[str, list] = {}
 
-        @pandas_udf("array<boolean>")
-        def found_udf(marker: pd.Series) -> pd.Series:
+        @pandas_udf(out_type)
+        def found_udf(marker: pd.Series) -> pd.DataFrame:
             n = len(marker)
             out = np.zeros((n, len(rng)), dtype=bool)
             if oldest is not None and n:
@@ -293,7 +297,7 @@ class SketchCache:
                         if m is None:
                             m = memo[bi] = sk.contains_hashes(h1, h2)
                         out[:, j] |= m
-            return pd.Series([row.tolist() for row in out])
+            return pd.DataFrame({f"f{j}": out[:, j] for j in range(len(rng))})
 
         return found_udf
 

@@ -71,6 +71,41 @@ def _arrow_list_i64(col) -> tuple[np.ndarray, np.ndarray]:
     return flat.astype(np.int64, copy=False).view(np.uint64), offsets - offsets[0]
 
 
+def _map_shingle_batches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle: int,
+    kernel,
+    out_field: str,
+    out_type: str,
+) -> DataFrame:
+    """Shared mapInArrow scaffolding for shingle-kernel operators
+    (MinHash, SimHash): select (id, JVM per-word xxhash64 list), consume
+    the list column as flat Arrow buffers, form shingle hashes with the
+    fused mmh3 window kernel, and hand ``(shingle_hashes, per-doc
+    segment starts, n_docs)`` to ``kernel``, which returns the output
+    pyarrow Array.  One place owns the Arrow plumbing so fixes to it
+    (null/sliced-array handling) cannot drift between operators."""
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
+
+    def batch_fn(batches):
+        for batch in batches:
+            n_docs = batch.num_rows
+            if n_docs == 0:
+                continue
+            flat, offsets = _arrow_list_i64(batch.column(1))
+            sh, seg = _shingle_hashes_flat(flat, offsets, shingle)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), kernel(sh, seg, n_docs)], names=[id_col, out_field]
+            )
+
+    return src.mapInArrow(batch_fn, schema=f"`{id_col}` {id_type}, {out_field} {out_type}")
+
+
 def _shingle_hashes(wh: pd.Series, shingle: int) -> tuple[np.ndarray, np.ndarray]:
     """pandas-Series entry point for :func:`_shingle_hashes_flat` (used
     by tests and any pandas-side callers; the Spark operators go through
@@ -195,29 +230,20 @@ def minhash_signatures(
     import pyarrow as pa
 
     keys = _perm_keys(num_perm, seed)
-    id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
 
-    def batch_fn(batches):
-        for batch in batches:
-            n_docs = batch.num_rows
-            if n_docs == 0:
-                continue
-            flat, offsets = _arrow_list_i64(batch.column(1))
-            sh, seg = _shingle_hashes_flat(flat, offsets, shingle)
-            sigs = np.empty((n_docs, num_perm), dtype=np.int64)
-            for j in range(num_perm):
-                hv = _mix64(sh, keys[j])
-                sigs[:, j] = np.minimum.reduceat(hv, seg).view(np.int64)
-            sig_arr = pa.ListArray.from_arrays(
-                pa.array(np.arange(n_docs + 1, dtype=np.int32) * num_perm, type=pa.int32()),
-                pa.array(sigs.reshape(-1), type=pa.int64()),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0), sig_arr], names=[id_col, "signature"]
-            )
+    def kernel(sh: np.ndarray, seg: np.ndarray, n_docs: int):
+        sigs = np.empty((n_docs, num_perm), dtype=np.int64)
+        for j in range(num_perm):
+            hv = _mix64(sh, keys[j])
+            sigs[:, j] = np.minimum.reduceat(hv, seg).view(np.int64)
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(n_docs + 1, dtype=np.int32) * num_perm, type=pa.int32()),
+            pa.array(sigs.reshape(-1), type=pa.int64()),
+        )
 
-    return src.mapInArrow(batch_fn, schema=f"`{id_col}` {id_type}, signature array<long>")
+    return _map_shingle_batches(
+        df, text_col, id_col, shingle, kernel, "signature", "array<long>"
+    )
 
 
 def lsh_candidate_pairs(
@@ -352,29 +378,17 @@ def simhash_fingerprints(
     """
     import pyarrow as pa
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
+    def kernel(sh: np.ndarray, seg: np.ndarray, n_docs: int):
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        contrib = 2 * bits - 1  # ±1
+        sums = np.add.reduceat(contrib, seg, axis=0)  # [n_docs, 64]
+        fp_bits = (sums > 0).astype(np.uint64)
+        fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.array(fp.view(np.int64), type=pa.int64())
 
-    def batch_fn(batches):
-        for batch in batches:
-            n_docs = batch.num_rows
-            if n_docs == 0:
-                continue
-            flat, offsets = _arrow_list_i64(batch.column(1))
-            sh, seg = _shingle_hashes_flat(flat, offsets, shingle)
-            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            contrib = 2 * bits - 1  # ±1
-            sums = np.add.reduceat(contrib, seg, axis=0)  # [n_docs, 64]
-            fp_bits = (sums > 0).astype(np.uint64)
-            fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pa.array(fp.view(np.int64), type=pa.int64())],
-                names=[id_col, "simhash"],
-            )
-
-    return src.mapInArrow(batch_fn, schema=f"`{id_col}` {id_type}, simhash long")
+    return _map_shingle_batches(df, text_col, id_col, shingle, kernel, "simhash", "long")
 
 
 def simhash_near_dup_pairs(
@@ -527,12 +541,16 @@ def connected_components(
     ).persist()
     labels.count()  # materialize so each round starts from a stable snapshot
     register(labels)
+    changed = None
+    prev_persisted = labels  # the materialized handle of the previous round
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.a == labels.id)
             .groupBy(F.col("b").alias("id2"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        # persist BEFORE the convergence count so each round runs the
+        # join+aggregation once, not twice (count + next-round input)
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
             .select(
@@ -540,13 +558,19 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
                 "label",
             )
+            .persist()
         )
+        register(new_labels)
         changed = new_labels.where(F.col("new_label") < F.col("label")).count()
-        nxt = new_labels.select("id", F.col("new_label").alias("label")).persist()
-        nxt.count()
-        labels.unpersist()
-        labels = nxt
-        register(labels)
+        prev_persisted.unpersist()  # labels itself may be a projection
+        prev_persisted = new_labels
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — the graph has a "
+            f"component with eccentricity > max_iter; raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
