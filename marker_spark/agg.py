@@ -60,11 +60,22 @@ def unpack_state(sketch_cls: type, buf: bytes) -> Any:
 
 def _call_factory(factory: Callable, key: tuple | None) -> Any:
     """Factories may be group-aware (factory(key) sizes state per group,
-    e.g. per-source Bloom capacity) or zero-arg."""
+    e.g. per-source Bloom capacity) or zero-arg.  Dispatch by signature
+    inspection, NOT try/except TypeError — catching TypeError would
+    swallow a genuine bug inside a group-aware factory and silently
+    retry it zero-arg with default sizing."""
+    import inspect
+
     try:
+        takes_key = len(inspect.signature(factory).parameters) >= 1
+    except (TypeError, ValueError):  # builtins without inspectable signatures
+        try:
+            return factory(key)
+        except TypeError:
+            return factory()
+    if takes_key:
         return factory(key)
-    except TypeError:
-        return factory()
+    return factory()
 
 
 def build_partials(

@@ -118,7 +118,9 @@ class SketchCache:
         with_bucket = df.withColumn(
             "__bucket",
             (F.floor(F.unix_timestamp(F.col(ts_col)) / dur) * dur).cast("long").cast("string"),
-        )
+        # rows with a null/unparseable timestamp have no bucket: drop
+        # them (the NULL_KEY sentinel group would crash int() below)
+        ).where(F.col("__bucket").isNotNull())
         if marker_col is not None:
             update = bloom_binary_updater(marker_col)
         elif token_col is not None:
@@ -129,7 +131,9 @@ class SketchCache:
         factory = lambda: BloomSketch(bp.m, bp.k)  # noqa: E731
         result = sketch_agg(with_bucket, factory, update, BloomSketch, group_cols=["__bucket"])
         built = collect_sketches(result, BloomSketch, ["__bucket"])
-        secs = time.monotonic() - t0
+        # one Spark job built every bucket; attribute its wall time
+        # proportionally so lineage totals equal the real job time
+        secs = (time.monotonic() - t0) / max(len(built), 1)
         for (bstart_s,), sk in built.items():
             bstart = int(bstart_s)
             self._merge_into_bucket(bstart, sk, secs, source_label)
@@ -319,14 +323,25 @@ class SketchCache:
 
     # --- ageing ------------------------------------------------------------------
     def maybe_age(self, now: int, force: bool = False) -> bool:
-        """Seal + rotate per markercache.cpp:203-242. Returns True if aged."""
+        """Seal + rotate per markercache.cpp:203-242. Returns True if aged.
+
+        Divergence from the reference's ``end = now`` seal (documented
+        in SURVEY.md §7): because THIS cache buckets markers by EVENT
+        time on a fixed grid (the reference always writes the current
+        bucket), every bucket's [start, end] must be a union of whole
+        grid slots — a seal cut mid-slot would strand the slot's
+        still-arriving events in a bucket whose range excludes their
+        timestamps, i.e. lookup false negatives.  Normal ageing seals
+        the fully-elapsed slots (end = slot_start(now) - 1); a forced
+        early age seals the whole current slot (late arrivals for it
+        still merge into the sealed bucket, whose range covers them)."""
         if not self.buckets:
             self.open_bucket(now)
             return False
         cur = self.buckets[-1]
         if not force and not (cur.start + self.params.duration <= now):
             return False
-        cur.end = max(now, cur.start)  # seal, :211
+        cur.end = max(self.bucket_start_for(now), cur.start + self.params.duration) - 1
         while len(self.buckets) >= self.params.num_filters:  # evict oldest, :216-226
             evicted = self.buckets.pop(0)
             self._delete_ckpt(evicted.start)
@@ -409,7 +424,22 @@ class SketchCache:
         bucket.
         """
         cache = cls(params, ckpt_dir)
-        lifespan_floor = now - params.duration * params.num_filters
+        # The manifest records each sealed bucket's TRUE end (a
+        # late-aged bucket spans several grid slots); fall back to one
+        # slot for buckets missing from it.
+        manifest_ends: dict[int, int] = {}
+        mpath = os.path.join(ckpt_dir, "manifest.json")
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    manifest = json.load(f)
+                manifest_ends = {
+                    int(b["start"]): int(b["end"])
+                    for b in manifest.get("buckets", [])
+                    if b.get("sealed")
+                }
+            except (ValueError, KeyError):
+                pass  # unreadable manifest: slot-sized ends still work
         files = []
         if os.path.isdir(ckpt_dir):
             for name in sorted(os.listdir(ckpt_dir)):
@@ -424,29 +454,37 @@ class SketchCache:
         for start in files[: params.num_filters - 1]:
             with open(os.path.join(ckpt_dir, f"{start}.sketch"), "rb") as f:
                 sk = BloomSketch.from_bytes(f.read())
+            end = manifest_ends.get(start, start + params.duration - 1)
             cache.buckets.append(
-                Bucket(start=start, end=start + params.duration - 1, sketch=sk, n_markers=sk.n_inserted)
+                Bucket(start=start, end=end, sketch=sk, n_markers=sk.n_inserted)
             )
         cache.buckets.sort(key=lambda b: b.start)
 
-        # Rebuild gap buckets between newest restored and now, :103-130.
-        # The reference's loop runs `while back.end <= now`, so the gap
-        # range includes the (partially elapsed) current bucket.
+        # Rebuild missing bucket ranges, :103-130 — BOTH interior holes
+        # (a deleted/corrupted checkpoint between restored buckets) and
+        # the trailing gap up to now (the reference's loop runs `while
+        # back.end <= now`, so the partially elapsed current slot is
+        # included).
         if cache.buckets:
-            expected = cache.buckets[-1].end + 1
             gaps: list[tuple[int, int]] = []
+            prev_end = None
+            for b in cache.buckets:
+                if prev_end is not None and b.start > prev_end + 1:
+                    gaps.append((prev_end + 1, b.start - 1))
+                prev_end = b.end
+            expected = cache.buckets[-1].end + 1
             while expected <= now:
                 gaps.append((expected, expected + params.duration - 1))
                 expected += params.duration
             if gaps and source_df is not None:
-                lo = gaps[0][0]
-                sub = source_df.filter(
-                    (F.unix_timestamp(F.col(ts_col)) >= lo)
-                    & (F.unix_timestamp(F.col(ts_col)) <= now)
-                )
+                ts = F.unix_timestamp(F.col(ts_col))
+                pred = None
+                for lo, hi in gaps:
+                    cond = (ts >= lo) & (ts <= min(hi, now))
+                    pred = cond if pred is None else (pred | cond)
                 cache.insert_batch(
-                    sub, ts_col, marker_col=marker_col, token_col=token_col,
-                    ngram=ngram, source_label="rebuild",
+                    source_df.filter(pred), ts_col, marker_col=marker_col,
+                    token_col=token_col, ngram=ngram, source_label="rebuild",
                 )
             elif gaps:
                 # no source: backdated empty filters, :135-140

@@ -134,10 +134,23 @@ def pad_bytes(items: list[bytes] | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def mmh3_x64_128(items: list[bytes], seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Hash a Python list of byte strings (convenience wrapper)."""
-    if len(items) == 0:
+    """Hash a Python list of byte strings (convenience wrapper).
+
+    Chunked like the fixed-width path (CLAUDE.md: 64k chunks measured
+    6.8x on multi-M elementwise chains) — per-chunk padding also bounds
+    the [chunk, max_len] scratch matrix, so one long outlier row cannot
+    blow the allocation up to N * max_len."""
+    n = len(items)
+    if n == 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e
+    if n > _HASH_CHUNK:
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        for lo in range(0, n, _HASH_CHUNK):
+            hi = min(lo + _HASH_CHUNK, n)
+            h1[lo:hi], h2[lo:hi] = mmh3_x64_128(items[lo:hi], seed)
+        return h1, h2
     padded, lengths = pad_bytes(items)
     return mmh3_x64_128_padded(padded, lengths, seed=seed)
 
@@ -306,11 +319,25 @@ def mmh3_offsets(flat: np.ndarray, offsets: np.ndarray, seed: int = 0) -> tuple[
     """Hash N variable-length byte strings stored Arrow-style: a flat
     uint8 buffer plus int offsets of length N+1 (row i spans
     flat[offsets[i]:offsets[i+1]]).  Avoids materializing Python bytes
-    when the input already lives in an Arrow BinaryArray."""
+    when the input already lives in an Arrow BinaryArray.
+
+    Chunked on rows (see :func:`mmh3_x64_128`): each chunk pads to its
+    OWN max length, keeping scratch in cache and bounding allocation."""
+    offsets = np.asarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
     if n <= 0:
         e = np.empty(0, dtype=np.uint64)
         return e, e
+    if n > _HASH_CHUNK:
+        h1 = np.empty(n, dtype=np.uint64)
+        h2 = np.empty(n, dtype=np.uint64)
+        for lo in range(0, n, _HASH_CHUNK):
+            hi = min(lo + _HASH_CHUNK, n)
+            sub = offsets[lo : hi + 1] - offsets[lo]
+            h1[lo:hi], h2[lo:hi] = mmh3_offsets(
+                flat[offsets[lo] : offsets[hi]], sub, seed
+            )
+        return h1, h2
     lengths = np.diff(offsets).astype(np.int64)
     max_len = int(lengths.max(initial=0))
     width = ((max_len // 16) + 2) * 16

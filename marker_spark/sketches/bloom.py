@@ -47,11 +47,6 @@ class BloomSketch:
             self.blocks = blocks
 
     # --- probe computation -------------------------------------------------
-    def _probe_bits(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        """[N, k] bit indices via double hashing with uint64 wrap."""
-        i = np.arange(self.k, dtype=np.uint64)[None, :]
-        return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m)
-
     # --- updates -----------------------------------------------------------
     def insert_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
         n = len(h1)

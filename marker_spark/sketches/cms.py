@@ -67,17 +67,21 @@ class CmsSketch:
         cols = self._cols(h1, h2)
         # bincount's float64 weights are exact only while any per-cell sum
         # stays below 2^53; a batch's worst case is bounded by its total.
-        bincount_exact = int(counts.sum()) < (1 << 53)
+        # (total + float weights hoisted out of the d-row loop: this is
+        # the hot update path, no redundant full-array passes.)
+        total = int(counts.sum())
+        bincount_exact = total < (1 << 53)
+        weights = counts.astype(np.float64) if bincount_exact else None
         for i in range(self.d):
             # bincount is a buffered C histogram — much faster than the
             # unbuffered np.add.at scatter for w up to a few million.
             if self.w <= (1 << 24) and bincount_exact:
                 self.grid[i] += np.bincount(
-                    cols[i], weights=counts.astype(np.float64), minlength=self.w
+                    cols[i], weights=weights, minlength=self.w
                 ).astype(np.uint64)
             else:
                 np.add.at(self.grid[i], cols[i], counts)
-        self.total += int(counts.sum())
+        self.total += total
 
     def update(self, items: list[bytes], counts: np.ndarray | None = None) -> None:
         h1, h2 = mmh3_x64_128(items)

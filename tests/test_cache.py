@@ -197,3 +197,82 @@ def test_probe_during_age_consistency(spark):
             # evicted bucket: only FPs remain (bounded well below all-hit)
             assert hits.mean() < 0.5, tag
     assert len(c.buckets) <= max(n_before, params.num_filters)
+
+
+def _tiny_events(spark, rows):
+    """rows: list of (epoch_secs, marker)."""
+    df = spark.createDataFrame(rows, schema="secs long, marker string")
+    return df.withColumn("ts", F.col("secs").cast("timestamp")).drop("secs")
+
+
+def test_rotation_stays_on_grid_no_false_negatives(spark):
+    """Seals must cut on grid-slot boundaries: events arriving for the
+    new slot after a rotation must land in a bucket whose time range
+    covers them (r3 review scenario: seal-at-now swallowed the next
+    slot's start second and produced lookup false negatives)."""
+    from marker_spark.params import CacheParams
+
+    p = CacheParams(duration=100, lifespan=300, fp=0.001, total_capacity=10_000)
+    c = SketchCache(p)
+    c.open_bucket(0)
+    assert c.maybe_age(100)  # rotate exactly when the first slot elapses
+    assert c.buckets[-2].end == 99 and c.buckets[-1].start == 100
+    c.insert_batch(_tiny_events(spark, [(150, "mk")]), ts_col="ts", marker_col="marker")
+    assert c.lookup_from(150, 150, [b"mk"]).all(), "event after rotation lost"
+
+    # late ageing seals ALL elapsed slots, still on the grid
+    c2 = SketchCache(p)
+    c2.open_bucket(0)
+    assert c2.maybe_age(250)
+    assert c2.buckets[-2].end == 199 and c2.buckets[-1].start == 200
+    c2.insert_batch(_tiny_events(spark, [(150, "mk2")]), ts_col="ts", marker_col="marker")
+    assert c2.lookup_from(150, 150, [b"mk2"]).all()
+
+    # forced early ageing seals the whole current slot
+    c3 = SketchCache(p)
+    c3.open_bucket(0)
+    assert c3.maybe_age(50, force=True)
+    assert c3.buckets[-2].end == 99
+    c3.insert_batch(_tiny_events(spark, [(70, "mk3")]), ts_col="ts", marker_col="marker")
+    assert c3.lookup_from(70, 70, [b"mk3"]).all()
+
+
+def test_resume_restores_true_bucket_ends(tmp_path, spark):
+    """A late-aged bucket spans several slots; resume must restore its
+    TRUE end from the manifest, not shrink it to one slot."""
+    from marker_spark.params import CacheParams
+
+    p = CacheParams(duration=100, lifespan=300, fp=0.001, total_capacity=10_000)
+    c = SketchCache(p, ckpt_dir=str(tmp_path / "ck"))
+    c.open_bucket(0)
+    c.insert_batch(_tiny_events(spark, [(150, "late-slot")]), ts_col="ts", marker_col="marker")
+    c.maybe_age(250)  # seals [0, 199]
+    sealed_end = c.buckets[0].end
+    assert sealed_end == 199
+    c.save()
+    r = SketchCache.resume(p, str(tmp_path / "ck"), now=260)
+    restored = [b for b in r.buckets if b.start == 0]
+    assert restored and restored[0].end == sealed_end
+    assert r.lookup_from(150, 150, [b"late-slot"]).all()
+
+
+def test_resume_rebuilds_interior_gap(tmp_path, spark):
+    """A missing interior checkpoint file must be rebuilt from the
+    source table, not silently left as a hole (r3 review scenario)."""
+    import os as _os
+
+    from marker_spark.params import CacheParams
+
+    p = CacheParams(duration=100, lifespan=500, fp=0.001, total_capacity=10_000)
+    src = _tiny_events(spark, [(50, "a"), (150, "b"), (250, "c")])
+    c = SketchCache(p, ckpt_dir=str(tmp_path / "ck2"))
+    c.insert_batch(src, ts_col="ts", marker_col="marker")
+    for now in (100, 200, 300):
+        c.maybe_age(now, force=True)
+    c.save()
+    _os.remove(str(tmp_path / "ck2" / "100.sketch"))  # middle bucket lost
+    r = SketchCache.resume(p, str(tmp_path / "ck2"), now=310, source_df=src,
+                           ts_col="ts", marker_col="marker")
+    assert r.lookup_from(150, 150, [b"b"]).all(), "interior gap not rebuilt"
+    assert r.lookup_from(50, 50, [b"a"]).all()
+    assert r.lookup_from(250, 250, [b"c"]).all()
