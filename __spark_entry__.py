@@ -1062,9 +1062,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             WITH stats AS (
                 SELECT source,
-                       CASE WHEN trim(text) = '' THEN 0
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
-                       CASE WHEN length(text) > 0
+                       CASE WHEN length(coalesce(text, '')) > 0
                             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
                             ELSE 0.0 END AS punct_ratio,
                        CASE WHEN trim(text) = '' THEN 0
@@ -1294,7 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": """
             WITH stats AS (
                 SELECT doc_id, source, text,
-                       CASE WHEN trim(text) = '' THEN 0
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
                        CASE WHEN length(text) > 0
                             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)

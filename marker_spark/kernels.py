@@ -170,7 +170,6 @@ def make_marker_membership_udf(sketch_bytes: bytes):
         sk = state.get("sk")
         if sk is None:
             sk = state["sk"] = BloomSketch.from_bytes(sketch_bytes)
-        vals = [v if isinstance(v, (bytes, bytearray)) else str(v).encode() for v in data]
-        return pd.Series(sk.contains(vals))
+        return pd.Series(sk.contains(encode_series(data)))
 
     return marker_in

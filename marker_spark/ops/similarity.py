@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _stack_embeddings(vecs, dim: int) -> "np.ndarray":
+    """[N, dim] float64 matrix from a Series of array<float> cells;
+    null/ragged rows become zero vectors (deterministic bucket/cell,
+    never a task-killing np.stack crash on one bad row)."""
+    try:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        if mat.ndim == 2 and mat.shape[1] == dim:
+            return mat
+    except (ValueError, TypeError):
+        pass
+    out = np.zeros((len(vecs), dim), dtype=np.float64)
+    for i, v in enumerate(vecs.to_numpy()):
+        if v is not None and len(v) == dim:
+            out[i] = v
+    return out
+
+
 def _cosine_to_query(vec_col, query: list[float]):
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
@@ -67,8 +84,8 @@ def hyperplane_signatures(
 
     @F.pandas_udf("long")
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # [N, dim]
-        signs = (mat.astype(np.float64) @ planes) > 0  # [N, n_planes]
+        mat = _stack_embeddings(vecs, dim)  # [N, dim], null rows -> zeros
+        signs = (mat @ planes) > 0  # [N, n_planes]
         weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
         return pd.Series((signs * weights).sum(axis=1))
 
@@ -139,7 +156,7 @@ def ivf_assign(
 
     @F.pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = _stack_embeddings(vecs, cents.shape[1])  # null rows -> zeros
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mat @ cents.T, axis=1).astype(np.int32))
 

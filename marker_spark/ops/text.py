@@ -37,8 +37,10 @@ def words_col(text: Column) -> Column:
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds n_words, n_chars_calc, avg_word_len, punct_ratio,
-    stopword_ratio, quality_score columns — pure Catalyst expressions."""
-    text = F.col(text_col)
+    stopword_ratio, quality_score columns — pure Catalyst expressions.
+    Null text gets empty-doc semantics (n_words 0, not NULL), matching
+    the package convention (_word_hash_col, bpe_ish_token_count_col)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
     words = words_col(text)
     n_words = F.size(words)
     n_chars = F.length(text)

@@ -26,13 +26,27 @@ from .sketches.bloom import BloomSketch
 
 
 def _grouped_by_sketch(sketch: pd.Series):
-    """Group row indices by identical sketch payloads (cheap: compare
-    object identity first via a dict keyed on bytes)."""
-    groups: dict[bytes, list[int]] = {}
+    """Group row indices by identical sketch payloads at O(1) per-row
+    cost: the dict key samples (length, head 32B, middle 16B, tail 16B)
+    of the serialized state instead of hashing the full payload — each
+    row's cell is a distinct bytes object after the broadcast join, so
+    keying on the payload itself would hash (and compare) the whole
+    multi-hundred-KB state once PER ROW.  Distinct zlib-compressed
+    states colliding on all three sampled sections is negligible (a
+    compressed stream differing anywhere diverges through the rest);
+    yields (payload, row indices) pairs."""
+    groups: dict[tuple, list] = {}
     for i, sk in enumerate(sketch):
-        if sk is not None:
-            groups.setdefault(bytes(sk), []).append(i)
-    return groups
+        if sk is None:
+            continue
+        n = len(sk)
+        key = (n, bytes(sk[:32]), bytes(sk[n // 2 : n // 2 + 16]), bytes(sk[-16:]))
+        entry = groups.get(key)
+        if entry is None:
+            groups[key] = [bytes(sk), [i]]
+        else:
+            entry[1].append(i)
+    return {payload: idxs for payload, idxs in groups.values()}
 
 
 def make_pairwise_marker_membership_udf():

@@ -39,15 +39,20 @@ def stream_into_cache(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cache.insert_batch(batch_df, ts_col=ts_col, marker_col=marker_col,
-                           source_label=f"stream-batch-{batch_id}")
-        max_ts = batch_df.agg(F.max(F.unix_timestamp(F.col(ts_col)))).collect()[0][0]
-        if max_ts is not None:
+        # persist: three separate actions (emptiness, insert aggregation,
+        # max-ts) would otherwise re-read the micro-batch source 3x
+        batch_df.persist()
+        try:
+            max_ts = batch_df.agg(F.max(F.unix_timestamp(F.col(ts_col)))).collect()[0][0]
+            if max_ts is None:
+                return  # empty batch (or all-null timestamps)
+            cache.insert_batch(batch_df, ts_col=ts_col, marker_col=marker_col,
+                               source_label=f"stream-batch-{batch_id}")
             cache.maybe_age(int(max_ts))
             if cache.ckpt_dir:
                 cache.save()
+        finally:
+            batch_df.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("update")
     if checkpoint_dir:
@@ -226,7 +231,9 @@ def stateful_heavy_hitters(
             else MisraGriesSketch(k=k)
         )
         for pdf in pdf_iter:
-            sk.update(pdf[value_col].to_numpy(dtype="int64"))
+            vals = pdf[value_col].dropna()  # NaN would cast to INT64_MIN
+            if len(vals):
+                sk.update(vals.to_numpy(dtype="int64"))
         state.update((sk.to_bytes(),))
         hh = sk.heavy_hitters()[:top]
         yield pd.DataFrame(
@@ -254,10 +261,13 @@ def windowed_marker_counts(
     lifespan_secs: int,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    distinct_col: str = "marker",
 ) -> DataFrame:
     """Declarative bucket grid: tumbling event-time windows sized like
     the cache's buckets, watermarked at the lifespan so Spark evicts
-    state exactly where the reference deletes aged filters."""
+    state exactly where the reference deletes aged filters.  n_distinct
+    estimates distinct ``distinct_col`` values per (bucket, key) —
+    counting the GROUP KEY would be a constant 1 (r3 review fix)."""
     # watermarks require TIMESTAMP (not NTZ); normalize first
     stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
@@ -268,7 +278,7 @@ def windowed_marker_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct(key_col).alias("n_distinct"),
+            F.approx_count_distinct(distinct_col).alias("n_distinct"),
         )
         .select(
             F.unix_timestamp("bucket.start").alias("bucket_start"),

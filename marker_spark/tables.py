@@ -51,7 +51,14 @@ class TableProvider:
                 from pyspark.sql import functions as F
 
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.createOrReplace()
+            # honor `mode` — createOrReplace() for an append request
+            # would silently destroy previously written partitions
+            if mode == "append":
+                w.append()
+            elif mode in ("overwrite", "createOrReplace"):
+                w.createOrReplace()
+            else:
+                raise ValueError(f"unsupported iceberg write mode {mode!r}")
             return
         w = df.write.mode(mode)
         if partition_by:

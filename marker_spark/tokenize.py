@@ -43,22 +43,40 @@ def tokenize_batch(texts: pd.Series, vocab: int = VOCAB_SIZE) -> tuple[np.ndarra
 def tokenize_documents(df, text_col: str = "text", vocab: int = VOCAB_SIZE):
     """DataFrame transform: documents -> tokenized_sequences schema
     (doc_id string, tokens array<int32>, n_tok int32, source string).
-    """
-    from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<int>")
-    def tokens_udf(texts: pd.Series) -> pd.Series:
-        flat, offsets = tokenize_batch(texts, vocab)
-        return pd.Series(
-            [flat[offsets[i] : offsets[i + 1]] for i in range(len(texts))]
-        )
+    ``mapInArrow``: the token matrix leaves Python as ONE Arrow
+    ListArray built from (flat ids, offsets) — the prior pandas UDF
+    returned a Python slice object per document on the corpus-wide
+    tokenization path, the exact pattern the repo's mapInArrow rule
+    forbids.  (The per-row cost that remains is the str split itself,
+    which pandas does at C level.)
+    """
+    import pyarrow as pa
 
     from pyspark.sql import functions as F
 
-    out = df.withColumn("tokens", tokens_udf(F.col(text_col)))
-    return out.select(
+    def batch_fn(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(2).to_pandas()
+            flat, offsets = tokenize_batch(texts, vocab)
+            toks = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat, type=pa.int32()),
+            )
+            n_tok = pa.array(np.diff(offsets).astype(np.int32), type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), toks, n_tok, batch.column(1)],
+                names=["doc_id", "tokens", "n_tok", "source"],
+            )
+
+    src = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        "tokens",
-        F.size("tokens").cast("int").alias("n_tok"),
         F.col("source").cast("string").alias("source"),
+        F.col(text_col).alias("__text"),
+    )
+    return src.mapInArrow(
+        batch_fn,
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
     )
