@@ -853,6 +853,10 @@ def q_theta_source_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches = collect_sketches(result, ThetaSketch, ["source"])
     # two largest sources by estimate, deterministic tie-break by name
     ranked = sorted(sketches.items(), key=lambda kv: (-kv[1].estimate(), kv[0]))
+    assert len(ranked) >= 2, (
+        f"theta_source_setops needs >= 2 sources in the documents table, "
+        f"found {len(ranked)}"
+    )
     (a_name,), a = ranked[0]
     (b_name,), b = ranked[1]
     rows = [
@@ -1088,7 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": """
             WITH w AS (
                 SELECT lang,
-                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
                             ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
                 FROM documents
             ), s AS (

@@ -54,7 +54,11 @@ def _tokseq_parquet(n_docs: int, seed: int = 42) -> str:
     if not os.path.exists(path):
         from marker_spark.datagen import write_tokenized_sequences
 
-        write_tokenized_sequences(path, n_docs=n_docs, seed=seed)
+        # tmp + atomic rename: a run killed mid-generation must not
+        # leave a truncated parquet that every later run trusts
+        tmp = f"{path}.tmp-{os.getpid()}"
+        write_tokenized_sequences(tmp, n_docs=n_docs, seed=seed)
+        os.replace(tmp, path)
     return path
 
 
@@ -242,12 +246,17 @@ def _tokseq_partitioned(spark, n_docs: int, docs_per_bucket: int = 50_000) -> st
     column precomputed.  Written once, cached across runs."""
     from pyspark.sql import functions as F
 
-    path = f"/tmp/marker_bench_tokseq_part_n{n_docs}"
+    # docs_per_bucket is part of the layout: reusing a cache built with
+    # a different bucket size would silently decode wrong (source, bucket)
+    # keys downstream
+    path = f"/tmp/marker_bench_tokseq_part_n{n_docs}_b{docs_per_bucket}"
     if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
         df = spark.read.parquet(_tokseq_parquet(n_docs)).withColumn(
             "bucket", (F.substring("doc_id", 5, 12).cast("long") / docs_per_bucket).cast("int")
         )
-        df.write.partitionBy("source").mode("overwrite").parquet(path)
+        df.write.partitionBy("source").mode("overwrite").parquet(tmp)
+        os.replace(tmp, path)
     return path
 
 

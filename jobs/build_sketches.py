@@ -45,6 +45,33 @@ def main(argv: list[str] | None = None) -> None:
         "production flow, no rebuild of history",
     )
     args = ap.parse_args(argv)
+    if args.ckpt:
+        # checkpoints are keyed by partition id only; guard against
+        # silently replaying partials built from a DIFFERENT input or
+        # parameter set into this run's output
+        import hashlib as _hashlib
+        import json as _json
+        import os as _os
+
+        cfg = {
+            k: v for k, v in sorted(vars(args).items())
+            if k not in ("output", "merge_into", "metrics")
+        }
+        cfg["input"] = _os.path.abspath(args.input)
+        cfg_path = _os.path.join(args.ckpt, "ckpt_config.json")
+        if _os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                prev = _json.load(f)
+            if prev != cfg:
+                raise SystemExit(
+                    f"--ckpt {args.ckpt} holds partials for different "
+                    f"parameters/input:\n  saved: {prev}\n  now:   {cfg}\n"
+                    "use a fresh checkpoint dir"
+                )
+        else:
+            _os.makedirs(args.ckpt, exist_ok=True)
+            with open(cfg_path, "w") as f:
+                _json.dump(cfg, f)
     if args.merge_into:
         import os as _os
 

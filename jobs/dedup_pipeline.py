@@ -44,10 +44,10 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import functions as F
 
     from marker_spark.ops.dedup import (
+        ngram_jaccard_for_pairs,
         exact_dedup_scalable,
         lsh_candidate_pairs,
         minhash_signatures,
-        ngram_jaccard_pairs,
     )
     from marker_spark.ops.text import with_text_stats
 
@@ -75,16 +75,17 @@ def main(argv: list[str] | None = None) -> None:
     sigs = minhash_signatures(exact, text_col=txt, num_perm=args.num_perm,
                               shingle=args.shingle, id_col=idc)
     cands = lsh_candidate_pairs(sigs, id_col=idc, max_bucket=args.max_bucket)
-    cand_docs = (
-        cands.select(F.col("id_a").alias(idc))
-        .union(cands.select(F.col("id_b").alias(idc)))
-        .distinct()
-        .join(exact.select(idc, txt), idc)
+    # verification bounded by the candidate PAIR count (which max_bucket
+    # caps) — running the discovery-shaped shingle self-join over the
+    # candidate DOC set would re-create the quadratic hot-shingle
+    # blow-up LSH banding exists to avoid
+    verified = (
+        ngram_jaccard_for_pairs(
+            cands, exact, text_col=txt, id_col=idc, shingle=args.shingle
+        )
+        .where(F.col("jaccard") >= args.jaccard)
+        .persist()  # referenced by both the anti-join and the report count
     )
-    verified = ngram_jaccard_pairs(
-        cand_docs, text_col=txt, id_col=idc,
-        shingle=args.shingle, threshold=args.jaccard,
-    ).persist()  # referenced by both the anti-join and the report count
     # pairs from the FULL candidate set, verified exactly; drop id_b side
     drop = verified.select(F.col("id_b").alias(idc)).distinct()
     clean = exact.join(drop, idc, "left_anti").drop("dup_count")

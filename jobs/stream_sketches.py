@@ -48,7 +48,22 @@ def main(argv: list[str] | None = None) -> None:
     )
     cache = SketchCache(params, ckpt_dir=args.ckpt)
 
-    schema = spark.read.parquet(args.source).schema
+    # the consumer normally starts before the producer: poll for the
+    # first file instead of crashing on an empty landing directory
+    import time as _time
+
+    deadline = _time.time() + 300
+    while True:
+        try:
+            schema = spark.read.parquet(args.source).schema
+            break
+        except Exception:
+            if _time.time() > deadline:
+                raise SystemExit(
+                    f"no parquet files appeared in {args.source} within 300s; "
+                    "start the producer or pass a non-empty directory"
+                )
+            _time.sleep(5)
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(args.source)
     q = stream_into_cache(
         stream, cache, ts_col=args.ts_col, marker_col=args.marker_col,

@@ -26,15 +26,28 @@ def register(df: DataFrame) -> DataFrame:
 
 
 def release_all() -> int:
-    """Unpersist every registered handle (idempotent); returns how many."""
+    """Unpersist every registered handle (idempotent); returns how many.
+    Failures (beyond a stopped session) are surfaced as a warning — a
+    silently failing release would let the exact storage-memory leak
+    this module exists to prevent build back up unnoticed."""
+    import warnings
+
     n = 0
+    failed = 0
     for df in _LIVE:
         try:
             df.unpersist()
             n += 1
         except Exception:
-            pass  # session already stopped — nothing to release
+            failed += 1
     _LIVE.clear()
+    if failed:
+        warnings.warn(
+            f"release_all: {failed} handle(s) failed to unpersist "
+            "(stopped session, or a live-session unpersist error)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return n
 
 

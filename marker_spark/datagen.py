@@ -127,9 +127,16 @@ def gen_tokenized_sequences(
     tok_cdf = _zipf_cdf_cached(vocab, zipf_a)
     tokens_flat = np.searchsorted(tok_cdf, u_tok, side="left").astype(np.int32)
 
-    tokens_arr = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(tokens_flat, type=pa.int32())
-    )
+    if total <= np.iinfo(np.int32).max:
+        tokens_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(tokens_flat, type=pa.int32())
+        )
+    else:
+        # >2^31 total tokens: int32 list offsets overflow; large_list
+        # keeps the generator usable at corpus-scale fixture sizes
+        tokens_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(tokens_flat, type=pa.int32())
+        )
     doc_ids = pa.array([f"doc-{i:012d}" for i in ids], type=pa.string())
     return pa.table(
         {

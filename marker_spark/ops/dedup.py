@@ -246,6 +246,60 @@ def minhash_signatures(
     )
 
 
+def ngram_jaccard_for_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+) -> DataFrame:
+    """Exact shingle-Jaccard for GIVEN candidate pairs — cost
+    O(|pairs| * doc_len), never a shingle self-join.
+
+    :func:`ngram_jaccard_pairs` self-joins on shared shingles, which is
+    the right shape for discovering pairs but re-creates the quadratic
+    hot-shingle blow-up if fed a candidate-doc set where most docs share
+    boilerplate.  Verification after LSH should be bounded by the
+    candidate PAIR count (which max_bucket caps), so here each pair row
+    joins its two word-hash arrays and computes the Jaccard of their
+    shingle-hash sets directly (collision-equivalent to string shingles,
+    same note as :func:`_shingle_hashes_flat`).
+
+    Returns (id_a, id_b, jaccard).
+    """
+    wh = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(
+            wh.select(F.col(id_col).alias("id_a"), F.col("__wh").alias("wh_a")), "id_a"
+        )
+        .join(
+            wh.select(F.col(id_col).alias("id_b"), F.col("__wh").alias("wh_b")), "id_b"
+        )
+    )
+
+    @F.pandas_udf("double")
+    def jac(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        n = len(wa)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        fa, sa = _shingle_hashes(wa, shingle)
+        fb, sb = _shingle_hashes(wb, shingle)
+        ba = np.append(sa, len(fa))
+        bb = np.append(sb, len(fb))
+        for i in range(n):  # pair-bounded loop: |pairs| rows, not |docs|^2
+            A = np.unique(fa[ba[i] : ba[i + 1]])
+            B = np.unique(fb[bb[i] : bb[i + 1]])
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            out[i] = inter / max(len(A) + len(B) - inter, 1)
+        return pd.Series(out)
+
+    return joined.select(
+        "id_a", "id_b", F.round(jac(F.col("wh_a"), F.col("wh_b")), 6).alias("jaccard")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", bands: int = 32, rows_per_band: int = 4,
     max_bucket: int | None = None,

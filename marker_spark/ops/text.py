@@ -68,8 +68,10 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id_col(text_col: str = "text") -> Column:
-    """Keyword-hit language ID with a deterministic argmax tie-break."""
-    words = words_col(F.col(text_col))
+    """Keyword-hit language ID with a deterministic argmax tie-break.
+    Null text gets empty-doc semantics (all scores 0 -> 'en' by the
+    tie-break), matching the package null convention."""
+    words = words_col(F.coalesce(F.col(text_col), F.lit("")))
     def _hit_count(stop):
         return F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
 
