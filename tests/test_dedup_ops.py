@@ -233,3 +233,23 @@ def test_connected_components_chain_and_clique(spark):
     from marker_spark.cacheutil import release_all
 
     release_all()
+
+
+def test_jaccard_for_pairs_matches_discovery_join(spark):
+    """The pair-bounded verifier must agree with the discovery-shaped
+    shingle self-join on the pairs the latter finds (hash shingles are
+    collision-equivalent to string shingles)."""
+    from marker_spark.ops.dedup import ngram_jaccard_for_pairs, ngram_jaccard_pairs
+    from marker_spark.ops.text import words_col
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.size(words_col(F.col("text"))) >= 3
+    )
+    discovered = ngram_jaccard_pairs(docs, shingle=3, threshold=0.5, id_col="doc_id")
+    want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in discovered.collect()}
+    assert want, "fixture produced no pairs"
+    got_rows = ngram_jaccard_for_pairs(
+        discovered.select("id_a", "id_b"), docs, shingle=3, id_col="doc_id"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_rows}
+    assert got == want
