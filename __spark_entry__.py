@@ -295,6 +295,19 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).orderBy("source", F.desc("tfidf"), "word")
 
 
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for the corpus' own top-3 terms —
+    fully declarative retrieval scoring (broadcast term table + 1-row
+    stats, keyed aggregations, window-free top-k) with an exact DuckDB
+    oracle (round-6 scores + id tie-break)."""
+    from marker_spark.ops.text import bm25_top_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_top_docs(docs, n_query_terms=3, k=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "bm25"
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS, not just pairs: exact n-gram Jaccard pairs ->
     connected components via iterative min-label propagation (the
@@ -990,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
@@ -1228,6 +1242,48 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        # BM25 with the corpus' top-3 terms as the query; round(6)
+        # before ranking + id tie-break keeps order engine-independent.
+        "bm25_top_docs": """
+            WITH wd AS (
+                SELECT doc_id, w AS word
+                FROM documents,
+                     unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t(w)
+                WHERE w <> ''
+            ), qterms AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS cnt FROM wd GROUP BY word
+                    ORDER BY cnt DESC, word LIMIT 3
+                )
+            ), doclen AS (
+                SELECT doc_id, count(*) AS dl FROM wd GROUP BY doc_id
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n_docs,
+                       (SELECT avg(dl) FROM doclen) AS avgdl
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM wd SEMI JOIN qterms USING (word)
+                GROUP BY doc_id, word
+            ), dfreq AS (
+                SELECT word, count(DISTINCT doc_id) AS df
+                FROM wd SEMI JOIN qterms USING (word)
+                GROUP BY word
+            )
+            SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+                   round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf
+            JOIN dfreq USING (word)
+            JOIN doclen ON doclen.doc_id = tf.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 10
+        """,
         # Summed tf-idf factorizes as tf_total * ln(N/df); round(6) +
         # word tie-break keeps ranking engine-independent.
         "tfidf_top_terms": """

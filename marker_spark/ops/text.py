@@ -345,3 +345,67 @@ def tfidf_top_terms(
         .where(F.col("__rn") <= k)
         .select(group_col, "word", "tfidf")
     )
+
+
+def bm25_top_docs(
+    df: DataFrame,
+    query_terms_df: DataFrame | None = None,
+    n_query_terms: int = 3,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k documents — pure Catalyst end to end.
+
+    ``query_terms_df`` is a one-column (word) DataFrame of query terms;
+    when None, the corpus' own top ``n_query_terms`` words (by count,
+    word tie-break) are used, which keeps the query self-contained and
+    scale-robust.  Scoring: the standard BM25 with
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) and length normalization by
+    |D|/avgdl; the query-term table broadcasts (tiny), the 1-row corpus
+    stats broadcast, everything else is keyed aggregation.  Scores
+    round to 6 decimals before ranking with an id tie-break, keeping
+    the order engine-independent (ln is the one non-correctly-rounded
+    IEEE op in the formula).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("word")
+    ).where(F.col("word") != "")
+    if query_terms_df is None:
+        query_terms_df = (
+            words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("word"))
+            .limit(n_query_terms)
+            .select("word")
+        )
+    doclen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        F.broadcast(doclen.agg(F.avg("dl").alias("avgdl")))
+    )
+    tf = (
+        words.join(F.broadcast(query_terms_df), "word")
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        words.join(F.broadcast(query_terms_df), "word")
+        .select(id_col, "word").distinct()
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", term_score)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
