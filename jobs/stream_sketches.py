@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> None:
 
     from pyspark.sql import SparkSession
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("marker-spark-stream-sketches").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -73,7 +74,8 @@ def main(argv: list[str] | None = None) -> None:
     q.awaitTermination()
     cache.save()
     print(json.dumps({"buckets": cache.metrics()}))
-    spark.stop()
+    if owns_session:  # don't tear down a caller-owned session (tests)
+        spark.stop()
 
 
 if __name__ == "__main__":

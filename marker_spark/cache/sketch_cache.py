@@ -65,6 +65,8 @@ class Bucket:
     n_markers: int = 0  # inserted markers (n-grams), not input rows
     build_secs: float = 0.0
     source: str = ""
+    max_slot: int = 0  # highest grid-slot start merged in (event-time)
+    dirty: bool = False  # content changed since last checkpoint write
 
     def overlaps(self, lo: int, hi: int) -> bool:
         # inclusive interval overlap, markercache.cpp:271-274
@@ -144,6 +146,8 @@ class SketchCache:
                 b.sketch.merge_in_place(sk)
                 b.n_markers += sk.n_inserted
                 b.build_secs += secs
+                b.max_slot = max(b.max_slot, bstart)
+                b.dirty = True
                 return
         b = Bucket(
             start=bstart,
@@ -152,6 +156,8 @@ class SketchCache:
             n_markers=sk.n_inserted,
             build_secs=secs,
             source=src,
+            max_slot=bstart,
+            dirty=True,
         )
         self.buckets.append(b)
         self.buckets.sort(key=lambda x: x.start)
@@ -341,7 +347,19 @@ class SketchCache:
         cur = self.buckets[-1]
         if not force and not (cur.start + self.params.duration <= now):
             return False
-        cur.end = max(self.bucket_start_for(now), cur.start + self.params.duration) - 1
+        # the seal must also cover the highest slot the bucket ALREADY
+        # received: the open bucket accumulates by event time, so markers
+        # for a slot past `now`'s grid point may have merged in before the
+        # seal — cutting below them would orphan them outside the sealed
+        # range (lookup false negatives)
+        cur.end = (
+            max(
+                self.bucket_start_for(now),
+                cur.max_slot + self.params.duration,
+                cur.start + self.params.duration,
+            )
+            - 1
+        )
         while len(self.buckets) >= self.params.num_filters:  # evict oldest, :216-226
             evicted = self.buckets.pop(0)
             self._delete_ckpt(evicted.start)
@@ -366,8 +384,14 @@ class SketchCache:
                 os.remove(p)
 
     def save(self) -> list[int]:
-        """Idempotent: write sealed buckets not yet on disk
-        (markercache.cpp:248-269); refresh the lineage manifest."""
+        """Idempotent: write sealed buckets whose content is not yet on
+        disk (markercache.cpp:248-269); refresh the lineage manifest.
+        Divergence from the reference's strict write-if-absent: event-
+        time bucketing means a SEALED bucket can still receive late
+        merges, so a bucket is rewritten when dirty — write-once would
+        freeze the first seal-time snapshot and lose every later marker
+        on restart (unchanged buckets are still skipped, keeping save
+        idempotent)."""
         if not self.ckpt_dir:
             raise ValueError("no ckpt_dir configured")
         os.makedirs(self.ckpt_dir, exist_ok=True)
@@ -376,12 +400,13 @@ class SketchCache:
             if b.end == OPEN_END:
                 continue  # only sealed buckets, :257
             p = self._bucket_path(b.start)
-            if os.path.exists(p):
-                continue  # write-if-absent, :258
+            if os.path.exists(p) and not b.dirty:
+                continue  # unchanged since last write
             tmp = p + ".tmp"
             with open(tmp, "wb") as f:
                 f.write(b.sketch.to_bytes())
             os.replace(tmp, p)
+            b.dirty = False
             written.append(b.start)
         manifest = {
             "params": asdict(self.params),

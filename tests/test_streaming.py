@@ -375,3 +375,47 @@ def test_stateful_novelty_filter_resumes_across_restart(spark, tmp_path):
     assert len(both) == len(set(both)), (
         "restarted query re-emitted markers already seen before the restart"
     )
+
+
+def test_stream_sketches_job_end_to_end(spark, stream_dir, tmp_path):
+    """The spark-submit streaming job runs end to end programmatically:
+    consumes the chunked source with availableNow, builds + ages the
+    cache, writes its checkpoint + manifest, and answers lookups."""
+    import json as _json
+    import os as _os
+
+    from jobs.stream_sketches import main as job_main
+    from marker_spark.cache.sketch_cache import OPEN_END, SketchCache
+    from marker_spark.params import CacheParams
+
+    src, pdf = stream_dir
+    ck = str(tmp_path / "job_ck")
+    job_main([
+        "--source", src, "--ckpt", ck,
+        "--duration", str(10 * DAY), "--lifespan", str(30 * DAY),
+        "--capacity", "100000", "--available-now",
+    ])
+    assert _os.path.exists(_os.path.join(ck, "manifest.json"))
+    with open(_os.path.join(ck, "manifest.json")) as f:
+        manifest = _json.load(f)
+    assert any(b["sealed"] for b in manifest["buckets"])
+    # resume from the job's checkpoint and answer lookups
+    now = int(pdf["ts"].astype("int64").max() // 10**9)
+    params = CacheParams(duration=10 * DAY, lifespan=30 * DAY, fp=0.001,
+                         total_capacity=100_000)
+    r = SketchCache.resume(params, ck, now=now)
+    # resume keeps the newest num_filters-1 sealed buckets (reference
+    # parity, markercache.cpp:77-93), so probe the MIDDLE of the stream
+    # — markers the restored window must answer with zero FN.  The
+    # dirty-rewrite fix is what makes this hold: sealed buckets that
+    # kept receiving event-time merges are re-checkpointed, so the
+    # restored counts match the manifest.
+    n = len(pdf)
+    probes = [m.encode() for m in pdf["marker"].tolist()[n // 2 : n // 2 + 200]]
+    assert r.lookup_from(0, OPEN_END, probes).all()
+    restored_counts = {b.start: b.n_markers for b in r.buckets}
+    with open(_os.path.join(ck, "manifest.json")) as f:
+        man2 = _json.load(f)
+    for b in man2["buckets"]:
+        if b["start"] in restored_counts:
+            assert restored_counts[b["start"]] == b["n_markers"], b
