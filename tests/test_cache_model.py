@@ -21,7 +21,7 @@ tests/test_agg_spark.py.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from marker_spark.cache.sketch_cache import OPEN_END, SketchCache
@@ -51,7 +51,9 @@ def _local_insert(cache: SketchCache, ts: int, markers: list[bytes]):
 op_strategy = st.lists(
     st.one_of(
         st.tuples(st.just("insert"), st.integers(0, 12), st.integers(0, 999)),
-        st.tuples(st.just("age"), st.integers(1, 12), st.just(0)),
+        # age at UNALIGNED wall times (third element = in-slot offset):
+        # grid-misaligned seals were a real bug class (round-3 fixes)
+        st.tuples(st.just("age"), st.integers(1, 12), st.integers(0, DUR - 1)),
         st.tuples(st.just("lookup"), st.integers(-2, 14), st.integers(-2, 14)),
     ),
     min_size=5,
@@ -59,25 +61,45 @@ op_strategy = st.lists(
 )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=60, deadline=None)
 @given(ops=op_strategy)
+# the round-3 orphan sequence: open a bucket early, insert a far-future
+# event-time slot into it, then age with a wall clock still below that
+# slot — the seal must extend to cover the received slot
+@example(ops=[("age", 1, 0), ("insert", 11, 7), ("age", 1, 0), ("lookup", 0, 14)])
 def test_cache_vs_exact_model(ops):
     cache = SketchCache(PARAMS)
     assigned: dict[bytes, object] = {}  # marker -> Bucket object
+    event_ts: dict[bytes, int] = {}  # marker -> event timestamp
     now = T0
 
     for kind, a, b in ops:
         if kind == "insert":
-            ts = T0 + a * DUR + 13
+            ts = T0 + a * DUR + (b % DUR)  # arbitrary in-slot offset
             marker = f"m-{a}-{b}".encode()
             bucket = _local_insert(cache, ts, [marker])
             # latest assignment wins for re-inserted markers (both
             # buckets contain it, but one live overlap is enough)
             assigned.setdefault(marker, bucket)
-            now = max(now, ts)
+            event_ts.setdefault(marker, ts)
+            # wall clock intentionally NOT advanced to the event time:
+            # event-time inserts can run ahead of the ageing clock, the
+            # regime where a seal can cut below a received slot
         elif kind == "age":
-            now += a * DUR
+            now += a * DUR + b  # unaligned ageing times
             cache.maybe_age(now, force=True)
+            # EVENT-TIME CONTRACT (the round-3 seal fixes): any marker
+            # whose bucket is still live must be found when querying its
+            # own event timestamp — a seal cut below a received slot
+            # would orphan it outside every bucket's range
+            live_now = set(id(bk) for bk in cache.buckets)
+            mk = [m for m in sorted(assigned) if id(assigned[m]) in live_now]
+            if mk:
+                hits = []
+                for m in mk:
+                    hits.append(bool(cache.lookup_from(event_ts[m], event_ts[m], [m])[0]))
+                missing = [m for m, h in zip(mk, hits) if not h]
+                assert not missing, f"markers lost at their own event time: {missing}"
         else:  # lookup
             lo = T0 + a * DUR
             hi = T0 + b * DUR
