@@ -11,6 +11,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("marker-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "4g")

@@ -96,12 +96,29 @@ def test_membership_udf_fp_bounded(spark):
     import pandas as pd
 
     probe_tokens = [rng.integers(10**6, 10**7, size=20).astype(np.int32) for _ in range(500)]
-    spark_probe = None
     sk, _ = _local_reference_sketch(factory, NGRAM)
     flat, offsets = list_column_to_flat(pd.Series(probe_tokens))
-    mat, _ = ngram_bytes(flat, offsets, NGRAM)
-    fp_rate = float(sk.contains_fixed_width(mat).mean())
+    mat, per_doc = ngram_bytes(flat, offsets, NGRAM)
+    hits = sk.contains_fixed_width(mat)
+    fp_rate = float(hits.mean())
     assert fp_rate <= 0.001 * 1.3
+    # the DISTRIBUTED probe UDF must agree with the local kernel doc
+    # for doc (any-n-gram semantics) — the negative path included
+    from marker_spark.kernels import make_ngram_membership_udf
+
+    seg = np.concatenate(([0], np.cumsum(per_doc)[:-1]))
+    local_any = np.add.reduceat(hits.astype(np.int64), seg) > 0
+    probe_df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(probe_tokens)),
+                      "tokens": [t.tolist() for t in probe_tokens]}),
+        schema="i long, tokens array<int>",
+    )
+    udf = make_ngram_membership_udf(sk.to_bytes(), NGRAM)
+    got = (
+        probe_df.withColumn("h", udf("tokens")).orderBy("i").select("h").toPandas()["h"]
+        .to_numpy()
+    )
+    assert np.array_equal(got, local_any)
 
 
 def test_shuffle_mode_matches_mapside(spark, tokseq_df):

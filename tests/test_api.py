@@ -64,10 +64,14 @@ def test_kll_tdigest_agg_grouped(spark, tok, pdf):
     for src, sub in pdf.groupby("source"):
         if len(sub) < 50:
             continue
-        exact_med = float(np.median(sub["n_tok"]))
-        spread = float(sub["n_tok"].quantile(0.75) - sub["n_tok"].quantile(0.25)) + 1
-        assert abs(kll[(src,)].quantile(0.5) - exact_med) <= max(spread, 10), src
-        assert abs(td[(src,)].quantile(0.5) - exact_med) <= max(spread, 10), src
+        # rank-based gate: a correct k=256 KLL has ~1-2% rank error, so
+        # the estimated median must land within the 35th-65th percentile
+        # band (the old IQR-sized tolerance let a 25th/75th-percentile
+        # answer pass)
+        lo = float(sub["n_tok"].quantile(0.35))
+        hi = float(sub["n_tok"].quantile(0.65))
+        assert lo <= kll[(src,)].quantile(0.5) <= hi, src
+        assert lo <= td[(src,)].quantile(0.5) <= hi, src
 
 
 def test_minhash_agg_self_similarity(spark, tok):

@@ -111,12 +111,21 @@ def test_save_idempotent_and_resume(tmp_path, events, props, spark):
     found = r.lookup_from(0, OPEN_END, props)
     # newest num_filters-1 sealed buckets restored -> events in the
     # oldest (dropped) bucket may miss; events in restored buckets hit.
+    # Epochs computed server-side (unix_timestamp) so the check cannot
+    # shift with the host timezone.
     restored_lo = r.buckets[0].start
-    ev = [(int(t.timestamp()), p.encode()) for t, p in events.select("ts", "marker").collect()]
-    for (ts, p), hit in zip(ev, found):
-        if ts >= restored_lo:
-            idx = props.index(p)
-            assert found[idx], f"false negative for restored marker at ts={ts}"
+    found_by_marker = dict(zip(props, found))
+    rows = events.select(
+        F.unix_timestamp("ts").alias("epoch"), "marker"
+    ).collect()
+    checked = 0
+    for row in rows:
+        if row["epoch"] >= restored_lo:
+            assert found_by_marker[row["marker"].encode()], (
+                f"false negative for restored marker at ts={row['epoch']}"
+            )
+            checked += 1
+    assert checked > 0, "no events fell in the restored window"
 
 
 def test_resume_gap_rebuild(tmp_path, events, spark):

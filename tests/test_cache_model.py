@@ -78,10 +78,11 @@ def test_cache_vs_exact_model(ops):
             ts = T0 + a * DUR + (b % DUR)  # arbitrary in-slot offset
             marker = f"m-{a}-{b}".encode()
             bucket = _local_insert(cache, ts, [marker])
-            # latest assignment wins for re-inserted markers (both
-            # buckets contain it, but one live overlap is enough)
-            assigned.setdefault(marker, bucket)
-            event_ts.setdefault(marker, ts)
+            # latest assignment wins for re-inserted markers — tracking
+            # the FIRST bucket would exempt re-inserts from the FN check
+            # once that bucket ages out
+            assigned[marker] = bucket
+            event_ts[marker] = ts
             # wall clock intentionally NOT advanced to the event time:
             # event-time inserts can run ahead of the ageing clock, the
             # regime where a seal can cut below a received slot

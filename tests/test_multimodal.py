@@ -82,19 +82,38 @@ def test_resize_images(spark):
             assert bytes(r["payload"])[:4] == b"RIFF"
 
 
-def test_resize_nearest_neighbor_exact():
-    """2x upscale of a 2x2 checker must replicate blocks exactly."""
+def test_resize_nearest_neighbor_exact(spark):
+    """2x upscale of a 2x2 checker THROUGH THE PRODUCT resize_images
+    path must replicate blocks exactly — the prior version re-derived
+    the NN index math inline, so a regression in the product kernel
+    could not fail it."""
+    import pandas as pd
+
+    from marker_spark.ops.multimodal import (
+        ASSET_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        resize_images,
+    )
+
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     img[0, 0] = 255
     img[1, 1] = 128
-    from marker_spark.ops.multimodal import decode_bmp as dec, encode_bmp as enc
-
-    h0, w0 = 2, 2
-    yi = (np.arange(4) * h0 // 4).clip(0, h0 - 1)
-    xi = (np.arange(4) * w0 // 4).clip(0, w0 - 1)
-    up = (dec(enc(img))[yi][:, xi] * 255.0).round().astype(np.uint8)
+    pdf = pd.DataFrame(
+        {
+            "asset_id": ["a0"],
+            "kind": ["image"],
+            "payload": [encode_bmp(img)],
+            "meta": [{"width": 2, "height": 2, "sample_rate": 0, "n_frames": 0}],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=ASSET_SCHEMA)
+    out = resize_images(df, width=4, height=4).collect()[0]
+    up = (decode_bmp(bytes(out["payload"])) * 255.0).round().astype(np.uint8)
+    assert up.shape == (4, 4, 3)
     assert np.array_equal(up[0:2, 0:2], np.full((2, 2, 3), 255, dtype=np.uint8))
     assert np.array_equal(up[2:4, 2:4], np.full((2, 2, 3), 128, dtype=np.uint8))
+    assert out["meta"]["width"] == 4 and out["meta"]["height"] == 4
 
 
 def test_fake_plumbing_and_frame_sample(spark):

@@ -42,12 +42,17 @@ def test_partial_aggregation_before_shuffle(spark):
     assert the aggregation shape instead.)"""
     import __spark_entry__ as entrymod
 
+    import re
+
     q = entrymod.q_pricing_summary(spark, SF_DIR)
     plan = _plan(q)
     assert "partial_sum" in plan
-    agg_pos = plan.index("partial_sum")
-    exch_pos = plan.index("Exchange")
-    assert "HashAggregate" in plan[:plan.index("Exchange", plan.index("Scan parquet"))] or agg_pos > 0
+    # the TREE (top-down) must read final-agg -> Exchange -> partial-agg
+    # -> scan: the partial aggregate sits BELOW the shuffle
+    tree = plan.split("\n\n")[0]
+    assert re.search(
+        r"HashAggregate.*Exchange.*HashAggregate.*Scan parquet", tree, re.S
+    ), tree
 
 
 def test_bucket_overlap_predicate_prunes(spark):
