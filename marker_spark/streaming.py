@@ -356,3 +356,53 @@ def stateful_novelty_filter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_quantile_estimate(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 256,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+):
+    """Per-key running quantile estimates via a KLL sketch in group
+    state — completes the streaming sketch family (HLL distinct, Bloom
+    membership, Misra-Gries heavy hitters, KLL quantiles).  Each
+    micro-batch folds its values into the key's bounded sketch and
+    emits the current estimate vector; state is O(k log n) per key and
+    survives restarts via the streaming checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .sketches.kll import KllSketch
+
+    qs = [float(q) for q in quantiles]
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        sk = (
+            KllSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else KllSketch(k=k)
+        )
+        for pdf in pdf_iter:
+            vals = pdf[value_col].dropna()  # NaN would poison the ranks
+            if len(vals):
+                sk.update(vals.to_numpy(dtype="float64"))
+        state.update((sk.to_bytes(),))
+        est = [float(e) for e in sk.quantile(qs)] if sk.n else [float("nan")] * len(qs)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "q": [qs],
+                "est": [est],
+                "n": [int(sk.n)],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update_fn,
+        outputStructType="key string, q array<double>, est array<double>, n long",
+        stateStructType="sketch binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

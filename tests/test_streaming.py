@@ -430,3 +430,39 @@ def test_stream_sketches_job_end_to_end(spark, stream_dir, tmp_path):
     assert overlap, "no manifest bucket was restored — parity check is vacuous"
     for b in overlap:
         assert restored_counts[b["start"]] == b["n_markers"], b
+
+
+def test_stateful_quantile_estimate(spark, stream_dir, tmp_path):
+    """Per-key running KLL quantiles: final estimates must sit within a
+    rank band of the exact per-key quantiles over the whole stream."""
+    import numpy as np
+
+    from marker_spark.streaming import stateful_quantile_estimate
+
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    est = stateful_quantile_estimate(stream, key_col="event_type", value_col="value",
+                                     quantiles=(0.5, 0.9))
+    q = (
+        est.writeStream.format("memory")
+        .queryName("statefulkll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "kll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select key, last(est) as est, max(n) as n from statefulkll group by key"
+    ).collect()
+    got = {r["key"]: (r["est"], r["n"]) for r in rows}
+    for key, sub in pdf.groupby("event_type"):
+        vals = sub["value"].to_numpy(dtype="float64")
+        est_v, n = got[key]
+        assert n == len(vals), key
+        # rank-band gate, same discipline as the batch API tests
+        for target, e in zip((0.5, 0.9), est_v):
+            lo = float(np.quantile(vals, max(target - 0.1, 0.0)))
+            hi = float(np.quantile(vals, min(target + 0.1, 1.0)))
+            assert lo <= e <= hi, (key, target, e, lo, hi)
