@@ -295,6 +295,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).orderBy("source", F.desc("tfidf"), "word")
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 adjacent-bigram collocations by PMI (min pair count 5) —
+    the language-model-statistics member of the text-analysis family,
+    exactly oracle-gated like tfidf/bm25 (round-6 + tie-break)."""
+    from marker_spark.ops.text import pmi_collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=10, min_count=5)
+
+
 def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 documents for the corpus' own top-3 terms —
     fully declarative retrieval scoring (broadcast term table + 1-row
@@ -1003,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "pmi_collocations": q_pmi_collocations,
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_prep": q_corpus_prep,
@@ -1242,6 +1253,39 @@ def oracle_sql() -> dict[str, str]:
                                                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
+        # PMI over adjacent bigrams; identical probability model and
+        # round-6 + (w1, w2) tie-break.
+        "pmi_collocations": """
+            WITH w AS (
+                SELECT CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+                FROM documents
+            ), big AS (
+                SELECT words[i] AS w1, words[i + 1] AS w2
+                FROM w, unnest(range(1, len(words))) AS t(i)
+                WHERE words[i] <> '' AND words[i + 1] <> ''
+            ), uni AS (
+                SELECT wd AS w, count(*) AS c1
+                FROM w, unnest(words) AS u(wd)
+                WHERE wd <> ''
+                GROUP BY wd
+            ), pair_counts AS (
+                SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
+            ), totals AS (
+                SELECT (SELECT sum(n_pair) FROM pair_counts) AS total_pairs,
+                       (SELECT sum(c1) FROM uni) AS total_words
+            )
+            SELECT w1, w2, n_pair,
+                   round(ln((n_pair * 1.0 / total_pairs)
+                         / ((u1.c1 * 1.0 / total_words) * (u2.c1 * 1.0 / total_words))), 6) AS pmi
+            FROM pair_counts
+            JOIN uni u1 ON u1.w = w1
+            JOIN uni u2 ON u2.w = w2
+            CROSS JOIN totals
+            WHERE n_pair >= 5
+            ORDER BY pmi DESC, w1, w2
+            LIMIT 10
+        """,
         # BM25 with the corpus' top-3 terms as the query; round(6)
         # before ranking + id tie-break keeps order engine-independent.
         "bm25_top_docs": """

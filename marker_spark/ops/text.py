@@ -409,3 +409,64 @@ def bm25_top_docs(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — pure Catalyst: bigrams come from zipping each word
+    array with its own tail (no self-join), unigram/bigram totals are
+    two aggregations, and pmi = ln(P(w1,w2) / (P(w1) P(w2))).
+
+    ``min_count`` filters rare bigrams (PMI's known bias toward
+    singletons).  Scores round to 6 decimals before ranking with a
+    (w1, w2) tie-break, engine-independent per the tfidf/bm25
+    discipline.  Returns (w1, w2, n_pair, pmi).
+    """
+    words = words_col(F.col(text_col))
+    n = F.size(words)
+    pairs = F.arrays_zip(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    pair_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = pair_counts.agg(F.sum("n_pair").alias("total_pairs")).crossJoin(
+        F.broadcast(uni.agg(F.sum("c1").alias("total_words")))
+    )
+    scored = (
+        pair_counts.where(F.col("n_pair") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("total_pairs"))
+                    / ((F.col("c_w1") / F.col("total_words"))
+                       * (F.col("c_w2") / F.col("total_words")))
+                ),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "n_pair", "pmi")
+        .orderBy(F.desc("pmi"), F.col("w1"), F.col("w2"))
+        .limit(k)
+    )
