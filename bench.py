@@ -47,6 +47,53 @@ def build_session(cpus: str):
     )
 
 
+def _steal_ticks() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line, or
+    None off-Linux.  Used to certify a timed trial ran in a clean
+    window: round-3's recorded 8.8s build (vs a 5.6s clean-window
+    floor, re-measured round 4) was a multi-minute hypervisor-steal
+    episode swallowing all three best-of trials — wall time alone
+    cannot distinguish that from a code regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before, after) -> float | None:
+    """% of CPU time stolen between two _steal_ticks() snapshots."""
+    if before is None or after is None:
+        return None
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return 100.0 * ds / dt if dt > 0 else None
+
+
+def timed_trials(fn, min_trials: int, max_trials: int, clean_pct: float = 1.0):
+    """Run fn() (returning elapsed seconds) until we hold a trial whose
+    steal share was < clean_pct, bounded by max_trials.  Returns
+    (best_secs, steal_pct_of_best, n_trials).  Keeps the overall best
+    if no clean window appears in the budget — the bench must always
+    report a number, but the steal annotation travels with it."""
+    best, best_steal, trials = None, None, 0
+    while trials < max_trials:
+        s0 = _steal_ticks()
+        secs = fn()
+        st = _steal_pct(s0, _steal_ticks())
+        trials += 1
+        if best is None or secs < best:
+            best, best_steal = secs, st
+        clean = best_steal is None or best_steal < clean_pct
+        if trials >= min_trials and clean:
+            break
+    return best, best_steal, trials
+
+
 def _tokseq_parquet(n_docs: int, seed: int = 42) -> str:
     """Deterministic synthetic tokenized table, cached across runs so
     both scaling legs read identical input."""
@@ -410,16 +457,25 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Headline sketch-build throughput (the BASELINE.json metric).
-    # Best of three: this sandbox shows 15-25% hypervisor CPU steal in
-    # multi-minute episodes, so a single trial can be ~2x off (see
-    # BENCH/BASELINE.md trial tables); the first run also pays
-    # Python-worker spawn + first-touch, which is session setup, not
-    # build throughput.
-    secs, n_tokens, tps = sketch_build_throughput(spark, n_docs)
-    for _ in range(2):
-        secs2, _, tps2 = sketch_build_throughput(spark, n_docs)
-        if secs2 < secs:
-            secs, tps = secs2, tps2
+    # Steal-aware best-of-N: this sandbox shows 15-25% hypervisor CPU
+    # steal in MULTI-MINUTE episodes — long enough to swallow a whole
+    # fixed best-of-3 (round 3 recorded 8.8s where the clean-window
+    # floor is ~5.6s; root-caused round 4 with /proc/stat deltas, see
+    # BENCH/BASELINE.md §5).  Each trial now certifies its own window:
+    # keep trying (bounded) until the best trial ran with <1% steal,
+    # and report the steal share of the kept trial either way.  The
+    # first run also pays Python-worker spawn + first-touch, which is
+    # session setup, not build throughput — hence min 3 trials.
+    build_state: dict = {}
+
+    def _one_build() -> float:
+        secs_, n_tokens_, tps_ = sketch_build_throughput(spark, n_docs)
+        if secs_ < build_state.get("secs", float("inf")):
+            build_state.update(secs=secs_, n_tokens=n_tokens_, tps=tps_)
+        return secs_
+
+    _, build_steal, build_trials = timed_trials(_one_build, min_trials=3, max_trials=6)
+    secs, n_tokens, tps = build_state["secs"], build_state["n_tokens"], build_state["tps"]
     timings["sketch_build_multi"] = round(secs, 3)
 
     # Reference-parity lookup timing: the reference's only perf artifact
@@ -456,20 +512,22 @@ def main() -> None:
     from marker_spark.cacheutil import release_all
 
     for name in bench_queries:
-        # min of two trials per query: steal episodes last minutes and
-        # would otherwise be indistinguishable from a regression in the
-        # single recorded number (documented in BENCH/BASELINE.md §5)
-        best = None
-        for _ in range(2):
+        # Steal-aware min-of-trials per query (min 2, max 3): steal
+        # episodes last minutes and would otherwise be indistinguishable
+        # from a regression in the single recorded number (documented in
+        # BENCH/BASELINE.md §5).
+        def _one_query(name=name) -> float:
             t0 = time.monotonic()
             df = qmap[name](spark, sf_dir)
             df.collect()
             dt = time.monotonic() - t0
-            best = dt if best is None or dt < best else best
             # long-lived-session discipline: drop the query's persisted
             # intermediates so storage memory doesn't accumulate across
             # the sweep; between-request bookkeeping, outside the timer
             release_all()
+            return dt
+
+        best, _, _ = timed_trials(_one_query, min_trials=2, max_trials=3)
         timings[name] = round(best, 3)
 
     fp_check = bloom_fp_check(spark, n_docs)
@@ -479,7 +537,16 @@ def main() -> None:
     # Bucket size scales with input so small benches aren't dominated by
     # over-allocated single-bucket states.
     dpb = min(50_000, max(n_docs // 8, 1_000))
-    bsecs, _, btps = sketch_build_bucketed_throughput(spark, n_docs, docs_per_bucket=dpb)
+    bucketed_state: dict = {}
+
+    def _one_bucketed() -> float:
+        bsecs_, _, btps_ = sketch_build_bucketed_throughput(spark, n_docs, docs_per_bucket=dpb)
+        if bsecs_ < bucketed_state.get("secs", float("inf")):
+            bucketed_state.update(secs=bsecs_, tps=btps_)
+        return bsecs_
+
+    timed_trials(_one_bucketed, min_trials=2, max_trials=4)
+    bsecs, btps = bucketed_state["secs"], bucketed_state["tps"]
     timings["sketch_build_bucketed"] = round(bsecs, 3)
 
     total = round(sum(timings.values()), 3)
@@ -496,6 +563,8 @@ def main() -> None:
                 "tokens_per_sec": round(tps, 1),
                 "tokens_per_sec_bucketed": round(btps, 1),
                 "bench_docs": n_docs,
+                "build_steal_pct": None if build_steal is None else round(build_steal, 2),
+                "build_trials": build_trials,
                 "bloom_fp_check": fp_check,
             }
         )

@@ -1,12 +1,17 @@
 """Read-side: probe DataFrames against a distributed sketch table.
 
 The write side produces a sketch table (group..., sketch binary) —
-parquet/Iceberg rows, one per (source, bucket, ...).  This module joins
-probe rows to their group's sketch and evaluates membership/estimates
-without collecting states to the driver: the sketch table is small
-relative to probes, so Spark broadcasts it, and each Python task
-deserializes each distinct sketch ONCE per batch and evaluates its
-probes vectorized (grouped by sketch identity inside the UDF).
+parquet/Iceberg rows, one per (source, bucket, ...).  This module
+evaluates membership/estimates for probe rows WITHOUT the sketch bytes
+ever entering the probe plan: the per-group state dict is bounded
+(one row per group — the same volume the reference's reader process
+maps into its address space), so it is collected once, shipped to
+executors via a Spark broadcast, and looked up inside the UDF keyed by
+the row's group columns.  The alternative — a broadcast JOIN attaching
+the blob to every probe row — materializes each row's copy of the
+multi-hundred-KB state through the JVM→Python Arrow path,
+O(probes × state_bytes) movement (the repo's measured read-side
+scale-killer; CLAUDE.md round-3 decisions).
 
 This is the distributed generalization of the reference's reader
 process: attach to published filter state, answer membership
@@ -15,6 +20,8 @@ table instead of a shared-memory segment.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -25,57 +32,106 @@ from .agg import SKETCH_COL, unpack_state
 from .sketches.bloom import BloomSketch
 
 
-def _grouped_by_sketch(sketch: pd.Series):
-    """Group row indices by identical sketch payloads at O(1) per-row
-    cost: the dict key samples (length, head 32B, middle 16B, tail 16B)
-    of the serialized state instead of hashing the full payload — each
-    row's cell is a distinct bytes object after the broadcast join, so
-    keying on the payload itself would hash (and compare) the whole
-    multi-hundred-KB state once PER ROW.  Distinct zlib-compressed
-    states colliding on all three sampled sections is negligible (a
-    compressed stream differing anywhere diverges through the rest);
-    yields (payload, row indices) pairs."""
-    groups: dict[tuple, list] = {}
-    for i, sk in enumerate(sketch):
-        if sk is None:
-            continue
-        n = len(sk)
-        key = (n, bytes(sk[:32]), bytes(sk[n // 2 : n // 2 + 16]), bytes(sk[-16:]))
-        entry = groups.get(key)
-        if entry is None:
-            groups[key] = [bytes(sk), [i]]
-        else:
-            entry[1].append(i)
-    return {payload: idxs for payload, idxs in groups.values()}
+def _norm_key(v):
+    """Normalize a group-key cell for dict lookup: pandas surfaces SQL
+    NULL as None or NaN depending on dtype; the collected state dict
+    uses None."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
 
 
-def make_pairwise_marker_membership_udf():
-    """pandas UDF (sketch binary, marker binary/string) -> boolean."""
+def _group_rows(key_cols: tuple[pd.Series, ...]):
+    """Yield (key_tuple, row_positions) for each distinct group-key
+    combination in the batch.  Cost is O(rows) over SMALL key cells
+    (strings/ints), never over sketch payloads."""
+    n = len(key_cols[0])
+    if n == 0:
+        return
+    if len(key_cols) == 1:
+        codes, uniques = pd.factorize(key_cols[0], sort=False)
+        for gi, u in enumerate(uniques):
+            yield (_norm_key(u),), np.flatnonzero(codes == gi)
+        na = codes < 0
+        if na.any():
+            yield (None,), np.flatnonzero(na)
+        return
+    df = pd.DataFrame({i: c.reset_index(drop=True) for i, c in enumerate(key_cols)})
+    for key, idxs in df.groupby(list(df.columns), dropna=False, sort=False).indices.items():
+        if not isinstance(key, tuple):
+            key = (key,)
+        yield tuple(_norm_key(k) for k in key), np.asarray(idxs)
+
+
+def collect_sketch_states(
+    sketch_table: DataFrame, group_cols: list[str]
+) -> dict[tuple, bytes]:
+    """Collect the bounded per-group serialized states once:
+    O(#groups × state_bytes), the exact volume the reference reader
+    mmaps.  Duplicate group rows keep the last."""
+    rows = sketch_table.select(*group_cols, SKETCH_COL).collect()
+    k = len(group_cols)
+    return {
+        tuple(_norm_key(r[i]) for i in range(k)): bytes(r[k])
+        for r in rows
+        if r[k] is not None
+    }
+
+
+def make_keyed_marker_membership_udf(bcast, n_keys: int):
+    """pandas UDF (group cols..., marker) -> boolean.  States come from
+    the broadcast dict; each group's sketch is deserialized once per
+    worker (memo dict, bounded by #groups) and evaluated vectorized."""
+    memo: dict[tuple, BloomSketch | None] = {}
 
     @F.pandas_udf("boolean")
-    def member(sketch: pd.Series, marker: pd.Series) -> pd.Series:
+    def member(*cols: pd.Series) -> pd.Series:
         from .kernels import encode_series
 
+        marker = cols[-1]
         out = np.zeros(len(marker), dtype=bool)
-        for sk_bytes, idxs in _grouped_by_sketch(sketch).items():
-            bf = unpack_state(BloomSketch, sk_bytes)
+        states = bcast.value
+        for key, idxs in _group_rows(cols[:n_keys]):
+            bf = memo.get(key)
+            if bf is None and key not in memo:
+                payload = states.get(key)
+                bf = memo[key] = (
+                    unpack_state(BloomSketch, payload) if payload is not None else None
+                )
+            if bf is None:
+                continue  # no sketch published for this group -> False
             out[idxs] = bf.contains(encode_series(marker.iloc[idxs]))
         return pd.Series(out)
 
     return member
 
 
-def make_pairwise_ngram_membership_udf(n: int = 3):
-    """pandas UDF (sketch binary, tokens array<int>) -> boolean: does
+def make_keyed_ngram_membership_udf(bcast, n_keys: int, n: int = 3):
+    """pandas UDF (group cols..., tokens array<int>) -> boolean: does
     the row contain at least one n-gram present in its group's sketch."""
     from .hashing import mmh3_ngram_i32
     from .ngrams import list_column_to_flat, ngram_starts
 
+    memo: dict[tuple, BloomSketch | None] = {}
+
     @F.pandas_udf("boolean")
-    def any_ngram(sketch: pd.Series, tokens: pd.Series) -> pd.Series:
+    def any_ngram(*cols: pd.Series) -> pd.Series:
+        tokens = cols[-1]
         out = np.zeros(len(tokens), dtype=bool)
-        for sk_bytes, idxs in _grouped_by_sketch(sketch).items():
-            bf = unpack_state(BloomSketch, sk_bytes)
+        states = bcast.value
+        for key, idxs in _group_rows(cols[:n_keys]):
+            bf = memo.get(key)
+            if bf is None and key not in memo:
+                payload = states.get(key)
+                bf = memo[key] = (
+                    unpack_state(BloomSketch, payload) if payload is not None else None
+                )
+            if bf is None:
+                continue
             flat, offsets = list_column_to_flat(tokens.iloc[idxs])
             starts, per_doc = ngram_starts(offsets, n)
             if len(starts) == 0:
@@ -104,21 +160,19 @@ def probe_sketch_table(
     ngram: int = 3,
     result_col: str = "found",
 ) -> DataFrame:
-    """Join probes to their group's sketch (broadcast — the sketch
-    table has one row per group) and evaluate membership.
-
-    Probes whose group has no sketch get False (nothing was inserted
-    for that group)."""
-    st = F.broadcast(sketch_table.select(*group_cols, SKETCH_COL))
-    joined = probe_df.join(st, on=group_cols, how="left")
+    """Evaluate probe rows against their group's sketch with zero
+    sketch bytes in the probe plan: the bounded per-group state dict is
+    collected once and broadcast; the UDF keys into it by the row's
+    group columns.  Probes whose group has no sketch get False (nothing
+    was inserted for that group)."""
+    states = collect_sketch_states(sketch_table, group_cols)
+    bcast = probe_df.sparkSession.sparkContext.broadcast(states)
     if marker_col is not None:
-        udf = make_pairwise_marker_membership_udf()
-        col = udf(F.col(SKETCH_COL), F.col(marker_col))
+        udf = make_keyed_marker_membership_udf(bcast, len(group_cols))
+        col = udf(*[F.col(c) for c in group_cols], F.col(marker_col))
     elif token_col is not None:
-        udf = make_pairwise_ngram_membership_udf(ngram)
-        col = udf(F.col(SKETCH_COL), F.col(token_col))
+        udf = make_keyed_ngram_membership_udf(bcast, len(group_cols), ngram)
+        col = udf(*[F.col(c) for c in group_cols], F.col(token_col))
     else:
         raise ValueError("need marker_col or token_col")
-    return joined.withColumn(
-        result_col, F.when(F.col(SKETCH_COL).isNotNull(), col).otherwise(F.lit(False))
-    ).drop(SKETCH_COL)
+    return probe_df.withColumn(result_col, col)

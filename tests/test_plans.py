@@ -131,3 +131,17 @@ def test_tfidf_no_cartesian_product(spark):
     plan = _plan(tfidf_top_terms(docs, k=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_probe_plan_carries_no_sketch_bytes(spark):
+    """The read side must never put the serialized sketch column into
+    the probe plan: states ship once per executor via broadcast and the
+    UDF keys into them by group columns, so per-probe-row data movement
+    is O(row), not O(state_bytes) (the round-3 measured scale-killer)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["sketch_table_probe"](spark, SF_DIR)
+    plan = _plan(q)
+    assert "Join" not in plan, "probe must not join the sketch table"
+    assert "sketch#" not in plan, "sketch binary column leaked into the probe plan"
+    assert "ArrowEvalPython" in plan  # the keyed membership UDF
