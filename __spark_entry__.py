@@ -337,6 +337,29 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. duplicated-span
+    modality): maximal verbatim character spans >= 40 chars shared
+    between two docs, from consecutive runs of shared md5 char-24-grams
+    on one diagonal.  Pure Catalyst; the oracle recomputes the same
+    grams/runs in DuckDB (md5 agrees byte-for-byte across engines)."""
+    from marker_spark.ops.dedup import duplicated_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, k=24, min_len=40, max_df=16, max_occ=64)
+    return (
+        spans.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+        .orderBy(F.desc("span_len"), "doc_a", "doc_b", "start_a", "start_b")
+        .limit(20)
+    )
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep as ONE composed query: quality
     filter (pure-Catalyst text stats) -> exact dedup (keep the min-id
@@ -1016,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
+        "duplicated_spans": q_duplicated_spans,
         "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
         "window_top_orders": q_window_top_orders,
@@ -1354,6 +1378,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rn <= 3
             ORDER BY source, tfidf DESC, word
+        """,
+        # Same char-24-gram runs: md5 hashes agree byte-for-byte across
+        # engines, the frequency cap (2..16 docs, <=64 occurrences) is
+        # replicated, and islands use the same row_number diagonal trick.
+        "duplicated_spans": """
+            WITH grams AS (
+                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+                       md5(substring(d.text, CAST(t.i AS INT), 24)) AS g
+                FROM documents d
+                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
+                     THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
+            ), keep AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
+            ), fg AS (
+                SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
+            ), islands AS (
+                SELECT doc_a, doc_b, diag, pos_a,
+                       pos_a - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+                FROM pairs
+            ), spans AS (
+                SELECT doc_a, doc_b, MIN(pos_a) AS start_a,
+                       MIN(pos_a) - diag AS start_b,
+                       COUNT(*) + 23 AS span_len
+                FROM islands GROUP BY doc_a, doc_b, diag, grp
+            )
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   CAST(start_a AS BIGINT) AS start_a,
+                   CAST(start_b AS BIGINT) AS start_b,
+                   CAST(span_len AS BIGINT) AS span_len
+            FROM spans WHERE span_len >= 40
+            ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+            LIMIT 20
         """,
         # Components via recursive transitive closure over the same exact
         # Jaccard pair predicate; min labels compare as strings on both

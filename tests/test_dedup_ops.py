@@ -253,3 +253,46 @@ def test_jaccard_for_pairs_matches_discovery_join(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got_rows}
     assert got == want
+
+
+def test_duplicated_spans_exact_boundaries(spark):
+    """A planted shared region must come back as ONE maximal span with
+    exact start offsets and length; unrelated docs contribute nothing."""
+    import pandas as pd
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "XX" + shared + "YYYYYYYYYYYYYYYYYYYYYYYY",
+                    "abcdefgh" + shared + "ZZZZZZZZZZZZZZZZZZZZ",
+                    "totally unrelated content with no overlap at all here",
+                ],
+            }
+        )
+    )
+    from marker_spark.ops.dedup import duplicated_spans
+
+    rows = duplicated_spans(docs, k=24, min_len=40).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["start_a"] == 3  # 1-based, after "XX"
+    assert r["start_b"] == 9  # after "abcdefgh"
+    assert r["span_len"] == len(shared)
+
+
+def test_duplicated_spans_hot_gram_cap(spark):
+    """Grams appearing in more than max_df docs are stop-grams: shared
+    boilerplate across many docs must not explode into pairs."""
+    import pandas as pd
+
+    boiler = "this exact boilerplate sentence appears in every single document"
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10)), "text": [boiler] * 10})
+    )
+    from marker_spark.ops.dedup import duplicated_spans
+
+    assert duplicated_spans(docs, k=24, min_len=40, max_df=4).count() == 0
