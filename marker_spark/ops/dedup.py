@@ -596,7 +596,6 @@ def connected_components(
         "label", F.col("id")
     ).persist()
     labels.count()  # materialize so each round starts from a stable snapshot
-    register(labels)
     changed = None
     prev_persisted = labels  # the materialized handle of the previous round
     for _ in range(max_iter):
@@ -616,14 +615,19 @@ def connected_components(
             )
             .persist()
         )
-        register(new_labels)
         changed = new_labels.where(F.col("new_label") < F.col("label")).count()
         prev_persisted.unpersist()  # labels itself may be a projection
         prev_persisted = new_labels
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    # only the FINAL round's labels outlive the loop (intermediate
+    # rounds were unpersisted as soon as the next round materialized) —
+    # registering every round would pile ~max_iter handles into the
+    # session registry on high-diameter graphs
+    register(prev_persisted)
     if changed:
+        prev_persisted.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             f"rounds ({changed} labels still changing) — the graph has a "

@@ -71,11 +71,15 @@ class CmsSketch:
         # the hot update path, no redundant full-array passes.)
         total = int(counts.sum())
         bincount_exact = total < (1 << 53)
-        weights = counts.astype(np.float64) if bincount_exact else None
+        # only materialized when the bincount branch below can run at
+        # all — a wide sketch (w > 2^24) always scatters via np.add.at
+        # and must not pay an O(batch) float64 copy per call
+        use_bincount = self.w <= (1 << 24) and bincount_exact
+        weights = counts.astype(np.float64) if use_bincount else None
         for i in range(self.d):
             # bincount is a buffered C histogram — much faster than the
             # unbuffered np.add.at scatter for w up to a few million.
-            if self.w <= (1 << 24) and bincount_exact:
+            if use_bincount:
                 self.grid[i] += np.bincount(
                     cols[i], weights=weights, minlength=self.w
                 ).astype(np.uint64)

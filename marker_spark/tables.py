@@ -52,9 +52,14 @@ class TableProvider:
 
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             # honor `mode` — createOrReplace() for an append request
-            # would silently destroy previously written partitions
+            # would silently destroy previously written partitions.
+            # First-ever append: the table does not exist yet, and
+            # DataFrameWriterV2.append() would throw — create it then.
             if mode == "append":
-                w.append()
+                if self.spark.catalog.tableExists(f"{self.catalog}.{location}"):
+                    w.append()
+                else:
+                    w.createOrReplace()
             elif mode in ("overwrite", "createOrReplace"):
                 w.createOrReplace()
             else:
