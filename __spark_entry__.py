@@ -431,20 +431,23 @@ def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation coverage: customers ordering in both/only-one half
-    of the order-date range (intersect / except / union counts)."""
-    import pandas as pd
-
+    of the order-date range (intersect / except / union counts) —
+    computed as ONE membership aggregation (single scan, single
+    shuffle, single job) instead of three driver-side actions that
+    would rebuild the intersection twice."""
     orders = _read(spark, sf_dir, "orders")
     cut = "1998-01-01"
-    a = orders.where(F.col("o_orderdate") < cut).select("o_custkey").distinct()
-    b = orders.where(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
-    row = {
-        "n_both": a.intersect(b).count(),
-        "n_first_only": a.exceptAll(a.intersect(b)).count(),
-        "n_union": a.union(b).distinct().count(),
-    }
-    return spark.createDataFrame(
-        pd.DataFrame([row]), schema="n_both long, n_first_only long, n_union long"
+    membership = orders.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderdate") < cut).cast("int")).alias("in_a"),
+        F.max((F.col("o_orderdate") >= cut).cast("int")).alias("in_b"),
+    )
+    both = (F.col("in_a") == 1) & (F.col("in_b") == 1)
+    first_only = (F.col("in_a") == 1) & (F.col("in_b").eqNullSafe(1) == F.lit(False))
+    either = (F.col("in_a") == 1) | (F.col("in_b") == 1)
+    return membership.agg(
+        F.count(F.when(both, 1)).alias("n_both"),
+        F.count(F.when(first_only, 1)).alias("n_first_only"),
+        F.count(F.when(either, 1)).alias("n_union"),
     )
 
 
@@ -725,6 +728,29 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_bpe") / F.greatest(F.sum("n_words"), F.lit(1)), 6
             ).alias("bpe_per_word"),
         )
+    )
+
+
+def q_bpe_learned_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL learned-BPE tokenization (vs the regex pre-token counter
+    above): train a merge table on a deterministic bounded sample
+    (md5 bottom-k docs, driver-side incremental-pair-count trainer),
+    broadcast the ranks, apply distributed via the Arrow-batched
+    memoized encoder, and report the top subword tokens.  Rows-only
+    driver check (a learned merge table is not SQL-expressible);
+    tests/test_bpe.py golden-gates the trainer and encoder against a
+    naive reference implementation."""
+    from marker_spark.ops.bpe import bpe_tokens_col, train_bpe_from_df
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe_from_df(docs, n_merges=200, sample_docs=1_000)
+    toks = bpe_tokens_col(docs, merges)
+    return (
+        toks.select(F.explode("bpe_tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
     )
 
 
@@ -1031,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "top_words": q_top_words,
         "bpe_token_counts": q_bpe_token_counts,
+        "bpe_learned_tokens": q_bpe_learned_tokens,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
