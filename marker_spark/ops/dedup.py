@@ -281,19 +281,42 @@ def ngram_jaccard_for_pairs(
     @F.pandas_udf("double")
     def jac(wa: pd.Series, wb: pd.Series) -> pd.Series:
         n = len(wa)
-        out = np.zeros(n, dtype=np.float64)
         if n == 0:
-            return pd.Series(out)
+            return pd.Series(np.zeros(0, dtype=np.float64))
         fa, sa = _shingle_hashes(wa, shingle)
         fb, sb = _shingle_hashes(wb, shingle)
-        ba = np.append(sa, len(fa))
-        bb = np.append(sb, len(fb))
-        for i in range(n):  # pair-bounded loop: |pairs| rows, not |docs|^2
-            A = np.unique(fa[ba[i] : ba[i + 1]])
-            B = np.unique(fb[bb[i] : bb[i + 1]])
-            inter = len(np.intersect1d(A, B, assume_unique=True))
-            out[i] = inter / max(len(A) + len(B) - inter, 1)
-        return pd.Series(out)
+        # One lexsort over the batch's concatenated (pair_id, shingle)
+        # instead of per-pair np.unique/intersect1d: the per-pair loop
+        # paid interpreter + small-array overhead |pairs| times.
+        pa = np.repeat(np.arange(n), np.diff(np.append(sa, len(fa))))
+        pb = np.repeat(np.arange(n), np.diff(np.append(sb, len(fb))))
+
+        def _dedup(p: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            if len(p) == 0:
+                return p, h
+            order = np.lexsort((h, p))
+            p, h = p[order], h[order]
+            mask = np.empty(len(p), dtype=bool)
+            mask[0] = True
+            mask[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+            return p[mask], h[mask]
+
+        pa, ha = _dedup(pa, fa)
+        pb, hb = _dedup(pb, fb)
+        na = np.bincount(pa, minlength=n)
+        nb = np.bincount(pb, minlength=n)
+        pc = np.concatenate([pa, pb])
+        hc = np.concatenate([ha, hb])
+        inter = np.zeros(n, dtype=np.int64)
+        if len(pc):
+            order = np.lexsort((hc, pc))
+            pc, hc = pc[order], hc[order]
+            # within-side arrays are deduped, so an adjacent (pair, hash)
+            # match is exactly one element from each side
+            eq = (pc[1:] == pc[:-1]) & (hc[1:] == hc[:-1])
+            inter = np.bincount(pc[:-1][eq], minlength=n)
+        union = np.maximum(na + nb - inter, 1)
+        return pd.Series(inter / union)
 
     return joined.select(
         "id_a", "id_b", F.round(jac(F.col("wh_a"), F.col("wh_b")), 6).alias("jaccard")
