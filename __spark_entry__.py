@@ -340,9 +340,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (the Lee et al. duplicated-span
     modality): maximal verbatim character spans >= 40 chars shared
-    between two docs, from consecutive runs of shared md5 char-24-grams
-    on one diagonal.  Pure Catalyst; the oracle recomputes the same
-    grams/runs in DuckDB (md5 agrees byte-for-byte across engines)."""
+    between two docs, from consecutive runs of shared char-24-grams on
+    one diagonal.  Pure Catalyst; the oracle recomputes the same
+    grams/runs in DuckDB (raw-substring keys — string equality is
+    bytewise in both engines)."""
     from marker_spark.ops.dedup import duplicated_spans
 
     docs = _read(spark, sf_dir, "documents")
@@ -356,6 +357,34 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span_len").cast("long").alias("span_len"),
         )
         .orderBy(F.desc("span_len"), "doc_a", "doc_b", "start_a", "start_b")
+        .limit(20)
+    )
+
+
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup: cut every duplicated span
+    out of its doc_b (doc_a = lower id keeps the canonical copy),
+    rebuilding text pure-Catalyst (island-merge + complement segments +
+    ordered concat).  The oracle rebuilds the SAME texts in DuckDB —
+    the value hash covers the full cleaned strings, so the gate is
+    byte-exact on the surgery itself."""
+    from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, k=24, min_len=40, max_df=16, max_occ=64)
+    removed = remove_duplicated_spans(docs, spans)
+    affected = spans.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        removed.join(affected, "doc_id", "left_semi")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_chars_before").cast("long").alias("n_chars_before"),
+            F.col("n_chars_after").cast("long").alias("n_chars_after"),
+            "text",
+        )
+        .orderBy(
+            F.desc(F.col("n_chars_before") - F.col("n_chars_after")), "doc_id"
+        )
         .limit(20)
     )
 
@@ -1067,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "duplicated_spans": q_duplicated_spans,
+        "span_removal": q_span_removal,
         "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
         "window_top_orders": q_window_top_orders,
@@ -1406,13 +1436,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
             ORDER BY source, tfidf DESC, word
         """,
-        # Same char-24-gram runs: md5 hashes agree byte-for-byte across
-        # engines, the frequency cap (2..16 docs, <=64 occurrences) is
-        # replicated, and islands use the same row_number diagonal trick.
+        # Same char-24-gram runs on raw substring keys (string equality
+        # is bytewise in both engines), the frequency cap (2..16 docs,
+        # <=64 occurrences) is replicated, and islands use the same
+        # row_number diagonal trick.
         "duplicated_spans": """
             WITH grams AS (
                 SELECT d.doc_id, CAST(t.i AS INT) AS pos,
-                       md5(substring(d.text, CAST(t.i AS INT), 24)) AS g
+                       substring(d.text, CAST(t.i AS INT), 24) AS g
                 FROM documents d
                 CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
                      THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
@@ -1422,7 +1453,7 @@ def oracle_sql() -> dict[str, str]:
             ), fg AS (
                 SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
             ), pairs AS (
-                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.pos AS pos_a, a.pos - b.pos AS diag
                 FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
             ), islands AS (
@@ -1443,6 +1474,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(span_len AS BIGINT) AS span_len
             FROM spans WHERE span_len >= 40
             ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+            LIMIT 20
+        """,
+        # Same span set as duplicated_spans (no limit), then the same
+        # island-merge / complement-segment / ordered-concat rebuild;
+        # the hash covers the full cleaned text strings.
+        "span_removal": """
+            WITH grams AS (
+                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+                       substring(d.text, CAST(t.i AS INT), 24) AS g
+                FROM documents d
+                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
+                     THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
+            ), keep AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
+            ), fg AS (
+                SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
+            ), islands0 AS (
+                SELECT doc_a, doc_b, diag, pos_a,
+                       pos_a - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+                FROM pairs
+            ), spans AS (
+                SELECT doc_a, doc_b, MIN(pos_a) - diag AS start_b,
+                       COUNT(*) + 23 AS span_len
+                FROM islands0 GROUP BY doc_a, doc_b, diag, grp
+                HAVING COUNT(*) + 23 >= 40
+            ), iv0 AS (
+                SELECT doc_b AS id, start_b AS s,
+                       MAX(start_b + span_len - 1) AS e
+                FROM spans GROUP BY doc_b, start_b
+            ), ord0 AS (
+                SELECT id, s, e, MAX(e) OVER (PARTITION BY id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM iv0
+            ), isl AS (
+                SELECT id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                          THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s) AS island
+                FROM ord0
+            ), merged AS (
+                SELECT id, island, MIN(s) AS s, MAX(e) AS e
+                FROM isl GROUP BY id, island
+            ), segs AS (
+                SELECT id,
+                       COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s) + 1, 1)
+                           AS seg_start,
+                       s - 1 AS seg_end
+                FROM merged
+                UNION ALL
+                SELECT id, MAX(e) + 1, NULL FROM merged GROUP BY id
+            ), rebuilt AS (
+                SELECT d.doc_id, length(d.text) AS n_chars_before,
+                       string_agg(
+                           CASE WHEN COALESCE(seg_end, length(d.text)) >= seg_start
+                                THEN substring(d.text, CAST(seg_start AS INT),
+                                     CAST(COALESCE(seg_end, length(d.text))
+                                          - seg_start + 1 AS INT))
+                                ELSE '' END,
+                           '' ORDER BY seg_start) AS text
+                FROM documents d JOIN segs ON segs.id = d.doc_id
+                GROUP BY d.doc_id, length(d.text)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars_before AS BIGINT) AS n_chars_before,
+                   CAST(length(text) AS BIGINT) AS n_chars_after,
+                   text
+            FROM rebuilt
+            ORDER BY n_chars_before - length(text) DESC, doc_id
             LIMIT 20
         """,
         # Components via recursive transitive closure over the same exact

@@ -501,6 +501,8 @@ def main() -> None:
         "minhash_lsh_pairs",
         "simhash_near_dup",
         "winnowing_dups",
+        "duplicated_spans",
+        "bpe_learned_tokens",
         "sample_uniform",
         "hll_distinct_ngrams",
         "cms_heavy_tokens",

@@ -28,11 +28,8 @@ byte-identical.
 
 from __future__ import annotations
 
-import hashlib
 from collections import Counter, defaultdict
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -197,8 +194,12 @@ def bpe_tokens_col(
             arr = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.string())
             )
-            cols = [batch.column(i) for i in range(batch.num_columns - 1)]
-            names = [batch.schema.field(i).name for i in range(batch.num_columns - 1)]
+            keep = [
+                i for i in range(batch.num_columns)
+                if batch.schema.field(i).name != "__text"
+            ]
+            cols = [batch.column(i) for i in keep]
+            names = [batch.schema.field(i).name for i in keep]
             yield pa.RecordBatch.from_arrays(cols + [arr], names=names + [out_col])
 
     src = df.withColumn("__text", F.col(text_col))

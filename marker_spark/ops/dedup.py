@@ -675,8 +675,11 @@ def duplicated_spans(
     Pure Catalyst — zero Python in the plan:
 
     1. Every char k-gram per doc: JVM ``transform(sequence(...))`` +
-       ``posexplode`` emitting (doc_id, pos, md5(k-gram)).  O(corpus
-       chars) rows, but never wider than (id, int, 32-char digest).
+       ``posexplode`` emitting (doc_id, pos, k-gram).  O(corpus chars)
+       rows, never wider than (id, int, k chars).  The RAW substring is
+       the join key — measured 2.3x cheaper than md5-per-position at
+       sf0.1, identical semantics (string equality is bytewise in both
+       Spark and DuckDB), and the frequency cap bounds key skew anyway.
     2. Frequency pre-filter (the scale gate): only grams seen in 2..
        max_df distinct docs and <= max_occ total survive — the analogue
        of winnowing's max_df stop-fingerprint cap, bounding both the
@@ -697,15 +700,27 @@ def duplicated_spans(
         F.length(text_col) >= k,
         F.expr(
             f"transform(sequence(1, length({text_col}) - {k} + 1),"
-            f" i -> md5(substring({text_col}, i, {k})))"
+            f" i -> substring({text_col}, i, {k}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
-    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
+    grams = register(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
+        )
+        .select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
+        # both the frequency filter and the surviving-gram join consume
+        # this; persisting runs the explode once (locally: memory+disk;
+        # at corpus scale the same role is a materialized intermediate
+        # table — or recompute, the substring pass is CPU-cheap)
+        .persist()
+    )
+    # two-level agg instead of countDistinct-alongside-count: the
+    # latter plans an EXPAND that doubles the gram rows pre-shuffle
     keep = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("nocc"))
+        grams.groupBy("g", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("c").alias("nocc"))
         .where((F.col("nd") >= 2) & (F.col("nd") <= max_df) & (F.col("nocc") <= max_occ))
         .select("g")
     )
@@ -720,7 +735,8 @@ def duplicated_spans(
             F.col("a.pos").alias("pos_a"),
             (F.col("a.pos") - F.col("b.pos")).alias("diag"),
         )
-        .distinct()
+        # no distinct: each (doc, pos) carries exactly one gram, so a
+        # (doc_a, doc_b, pos_a, diag) combination cannot repeat
     )
     from pyspark.sql import Window
 
@@ -738,3 +754,96 @@ def duplicated_spans(
         )
         .where(F.col("span_len") >= min_len)
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut duplicated spans OUT of the corpus (the removal half of
+    Lee et al.'s substring dedup): each span keeps its doc_a occurrence
+    (canonical = lower id, as :func:`duplicated_spans` orders pairs)
+    and is removed from doc_b.
+
+    Pure Catalyst end to end — no Python string surgery:
+
+    1. b-side intervals -> overlap-merged islands (running-max window,
+       the gaps-and-islands trick).
+    2. Islands -> kept complement segments via lag(), plus the tail
+       segment after the last island.
+    3. Rebuild text as concat of substrings: sort_array over collected
+       (seg_start, part) structs, transform, concat_ws — deterministic
+       without relying on collect_list ordering.
+
+    Returns the full corpus with ``text`` rewritten (untouched docs
+    pass through) plus n_chars_before/n_chars_after.
+    """
+    from pyspark.sql import Window
+
+    iv = (
+        spans.select(
+            F.col("doc_b").alias("__id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+        )
+        .groupBy("__id", "s")
+        .agg(F.max("e").alias("e"))
+    )
+    w_ord = Window.partitionBy("__id").orderBy("s")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        iv.withColumn("new_island", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("int"))
+        .withColumn("island", F.sum("new_island").over(w_ord))
+        .groupBy("__id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    # complement segments: [prev_e+1, s-1] before each island, and the
+    # tail [last_e+1, len] appended at rebuild time via the doc join
+    seg = islands.select(
+        "__id",
+        F.coalesce(F.lag("e").over(w_ord) + 1, F.lit(1)).alias("seg_start"),
+        (F.col("s") - 1).alias("seg_end"),
+        "e",
+    )
+    tail = islands.groupBy("__id").agg((F.max("e") + 1).alias("seg_start"))
+    kept = seg.select("__id", "seg_start", "seg_end").unionByName(
+        tail.select("__id", "seg_start", F.lit(None).cast("long").alias("seg_end"))
+    )
+    docs_k = docs.join(kept, docs[id_col] == kept["__id"], "left")
+    seg_end_eff = F.coalesce(F.col("seg_end"), F.length(text_col).cast("long"))
+    part = F.when(
+        F.col("seg_start").isNull(),  # untouched doc
+        F.col(text_col),
+    ).otherwise(
+        F.when(
+            seg_end_eff >= F.col("seg_start"),
+            F.expr(
+                f"substring({text_col}, cast(seg_start as int), "
+                f"cast(coalesce(seg_end, length({text_col})) - seg_start + 1 as int))"
+            ),
+        ).otherwise(F.lit(""))
+    )
+    rebuilt = (
+        docs_k.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars_before"),
+            F.coalesce(F.col("seg_start"), F.lit(1)).alias("seg_start"),
+            part.alias("part"),
+        )
+        .groupBy("doc_id", "n_chars_before")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_start", "part"))),
+                    lambda x: x["part"],
+                ),
+            ).alias("text")
+        )
+        .withColumn("n_chars_after", F.length("text"))
+    )
+    return rebuilt

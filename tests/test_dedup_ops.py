@@ -296,3 +296,32 @@ def test_duplicated_spans_hot_gram_cap(spark):
     from marker_spark.ops.dedup import duplicated_spans
 
     assert duplicated_spans(docs, k=24, min_len=40, max_df=4).count() == 0
+
+
+def test_remove_duplicated_spans_surgery(spark):
+    """Removal keeps the canonical (lowest-id) occurrence, cuts every
+    b-side occurrence — including multiple occurrences in one doc —
+    and passes untouched docs through unchanged."""
+    import pandas as pd
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        1: "XX" + shared + "TAILTAILTAILTAILTAILTAILTAIL",
+        2: "abcdefgh" + shared + "ZZZZZZZZZZZZZZZZZZZZZZZZZZ",
+        3: "totally unrelated content with no overlap at all here ok",
+        4: shared + "MIDDLE" + shared,
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+
+    spans = duplicated_spans(docs, k=24, min_len=40)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(docs, spans).collect()
+    }
+    assert got[1] == texts[1]  # canonical copy untouched
+    assert got[2] == "abcdefgh" + "Z" * 26  # span excised
+    assert got[3] == texts[3]  # unrelated doc passes through
+    assert got[4] == "MIDDLE"  # BOTH occurrences removed
