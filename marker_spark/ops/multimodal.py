@@ -5,12 +5,16 @@ and feature extraction run as Arrow-batched `mapInPandas` so payload
 bytes never round-trip through per-row Python.
 
 Codec coverage (all pure numpy, no codec libraries): uncompressed
-24-bit BMP (header-parse + stride/BGR handling) and 8-bit PNG with all
-five filter types (zlib IDAT inflate via stdlib, :func:`decode_png`)
-for images; PCM16 WAV (RIFF chunk walk) for audio.  Of the PNG filters,
-Sub/Up/None vectorize fully; Average/Paeth rows decode with a
-per-pixel loop (the spec's left-neighbor dependency is sequential), so
-a large Paeth-heavy PNG is the slow path.  JPEG/MP3/video raise
+24-bit BMP (header-parse + stride/BGR handling), 8-bit PNG with all
+five filter types (zlib IDAT inflate via stdlib, :func:`decode_png`),
+and baseline JPEG — SOF0 Huffman, 4:4:4/4:2:2/4:2:0, restart markers
+(:mod:`.jpeg`; progressive/arithmetic/12-bit raise) — for images;
+PCM16 WAV (RIFF chunk walk) for audio.  Of the PNG filters, Sub/Up/
+None vectorize fully; Average/Paeth rows decode with a per-pixel loop
+(the spec's left-neighbor dependency is sequential), so a large
+Paeth-heavy PNG is the slow path.  JPEG's entropy decode is likewise
+per-bit serial within one image — corpus parallelism comes from
+one-payload-per-row distribution.  MP3/video raise
 NotImplementedError with `fake=False`; `fake=True` substitutes a
 deterministic synthetic decode so plumbing tests don't depend on
 payload format.
@@ -293,13 +297,18 @@ def _decode_stub(payload: bytes, kind: str, fake: bool) -> np.ndarray:
         return _image_features(decode_bmp(payload))
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _image_features(_to_rgb(decode_png(payload)))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return _image_features(decode_jpeg(payload).astype(np.float64) / 255.0)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _ = decode_wav(payload)
         return _audio_features(samples)
     raise NotImplementedError(
-        f"real decode for kind={kind!r} supports BMP, 8-bit PNG, and PCM16 "
-        "WAV (pure numpy + stdlib zlib); other formats need codec libraries "
-        "not present in this environment — pass fake=True for the synthetic path"
+        f"real decode for kind={kind!r} supports BMP, 8-bit PNG, baseline "
+        "JPEG (SOF0), and PCM16 WAV (pure numpy + stdlib zlib); other "
+        "formats need codec libraries not present in this environment — "
+        "pass fake=True for the synthetic path"
     )
 
 
@@ -313,7 +322,11 @@ def synth_real_assets(spark, n: int = 32, seed: int = 42) -> DataFrame:
         if i % 2 == 0:
             w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            enc = encode_bmp if i % 4 == 0 else encode_png
+            from .jpeg import encode_jpeg
+
+            enc = [encode_bmp, encode_png, lambda a: encode_jpeg(a, subsample=True)][
+                (i // 2) % 3
+            ]
             rows.append(
                 (f"real-{i:06d}", "image", enc(img),
                  {"width": w, "height": h, "sample_rate": None, "n_frames": None})
@@ -329,10 +342,13 @@ def synth_real_assets(spark, n: int = 32, seed: int = 42) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Distributed image resize over real BMP/PNG payloads: decode ->
-    nearest-neighbor index sampling -> re-encode in the same container.
-    mapInPandas so payload bytes stay in Arrow batches; non-image rows
-    pass through untouched (payload and meta unchanged)."""
+    """Distributed image resize over real BMP/PNG/JPEG payloads: decode
+    -> nearest-neighbor index sampling -> re-encode in the same
+    container.  mapInPandas so payload bytes stay in Arrow batches;
+    non-image rows pass through untouched (payload and meta
+    unchanged)."""
+    from .jpeg import decode_jpeg, encode_jpeg
+
     out_schema = ASSET_SCHEMA
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -342,13 +358,24 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 pb = bytes(p)
                 is_bmp = pb[:2] == b"BM"
                 is_png = pb[:8] == b"\x89PNG\r\n\x1a\n"
-                if k == "image" and (is_bmp or is_png):
-                    img = decode_bmp(pb) if is_bmp else _to_rgb(decode_png(pb))
+                is_jpg = pb[:2] == b"\xff\xd8"
+                if k == "image" and (is_bmp or is_png or is_jpg):
+                    if is_bmp:
+                        img = decode_bmp(pb)
+                    elif is_png:
+                        img = _to_rgb(decode_png(pb))
+                    else:
+                        img = decode_jpeg(pb).astype(np.float64) / 255.0
                     h0, w0, _ = img.shape
                     yi = (np.arange(height) * h0 // height).clip(0, h0 - 1)
                     xi = (np.arange(width) * w0 // width).clip(0, w0 - 1)
                     small = (img[yi][:, xi] * 255.0).round().astype(np.uint8)
-                    payloads.append(encode_bmp(small) if is_bmp else encode_png(small))
+                    if is_bmp:
+                        payloads.append(encode_bmp(small))
+                    elif is_png:
+                        payloads.append(encode_png(small))
+                    else:
+                        payloads.append(encode_jpeg(small, subsample=True))
                     m = dict(m)
                     m["width"], m["height"] = width, height
                     metas.append(m)

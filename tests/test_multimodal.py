@@ -69,17 +69,27 @@ def test_real_decode_rejects_unknown_format(spark):
 def test_resize_images(spark):
     from marker_spark.ops.multimodal import decode_png
 
-    assets = synth_real_assets(spark, n=8, seed=7)
+    from marker_spark.ops.jpeg import decode_jpeg
+
+    assets = synth_real_assets(spark, n=12, seed=7)
     out = resize_images(assets, width=16, height=12).collect()
+    seen = set()
     for r in out:
         if r["kind"] == "image":
             pb = bytes(r["payload"])
-            img = decode_bmp(pb) if pb[:2] == b"BM" else decode_png(pb)
+            if pb[:2] == b"BM":
+                img, fmt = decode_bmp(pb), "bmp"
+            elif pb[:2] == b"\xff\xd8":
+                img, fmt = decode_jpeg(pb), "jpeg"
+            else:
+                img, fmt = decode_png(pb), "png"
+            seen.add(fmt)
             assert img.shape == (12, 16, 3)
             assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
         else:
             # non-image rows pass through untouched
             assert bytes(r["payload"])[:4] == b"RIFF"
+    assert seen == {"bmp", "png", "jpeg"}  # all three containers exercised
 
 
 def test_resize_nearest_neighbor_exact(spark):
@@ -205,19 +215,26 @@ def test_png_greyscale_and_rgba():
 
 
 def test_png_in_distributed_pipeline(spark):
-    """synth_real_assets mixes BMP and PNG images; feature extraction
-    and resize must handle both containers distributed."""
+    """synth_real_assets mixes BMP, PNG, and JPEG images; feature
+    extraction and resize must handle all three containers
+    distributed."""
+    from marker_spark.ops.jpeg import decode_jpeg
     from marker_spark.ops.multimodal import decode_png, synth_real_assets
 
     assets = synth_real_assets(spark, n=16, seed=11).repartition(4)
     feats = extract_features(assets, fake=False).collect()
     assert len(feats) == 16
     magic = {bytes(r["payload"])[:2] for r in assets.collect() if r["kind"] == "image"}
-    assert b"BM" in magic and b"\x89P" in magic  # both containers present
+    assert b"BM" in magic and b"\x89P" in magic and b"\xff\xd8" in magic
     resized = resize_images(assets, width=10, height=10).collect()
     for r in resized:
-        if r["kind"] == "image" and bytes(r["payload"])[:2] != b"BM":
-            assert decode_png(bytes(r["payload"])).shape == (10, 10, 3)
+        if r["kind"] != "image":
+            continue
+        pb = bytes(r["payload"])
+        if pb[:2] == b"\xff\xd8":
+            assert decode_jpeg(pb).shape == (10, 10, 3)
+        elif pb[:2] != b"BM":
+            assert decode_png(pb).shape == (10, 10, 3)
 
 
 def test_resize_handles_greyscale_png(spark):
