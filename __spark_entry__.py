@@ -471,7 +471,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("o_orderdate") >= cut).cast("int")).alias("in_b"),
     )
     both = (F.col("in_a") == 1) & (F.col("in_b") == 1)
-    first_only = (F.col("in_a") == 1) & (F.col("in_b").eqNullSafe(1) == F.lit(False))
+    first_only = (F.col("in_a") == 1) & (F.col("in_b") == 0)
     either = (F.col("in_a") == 1) | (F.col("in_b") == 1)
     return membership.agg(
         F.count(F.when(both, 1)).alias("n_both"),

@@ -14,15 +14,18 @@ recomputes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Any
 
-_LIVE: list[DataFrame] = []
+_LIVE: list[Any] = []
 
 
-def register(df: DataFrame) -> DataFrame:
-    """Track a persisted/cached DataFrame for later release; returns it."""
-    _LIVE.append(df)
-    return df
+def register(handle: Any) -> Any:
+    """Track a persisted/cached handle for later release; returns it.
+    Accepts anything with ``unpersist()`` — persisted DataFrames and
+    ``SparkContext.broadcast`` handles (executor copies are dropped;
+    a re-executed consumer re-fetches from the driver)."""
+    _LIVE.append(handle)
+    return handle
 
 
 def release_all() -> int:

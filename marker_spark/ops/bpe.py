@@ -159,24 +159,29 @@ def bpe_tokens_col(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
-    """Adds ``out_col`` (array<string>): the document's learned-BPE
-    token sequence.  Each batch encodes each distinct
-    word once through a per-worker memo (bounded; Zipf makes the hit
-    rate extreme); tokens rebuild as one Arrow ListArray (no per-row
-    Python objects crossing back)."""
+    """(id_col, out_col array<string>): the learned-BPE token sequence
+    per document.  Only (id, text) enters the Arrow path and only
+    (id, tokens) leaves it — the `_map_shingle_batches` discipline
+    (ops/dedup.py): round-tripping untouched columns through
+    Python<->JVM costs ~25-35 MB/s for nothing; join back on id_col if
+    callers need more columns.  Each batch encodes each distinct word
+    once through a per-worker memo (bounded; Zipf makes the hit rate
+    extreme); tokens rebuild as one Arrow ListArray (no per-row Python
+    objects crossing back)."""
     import pyarrow as pa
 
     ranks = {p: i for i, p in enumerate(merges)}
     memo: dict[str, list[str]] = {}
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def batch_fn(batches):
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            texts = batch.column(batch.schema.get_field_index("__text")).to_pandas()
-            doc_tokens: list[list[str]] = []
+            texts = batch.column(1).to_pandas()
             offsets = [0]
             flat: list[str] = []
             for t in texts:
@@ -194,14 +199,9 @@ def bpe_tokens_col(
             arr = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.string())
             )
-            keep = [
-                i for i in range(batch.num_columns)
-                if batch.schema.field(i).name != "__text"
-            ]
-            cols = [batch.column(i) for i in keep]
-            names = [batch.schema.field(i).name for i in keep]
-            yield pa.RecordBatch.from_arrays(cols + [arr], names=names + [out_col])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), arr], names=[id_col, out_col]
+            )
 
-    src = df.withColumn("__text", F.col(text_col))
-    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    return src.mapInArrow(batch_fn, schema=f"{fields}, {out_col} array<string>")
+    src = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    return src.mapInArrow(batch_fn, schema=f"`{id_col}` {id_type}, {out_col} array<string>")

@@ -621,29 +621,40 @@ def connected_components(
     labels.count()  # materialize so each round starts from a stable snapshot
     changed = None
     prev_persisted = labels  # the materialized handle of the previous round
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges.a == labels.id)
-            .groupBy(F.col("b").alias("id2"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        # persist BEFORE the convergence count so each round runs the
-        # join+aggregation once, not twice (count + next-round input)
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
-                "label",
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels, edges.a == labels.id)
+                .groupBy(F.col("b").alias("id2"))
+                .agg(F.min("label").alias("nbr_min"))
             )
-            .persist()
-        )
-        changed = new_labels.where(F.col("new_label") < F.col("label")).count()
-        prev_persisted.unpersist()  # labels itself may be a projection
-        prev_persisted = new_labels
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+            # persist BEFORE the convergence count so each round runs the
+            # join+aggregation once, not twice (count + next-round input)
+            new_labels = (
+                labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+                .select(
+                    "id",
+                    F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("new_label"),
+                    "label",
+                )
+                .persist()
+            )
+            try:
+                changed = new_labels.where(F.col("new_label") < F.col("label")).count()
+            except Exception:
+                new_labels.unpersist()
+                raise
+            prev_persisted.unpersist()  # labels itself may be a projection
+            prev_persisted = new_labels
+            labels = new_labels.select("id", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+    except Exception:
+        # mid-loop failure: the current round's handle is not in the
+        # registry yet — unpersist here or release_all() can never
+        # reclaim it in a long-lived session
+        prev_persisted.unpersist()
+        raise
     # only the FINAL round's labels outlive the loop (intermediate
     # rounds were unpersisted as soon as the next round materialized) —
     # registering every round would pile ~max_iter handles into the

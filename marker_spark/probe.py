@@ -72,8 +72,15 @@ def collect_sketch_states(
 ) -> dict[tuple, bytes]:
     """Collect the bounded per-group serialized states once:
     O(#groups × state_bytes), the exact volume the reference reader
-    mmaps.  Duplicate group rows keep the last."""
-    rows = sketch_table.select(*group_cols, SKETCH_COL).collect()
+    mmaps.  Duplicate group rows keep the last.
+
+    Keys are CAST TO STRING on the Spark side: a nullable int64 group
+    column reaches the pandas UDF as float64, where keys above 2^53
+    would silently collide or miss the dict — string keys are exact at
+    any magnitude and NULL stays None through both paths."""
+    rows = sketch_table.select(
+        *[F.col(c).cast("string") for c in group_cols], SKETCH_COL
+    ).collect()
     k = len(group_cols)
     return {
         tuple(_norm_key(r[i]) for i in range(k)): bytes(r[k])
@@ -165,14 +172,19 @@ def probe_sketch_table(
     collected once and broadcast; the UDF keys into it by the row's
     group columns.  Probes whose group has no sketch get False (nothing
     was inserted for that group)."""
+    from .cacheutil import register
+
     states = collect_sketch_states(sketch_table, group_cols)
-    bcast = probe_df.sparkSession.sparkContext.broadcast(states)
+    # registered so the session owner's release_all() drops executor
+    # copies between queries (re-execution re-fetches from the driver)
+    bcast = register(probe_df.sparkSession.sparkContext.broadcast(states))
+    keys = [F.col(c).cast("string") for c in group_cols]  # match state keys
     if marker_col is not None:
         udf = make_keyed_marker_membership_udf(bcast, len(group_cols))
-        col = udf(*[F.col(c) for c in group_cols], F.col(marker_col))
+        col = udf(*keys, F.col(marker_col))
     elif token_col is not None:
         udf = make_keyed_ngram_membership_udf(bcast, len(group_cols), ngram)
-        col = udf(*[F.col(c) for c in group_cols], F.col(token_col))
+        col = udf(*keys, F.col(token_col))
     else:
         raise ValueError("need marker_col or token_col")
     return probe_df.withColumn(result_col, col)

@@ -59,7 +59,11 @@ class TableProvider:
                 if self.spark.catalog.tableExists(f"{self.catalog}.{location}"):
                     w.append()
                 else:
-                    w.createOrReplace()
+                    # create(), not createOrReplace(): if a concurrent
+                    # writer created the table after our existence
+                    # check, REPLACE would silently drop its rows —
+                    # create() fails loudly on the race instead
+                    w.create()
             elif mode in ("overwrite", "createOrReplace"):
                 w.createOrReplace()
             else:
