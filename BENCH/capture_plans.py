@@ -41,6 +41,19 @@ NOTES = {
         "Full-probe configuration: narrow projection + JVM-side cosine +\n"
         "TakeOrderedAndProject (per-partition heaps, no full sort)."
     ),
+    "duplicated_spans": (
+        "Substring dedup, zero Python: char-k-gram explode (transform +\n"
+        "posexplode, raw-substring keys), gram table cached once for the\n"
+        "frequency cap AND the pair join (InMemoryTableScan both sides),\n"
+        "two-level agg (no EXPAND), keyed equi-join on the gram — never\n"
+        "all-pairs — then one window + groupBy collapses diagonal runs."
+    ),
+    "sketch_table_probe": (
+        "Reader path: the probe plan contains NO join and NO sketch binary\n"
+        "column — the bounded per-group state dict ships via sc.broadcast\n"
+        "and the single ArrowEvalPython keys into it by group columns.\n"
+        "Per-probe-row movement is O(row), not O(state_bytes)."
+    ),
 }
 
 
