@@ -361,6 +361,28 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicated_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-granularity duplicated spans (runs of >= 10 shared words
+    from 6-word shingle diagonal runs) — the unit Lee et al. operate
+    on.  Same exact-oracle machinery as the char variant; the shingle
+    string is the cross-engine join key."""
+    from marker_spark.ops.dedup import duplicated_token_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    spans = duplicated_token_spans(docs, k=6, min_len=10, max_df=16, max_occ=64)
+    return (
+        spans.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("start_a").cast("long").alias("start_a"),
+            F.col("start_b").cast("long").alias("start_b"),
+            F.col("span_len").cast("long").alias("span_words"),
+        )
+        .orderBy(F.desc("span_words"), "doc_a", "doc_b", "start_a", "start_b")
+        .limit(20)
+    )
+
+
 def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of substring dedup: cut every duplicated span
     out of its doc_b (doc_a = lower id keeps the canonical copy),
@@ -1096,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "duplicated_spans": q_duplicated_spans,
+        "duplicated_token_spans": q_duplicated_token_spans,
         "span_removal": q_span_removal,
         "corpus_prep": q_corpus_prep,
         "marker_membership_exact": q_marker_membership_exact,
@@ -1474,6 +1497,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(span_len AS BIGINT) AS span_len
             FROM spans WHERE span_len >= 40
             ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+            LIMIT 20
+        """,
+        # Word-shingle variant of the span oracle: same island trick,
+        # gram = 6-word shingle string (regexp_split + inclusive array
+        # slice), positions are word indices.
+        "duplicated_token_spans": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), grams AS (
+                SELECT doc_id, CAST(t.i AS INT) AS pos,
+                       array_to_string(
+                           words[CAST(t.i AS INT):CAST(t.i AS INT) + 5], ' ') AS g
+                FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 6
+                     THEN generate_series(1, len(words) - 5) ELSE [] END) AS t(i)
+            ), keep AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
+            ), fg AS (
+                SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
+            ), islands AS (
+                SELECT doc_a, doc_b, diag, pos_a,
+                       pos_a - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+                FROM pairs
+            ), spans AS (
+                SELECT doc_a, doc_b, MIN(pos_a) AS start_a,
+                       MIN(pos_a) - diag AS start_b,
+                       COUNT(*) + 5 AS span_words
+                FROM islands GROUP BY doc_a, doc_b, diag, grp
+            )
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b,
+                   CAST(start_a AS BIGINT) AS start_a,
+                   CAST(start_b AS BIGINT) AS start_b,
+                   CAST(span_words AS BIGINT) AS span_words
+            FROM spans WHERE span_words >= 10
+            ORDER BY span_words DESC, doc_a, doc_b, start_a, start_b
             LIMIT 20
         """,
         # Same span set as duplicated_spans (no limit), then the same

@@ -714,16 +714,54 @@ def duplicated_spans(
             f" i -> substring({text_col}, i, {k}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
+    return _spans_from_grams(grams, k, min_len, max_df, max_occ)
+
+
+def duplicated_token_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    min_len: int = 10,
+    max_df: int = 16,
+    max_occ: int = 64,
+) -> DataFrame:
+    """Token-granularity duplicated spans — the unit Lee et al.'s
+    substring dedup actually operates on (runs of >= min_len shared
+    WORDS).  Same diagonal-run machinery as :func:`duplicated_spans`,
+    but the gram key is the k-word shingle string and positions/span
+    lengths are word indices/counts.  Returns (doc_a, doc_b, start_a,
+    start_b, span_len) with 1-based word positions."""
+    words = words_col(F.col(text_col))
+    src = docs.select(F.col(id_col).alias("doc_id"), words.alias("__words"))
+    gram_expr = F.when(
+        F.size("__words") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__words) - {k} + 1),"
+            f" i -> concat_ws(' ', slice(__words, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = src.select("doc_id", F.posexplode(gram_expr).alias("idx", "g")).select(
+        "doc_id", (F.col("idx") + 1).alias("pos"), "g"
+    )
+    return _spans_from_grams(grams, k, min_len, max_df, max_occ)
+
+
+def _spans_from_grams(
+    grams: DataFrame, k: int, min_len: int, max_df: int, max_occ: int
+) -> DataFrame:
+    """(doc_id, pos, g) gram rows -> maximal shared spans: frequency
+    cap, pair join on the gram, diagonal-run collapse.  Shared by the
+    char- and word-granularity front ends."""
     grams = register(
-        docs.select(
-            F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
-        )
-        .select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
         # both the frequency filter and the surviving-gram join consume
         # this; persisting runs the explode once (locally: memory+disk;
         # at corpus scale the same role is a materialized intermediate
-        # table — or recompute, the substring pass is CPU-cheap)
-        .persist()
+        # table — or recompute, the gram pass is CPU-cheap)
+        grams.persist()
     )
     # two-level agg instead of countDistinct-alongside-count: the
     # latter plans an EXPAND that doubles the gram rows pre-shuffle

@@ -325,3 +325,33 @@ def test_remove_duplicated_spans_surgery(spark):
     assert got[2] == "abcdefgh" + "Z" * 26  # span excised
     assert got[3] == texts[3]  # unrelated doc passes through
     assert got[4] == "MIDDLE"  # BOTH occurrences removed
+
+
+def test_duplicated_token_spans_word_boundaries(spark):
+    """Word-granularity spans: positions and lengths count WORDS, and
+    partial-word character overlap must not match."""
+    import pandas as pd
+
+    shared_words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "pre1 pre2 " + shared_words + " tail1",
+                    shared_words + " other words here",
+                    # char-similar but word-distinct (suffix glued on)
+                    "alphaX betaX gammaX deltaX epsilonX zetaX etaX thetaX iotaX kappaX lambdaX muX",
+                ],
+            }
+        )
+    )
+    from marker_spark.ops.dedup import duplicated_token_spans
+
+    rows = duplicated_token_spans(docs, k=6, min_len=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["start_a"] == 3  # third word, after pre1 pre2
+    assert r["start_b"] == 1
+    assert r["span_len"] == 12  # the full shared word run
