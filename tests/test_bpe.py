@@ -96,3 +96,29 @@ def test_training_deterministic_and_bounded():
     # char cap truncates deterministically
     m3 = train_bpe(CORPUS, n_merges=25, max_chars=10)
     assert m3 == train_bpe(CORPUS[:1], n_merges=25)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(_word, min_size=1, max_size=12).map(" ".join),
+                min_size=1, max_size=6),
+       st.integers(1, 30))
+def test_trainer_matches_naive_on_random_corpora(texts, n_merges):
+    """Property: the incremental pair-count trainer and the naive
+    recount-from-scratch trainer produce identical merge lists on
+    arbitrary corpora (the incremental bookkeeping is the risky part)."""
+    assert train_bpe(texts, n_merges=n_merges) == _naive_train(texts, n_merges)[0]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=20))
+def test_encode_roundtrip_property(words):
+    merges = train_bpe([" ".join(words)], n_merges=20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        assert "".join(encode_word(w, ranks)) == w

@@ -1,0 +1,90 @@
+"""Duplicated-span property tests (hypothesis): the k-gram diagonal-run
+implementation must agree EXACTLY with an independent reference that
+never builds grams — direct character comparison per alignment offset.
+A maximal common substring of length L >= k yields L-k+1 consecutive
+gram matches on one diagonal, so with the frequency caps disabled the
+two formulations are equivalent; any bookkeeping bug in the explode /
+join / island collapse breaks the set equality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+K = 8
+MIN_LEN = 12
+
+
+def _reference_spans(texts: dict[int, str]) -> set[tuple[int, int, int, int, int]]:
+    """(doc_a, doc_b, start_a, start_b, span_len) for every maximal
+    common substring of length >= MIN_LEN, via per-diagonal char
+    comparison — no grams anywhere."""
+    out = set()
+    ids = sorted(texts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = texts[ids[ai]], texts[ids[bi]]
+            na, nb = len(a), len(b)
+            if min(na, nb) < MIN_LEN:
+                continue
+            av = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+            bv = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+            # ascii-only corpus: byte offsets == char offsets
+            for diag in range(-(nb - 1), na):
+                lo_a = max(diag, 0)
+                hi_a = min(na, nb + diag)
+                if hi_a - lo_a < MIN_LEN:
+                    continue
+                eq = av[lo_a:hi_a] == bv[lo_a - diag : hi_a - diag]
+                # runs of True
+                idx = np.flatnonzero(np.diff(np.concatenate(([0], eq.view(np.int8), [0]))))
+                for s, e in zip(idx[::2], idx[1::2]):
+                    if e - s >= MIN_LEN:
+                        out.add(
+                            (ids[ai], ids[bi], lo_a + s + 1, lo_a + s - diag + 1, e - s)
+                        )
+    return out
+
+
+_fragment = st.text(alphabet="ab ", min_size=4, max_size=30)
+
+
+@st.composite
+def _corpus(draw):
+    shared = draw(st.lists(st.text(alphabet="xyz q", min_size=MIN_LEN, max_size=40),
+                           min_size=1, max_size=3))
+    docs = {}
+    n_docs = draw(st.integers(2, 5))
+    for i in range(n_docs):
+        parts = []
+        for _ in range(draw(st.integers(1, 4))):
+            if draw(st.booleans()) and shared:
+                parts.append(shared[draw(st.integers(0, len(shared) - 1))])
+            else:
+                parts.append(draw(_fragment))
+        docs[i] = "".join(parts)
+    return docs
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None)
+@given(_corpus())
+def test_spans_match_gramless_reference(spark, docs):
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    rows = duplicated_spans(
+        df, k=K, min_len=MIN_LEN, max_df=10**6, max_occ=10**9
+    ).collect()
+    release_all()
+    got = {
+        (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
+        for r in rows
+    }
+    assert got == _reference_spans(docs)
