@@ -10,7 +10,11 @@ operator from marker_spark.ops:
                         buckets) -> exact-Jaccard verify on candidates
                         only -> drop the higher-id doc of each verified
                         pair (ops/dedup.*)
-  4. write the clean corpus + one JSON report line
+  4. span excision    — optional (--span-k > 0): duplicated substring
+                        spans across the surviving docs are cut out of
+                        the higher-id copy (Lee et al.-style;
+                        ops/dedup.duplicated_spans + remove_*)
+  5. write the clean corpus + one JSON report line
 
 Usage:
     zip -r dist/marker_spark.zip marker_spark
@@ -38,6 +42,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--num-perm", type=int, default=128)
     ap.add_argument("--shingle", type=int, default=3)
     ap.add_argument("--max-bucket", type=int, default=10_000)
+    ap.add_argument("--span-k", type=int, default=0,
+                    help="char k-gram size for duplicated-span excision; 0 disables")
+    ap.add_argument("--span-min-len", type=int, default=50)
+    ap.add_argument("--span-max-df", type=int, default=16)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -89,6 +97,31 @@ def main(argv: list[str] | None = None) -> None:
     # pairs from the FULL candidate set, verified exactly; drop id_b side
     drop = verified.select(F.col("id_b").alias(idc)).distinct()
     clean = exact.join(drop, idc, "left_anti").drop("dup_count")
+
+    # 4. optional duplicated-span excision over the surviving docs:
+    #    repeated substrings that survive document-level dedup (shared
+    #    boilerplate, quoted passages) are cut out of the higher-id copy
+    n_spans = 0
+    if args.span_k > 0:
+        from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+
+        spans = duplicated_spans(
+            clean, text_col=txt, id_col=idc,
+            k=args.span_k, min_len=args.span_min_len, max_df=args.span_max_df,
+        ).persist()
+        n_spans = spans.count()
+        if n_spans:
+            cleaned_text = remove_duplicated_spans(
+                clean, spans, text_col=txt, id_col=idc
+            ).select(
+                F.col("doc_id").alias(idc),
+                F.col("text").alias(txt),
+            )
+            clean = (
+                clean.drop(txt)
+                .join(cleaned_text, idc, "inner")
+            )
+
     clean.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
 
@@ -98,6 +131,7 @@ def main(argv: list[str] | None = None) -> None:
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_out,
         "near_dup_pairs_verified": verified.count(),
+        "duplicated_spans_excised": n_spans,
         "output": args.output,
         "secs": round(time.time() - t0, 2),
     }))

@@ -30,3 +30,33 @@ def test_dedup_pipeline_end_to_end(spark, tmp_path, capsys):
     assert clean.count() == clean.select("text").distinct().count()
     # surviving docs are unique ids
     assert clean.count() == clean.select("doc_id").distinct().count()
+
+
+def test_dedup_pipeline_with_span_excision(spark, tmp_path, capsys):
+    """--span-k enables the substring-excision stage: duplicated spans
+    surviving document-level dedup are cut from the higher-id copy, so
+    total duplicated chars shrink while doc count stays the same."""
+    from jobs.dedup_pipeline import main
+
+    out = str(tmp_path / "clean_spans")
+    main([
+        "--input", f"{SF_DIR}/documents.parquet",
+        "--output", out,
+        "--min-quality", "0.0",
+        "--jaccard", "0.95",  # keep near-dups so spans remain to excise
+        "--span-k", "24",
+        "--span-min-len", "40",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["duplicated_spans_excised"] > 0
+    clean = spark.read.parquet(out)
+    assert clean.count() == report["after_near_dedup"]
+    # excision removed the b-side copies: no cross-doc 40-char span of
+    # the ORIGINAL duplicated regions should survive verbatim in both
+    # docs of any pair (spot check: summed text length strictly shrank)
+    orig = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    orig_len = orig.join(clean.select("doc_id"), "doc_id").agg(
+        F.sum(F.length("text"))
+    ).collect()[0][0]
+    clean_len = clean.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert clean_len < orig_len
