@@ -842,6 +842,45 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_dup_pairs(fps, min_shared=3, max_df=200).orderBy("id_a", "id_b")
 
 
+def q_winnowing_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing semantics under an EXACT oracle: fingerprint set =
+    distinct window-minimum md5 char-8-gram hashes (window 4), pairs
+    sharing >= 3 fingerprints after a max_df=200 stop-fingerprint cap.
+    Same selection rule as the rows-only `winnowing_dups` (which keeps
+    the vectorized Karp-Rabin kernel for throughput); md5 makes every
+    stage replicable in DuckDB window SQL."""
+    from marker_spark.ops.text import winnowing_fingerprints_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints_exact(docs, k=8, window=4)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= 200)
+        .select("fp")
+    )
+    capped = fps.join(keep, "fp")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+    )
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+        .orderBy(F.desc("n_shared"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: seeded k-means coarse quantizer ->
     per-vector cell assignment -> probe the nprobe nearest cells.  Run
@@ -1136,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_dups": q_winnowing_dups,
+        "winnowing_dups_exact": q_winnowing_dups_exact,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
@@ -1497,6 +1537,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(span_len AS BIGINT) AS span_len
             FROM spans WHERE span_len >= 40
             ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+            LIMIT 20
+        """,
+        # Winnowing under an exact gate: fingerprint set = distinct
+        # window-4 minima of md5 char-8-gram hex hashes (lexicographic
+        # string compare agrees across engines); short docs contribute
+        # their overall-min gram; stop-fingerprint cap df <= 200.
+        "winnowing_dups_exact": """
+            WITH grams AS (
+                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+                       md5(substring(d.text, CAST(t.i AS INT), 8)) AS h
+                FROM documents d
+                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 8
+                     THEN generate_series(1, length(d.text) - 7) ELSE [] END) AS t(i)
+            ), wins AS (
+                SELECT doc_id,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+                       COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+                FROM grams
+            ), fps AS (
+                SELECT DISTINCT doc_id, m AS fp FROM wins WHERE cnt = 4
+                UNION
+                SELECT doc_id, MIN(m) AS fp FROM wins
+                WHERE n_grams < 4 GROUP BY doc_id
+            ), keep AS (
+                SELECT fp FROM fps GROUP BY fp
+                HAVING COUNT(DISTINCT doc_id) <= 200
+            ), capped AS (
+                SELECT * FROM fps WHERE fp IN (SELECT fp FROM keep)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_shared
+                FROM capped a JOIN capped b USING (fp)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(n_shared AS BIGINT) AS n_shared
+            FROM pairs
+            ORDER BY n_shared DESC, id_a, id_b
             LIMIT 20
         """,
         # Word-shingle variant of the span oracle: same island trick,

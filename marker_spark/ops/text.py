@@ -470,3 +470,61 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.col("w1"), F.col("w2"))
         .limit(k)
     )
+
+
+def winnowing_fingerprints_exact(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+):
+    """Cross-engine-exact winnowing fingerprint SET: the distinct
+    window-minimum md5 char-k-gram hashes per document.
+
+    The production kernel (:func:`winnowing_fingerprints`) uses a
+    vectorized Karp-Rabin rolling hash — engine-specific, so its driver
+    query is rows-only.  This variant trades the custom hash for md5
+    (identical hex strings in Spark and DuckDB, compared
+    lexicographically) and drops positions (the fingerprint HASH set is
+    what duplicate detection joins on), making the whole selection
+    expressible as two window functions in ANSI SQL — hence an exact
+    oracle for the winnowing semantics themselves.
+
+    Definition: for every full window of `window` consecutive k-gram
+    hashes, take the minimum; a document shorter than a full window
+    contributes the minimum over all its grams.  (The positional
+    rightmost-tie rule of robust winnowing only affects which POSITION
+    is recorded, never which hash values — so the hash set is
+    rule-independent.)  Returns (doc_id, fp) distinct rows.
+    """
+    from pyspark.sql import Window
+
+    gram_expr = F.when(
+        F.length(text_col) >= k,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k} + 1),"
+            f" i -> md5(substring({text_col}, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "h")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    wins = grams.select(
+        "doc_id",
+        F.min("h").over(w).alias("m"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_grams"),
+    )
+    full = wins.where(F.col("cnt") == window).select("doc_id", F.col("m").alias("fp"))
+    short = (
+        wins.where(F.col("n_grams") < window)
+        .groupBy("doc_id")
+        .agg(F.min("m").alias("fp"))
+    )
+    return full.unionByName(short).distinct()
