@@ -88,3 +88,53 @@ def test_spans_match_gramless_reference(spark, docs):
         for r in rows
     }
     assert got == _reference_spans(docs)
+
+
+def _reference_removal(texts: dict[int, str], spans) -> dict[int, str]:
+    """Independent interval surgery: collect b-side intervals per doc,
+    merge overlaps, cut by slicing."""
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_b, start_b, span_len in spans:
+        by_doc.setdefault(doc_b, []).append((start_b, start_b + span_len - 1))
+    out = dict(texts)
+    for doc, ivs in by_doc.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:  # true overlap (adjacent
+                # intervals stay separate, like the island rule; the
+                # complement segment between them is empty either way)
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        t = texts[doc]
+        kept = []
+        prev_end = 0
+        for s, e in merged:
+            kept.append(t[prev_end : s - 1])
+            prev_end = e
+        kept.append(t[prev_end:])
+        out[doc] = "".join(kept)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None)
+@given(_corpus())
+def test_removal_matches_python_surgery(spark, docs):
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    )
+    spans_df = duplicated_spans(df, k=K, min_len=MIN_LEN, max_df=10**6, max_occ=10**9)
+    span_rows = [
+        (r["doc_b"], r["start_b"], r["span_len"]) for r in spans_df.collect()
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, spans_df).collect()
+    }
+    release_all()
+    assert got == _reference_removal(docs, span_rows)
