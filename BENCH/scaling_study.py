@@ -13,6 +13,8 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import (  # noqa: E402
+    _steal_pct,
+    _steal_ticks,
     _tokseq_parquet,
     build_session,
     sketch_build_bucketed_throughput,
@@ -35,7 +37,9 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).count()  # warm JVM + python workers
         for trial in range(3):
+            s0 = _steal_ticks()
             secs, n_tokens, tps = fn(spark, n_docs)
+            steal = _steal_pct(s0, _steal_ticks())
             print(
                 json.dumps(
                     {
@@ -44,6 +48,9 @@ def main() -> None:
                         "secs": round(secs, 2),
                         "n_tokens": n_tokens,
                         "tokens_per_sec": round(tps),
+                        # a timing without its steal share is unusable
+                        # on this VM (BENCH/BASELINE.md §5)
+                        "steal_pct": None if steal is None else round(steal, 2),
                     }
                 ),
                 flush=True,
