@@ -122,3 +122,17 @@ def test_encode_roundtrip_property(words):
     ranks = {p: i for i, p in enumerate(merges)}
     for w in words:
         assert "".join(encode_word(w, ranks)) == w
+
+
+def test_merge_table_roundtrip(tmp_path):
+    from marker_spark.ops.bpe import load_merges, save_merges
+
+    merges = train_bpe(CORPUS, n_merges=25)
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    assert load_merges(p) == merges
+    with pytest.raises(ValueError, match="merge table"):
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            f.write('{"format": "other"}')
+        load_merges(bad)
