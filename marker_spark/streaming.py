@@ -406,3 +406,96 @@ def stateful_quantile_estimate(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_span_novelty(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    n_shards: int = 8,
+    capacity: int = 1_000_000,
+    fp: float = 0.001,
+):
+    """Streaming SUBSTRING-level novelty: for every incoming document,
+    score each of its non-overlapping char k-grams against a
+    stream-lifetime Bloom memory and emit per-gram novelty rows
+    ``(doc_id, novel int)`` — the online form of duplicated-span
+    detection (a re-ingested or boilerplate-heavy doc scores ~0 novel).
+
+    Gram rows shard by hash(gram) so the SAME gram always lands in the
+    same shard — novelty is stream-global, not per-shard — and each
+    shard's group state is one bounded Bloom (capacity/n_shards), so
+    state volume is configured, not corpus-proportional.  Doc-level
+    ratios are a downstream aggregation over the emitted rows
+    (sum(novel)/count per doc_id) — kept OUT of the stateful operator
+    so the plan stays a single arbitrary-stateful op (chaining a
+    stateful agg after applyInPandasWithState is restricted).
+
+    Bloom semantics: a seen gram is never scored novel again (no false
+    negatives); at most ~fp of genuinely novel grams score 0.
+    Non-overlapping stride (positions 1, k+1, ...) bounds work and
+    state at 1/k of corpus chars; a duplicated span of length >= 2k-1
+    always contains at least one full stride-aligned gram of its
+    source doc — the coverage argument winnowing makes, traded toward
+    throughput.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .hashing import mmh3_x64_128
+    from .kernels import encode_series
+    from .params import BloomParams
+    from .sketches.bloom import BloomSketch
+
+    bp = BloomParams.solve(max(capacity // n_shards, 1_000), fp)
+    grams = stream_df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(text_col) >= k,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1, {k}),"
+                    f" i -> substring({text_col}, i, {k}))"
+                ),
+            ).otherwise(F.array(F.col(text_col)))
+        ).alias("__gram"),
+    ).withColumn(
+        "__shard", F.pmod(F.xxhash64("__gram"), F.lit(n_shards)).cast("int")
+    )
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        sk = (
+            BloomSketch.from_bytes(bytes(state.get[0]))
+            if state.exists
+            else BloomSketch(bp.m, bp.k)
+        )
+        import numpy as np
+
+        outs = []
+        for pdf in pdf_iter:
+            h1, h2 = mmh3_x64_128(encode_series(pdf["__gram"]))
+            seen = sk.contains_hashes(h1, h2)
+            # within-batch repeats of a gram: only the first is novel
+            later_dup = pdf["__gram"].duplicated().to_numpy()
+            novel = ~seen & ~later_dup
+            if novel.any():
+                sk.insert_hashes(h1[novel], h2[novel])
+            outs.append(
+                pd.DataFrame(
+                    {id_col: pdf[id_col], "novel": novel.astype("int32")}
+                )
+            )
+        state.update((sk.to_bytes(),))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            {id_col: pd.Series([], dtype=object), "novel": pd.Series([], dtype="int32")}
+        )
+
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    return grams.groupBy("__shard").applyInPandasWithState(
+        update_fn,
+        outputStructType=f"`{id_col}` {id_type}, novel int",
+        stateStructType="sketch binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

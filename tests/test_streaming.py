@@ -469,3 +469,64 @@ def test_stateful_quantile_estimate(spark, stream_dir, tmp_path):
             lo = float(np.quantile(vals, max(target - 0.1, 0.0)))
             hi = float(np.quantile(vals, min(target + 0.1, 1.0)))
             assert lo <= e <= hi, (key, target, e, lo, hi)
+
+
+def test_stateful_span_novelty_scores_reingested_docs_zero(spark, tmp_path):
+    """Substring-level streaming novelty: a document re-ingested later
+    (even under a new id) scores ~0 novel grams, a genuinely new
+    document scores all-novel, and a half-copied document lands in
+    between. Two runs from one checkpoint pin cross-batch ordering and
+    state recovery at once."""
+    import pandas as pd
+
+    from marker_spark.streaming import stateful_span_novelty
+
+    d = tmp_path / "span_novelty_src"
+    d.mkdir()
+    ckpt = str(tmp_path / "span_novelty_ckpt")
+    sink = str(tmp_path / "span_novelty_out")
+    import numpy as np
+
+    # non-repetitive texts: a repeated base phrase would create genuine
+    # within-doc duplicate grams (only the first scores novel), which is
+    # correct behavior but muddies the all-novel assertion for C
+    rng = np.random.default_rng(5)
+    text_a = "".join(rng.choice(list("abcdefghij "), size=400))
+    text_c = "".join(rng.choice(list("qrstuvwxyz "), size=400))
+    assert len(set(text_a[i : i + 16] for i in range(0, 385, 16))) == 25
+    assert len(set(text_c[i : i + 16] for i in range(0, 385, 16))) == 25
+
+    def run():
+        stream = spark.readStream.schema("doc_id string, text string").parquet(str(d))
+        out = stateful_span_novelty(stream, k=16, n_shards=4, capacity=100_000, fp=1e-6)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(sink).groupBy("doc_id").agg(
+            F.sum("novel").alias("n_novel"), F.count(F.lit(1)).alias("n_grams")
+        ).collect()
+        return {r["doc_id"]: (r["n_novel"], r["n_grams"]) for r in rows}
+
+    pd.DataFrame({"doc_id": ["A"], "text": [text_a]}).to_parquet(
+        d / "c0.parquet", index=False
+    )
+    first = run()
+    assert first["A"][0] > 0  # the first sighting is novel
+
+    half = text_a[: len(text_a) // 2] + text_c[: len(text_c) // 2]
+    pd.DataFrame(
+        {"doc_id": ["B", "C", "H"], "text": [text_a, text_c, half]}
+    ).to_parquet(d / "c1.parquet", index=False)
+    both = run()
+    n_b, g_b = both["B"]
+    n_c, g_c = both["C"]
+    n_h, g_h = both["H"]
+    assert n_b == 0, "verbatim re-ingest must score zero novel grams"
+    assert n_c == g_c, "fresh content must be all-novel"
+    assert 0 < n_h < g_h, "half-copied doc must land strictly between"
