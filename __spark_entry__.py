@@ -842,6 +842,56 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_dup_pairs(fps, min_shared=3, max_df=200).orderBy("id_a", "id_b")
 
 
+def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR under an exact gate: 16 md5-keyed permutations
+    (perm i's hash of a 3-word shingle = md5('i:'||shingle)), signature
+    = per-perm minimum, estimated Jaccard = agreeing-perm fraction.
+    The production MinHash keeps its vectorized splitmix64 permutations
+    (rows-only); this variant proves the signature/banding PLUMBING —
+    explode, per-perm min, pairwise agreement count — byte-for-byte
+    against DuckDB."""
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    src = docs.select(F.col("doc_id"), words.alias("__w")).where(F.size("__w") >= 3)
+    sh = src.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 2),"
+                " i -> concat_ws(' ', slice(__w, i, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    perms = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("perm"),
+        "sh",
+    ).select(
+        "doc_id", "perm", F.md5(F.concat_ws(":", F.col("perm"), F.col("sh"))).alias("h")
+    )
+    sigs = perms.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
+    pairs = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), ["perm", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_agree"))
+        .where(F.col("n_agree") >= 8)  # est jaccard >= 0.5
+    )
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.round(F.col("n_agree") / 16.0, 6).alias("est_jaccard"),
+        )
+        .orderBy(F.desc("n_agree"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
 def q_winnowing_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing semantics under an EXACT oracle: fingerprint set =
     distinct window-minimum md5 char-8-gram hashes (window 4), pairs
@@ -1176,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_dups": q_winnowing_dups,
         "winnowing_dups_exact": q_winnowing_dups_exact,
+        "minhash_similarity_exact": q_minhash_similarity_exact,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
@@ -1537,6 +1588,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(span_len AS BIGINT) AS span_len
             FROM spans WHERE span_len >= 40
             ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+            LIMIT 20
+        """,
+        # MinHash estimator under an exact gate: 16 md5-keyed perms,
+        # per-perm min over DISTINCT 3-word shingles, pairwise
+        # agreeing-perm count — identical plumbing in DuckDB.
+        "minhash_similarity_exact": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS sh
+                FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+            ), perms AS (
+                SELECT doc_id, p.perm,
+                       md5(CAST(p.perm AS VARCHAR) || ':' || sh) AS h
+                FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS p(perm)
+            ), sigs AS (
+                SELECT doc_id, perm, MIN(h) AS sig
+                FROM perms GROUP BY doc_id, perm
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_agree
+                FROM sigs a JOIN sigs b USING (perm, sig)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2 HAVING COUNT(*) >= 8
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(n_agree AS BIGINT) AS n_agree,
+                   ROUND(n_agree / 16.0, 6) AS est_jaccard
+            FROM pairs
+            ORDER BY n_agree DESC, id_a, id_b
             LIMIT 20
         """,
         # Winnowing under an exact gate: fingerprint set = distinct
