@@ -871,7 +871,13 @@ def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "perm", F.md5(F.concat_ws(":", F.col("perm"), F.col("sh"))).alias("h")
     )
-    sigs = perms.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
+    from marker_spark.cacheutil import register
+
+    # persist: both self-join sides consume the signature table; the
+    # distinct-shingle explode x16-perm md5 agg must not run twice
+    sigs = register(
+        perms.groupBy("doc_id", "perm").agg(F.min("h").alias("sig")).persist()
+    )
     pairs = (
         sigs.alias("a")
         .join(sigs.alias("b"), ["perm", "sig"])
@@ -901,15 +907,20 @@ def q_winnowing_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage replicable in DuckDB window SQL."""
     from marker_spark.ops.text import winnowing_fingerprints_exact
 
+    from marker_spark.cacheutil import register
+
     docs = _read(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints_exact(docs, k=8, window=4)
+    # persist: the fingerprint table feeds the df-cap aggregation AND
+    # both self-join sides — without it the gram-explode + md5 +
+    # double-window subtree materializes 8 times (plan-confirmed)
+    fps = register(winnowing_fingerprints_exact(docs, k=8, window=4).persist())
     keep = (
         fps.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("df"))
         .where(F.col("df") <= 200)
         .select("fp")
     )
-    capped = fps.join(keep, "fp")
+    capped = register(fps.join(keep, "fp").persist())
     pairs = (
         capped.alias("a")
         .join(capped.alias("b"), "fp")

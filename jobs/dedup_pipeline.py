@@ -103,12 +103,15 @@ def main(argv: list[str] | None = None) -> None:
     #    boilerplate, quoted passages) are cut out of the higher-id copy
     n_spans = 0
     if args.span_k > 0:
+        from marker_spark.cacheutil import register
         from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
 
-        spans = duplicated_spans(
-            clean, text_col=txt, id_col=idc,
-            k=args.span_k, min_len=args.span_min_len, max_df=args.span_max_df,
-        ).persist()
+        spans = register(
+            duplicated_spans(
+                clean, text_col=txt, id_col=idc,
+                k=args.span_k, min_len=args.span_min_len, max_df=args.span_max_df,
+            ).persist()
+        )
         n_spans = spans.count()
         if n_spans:
             cleaned_text = remove_duplicated_spans(
@@ -135,6 +138,14 @@ def main(argv: list[str] | None = None) -> None:
         "output": args.output,
         "secs": round(time.time() - t0, 2),
     }))
+    # writes are done: drop every persisted/registered handle so
+    # repeated invocations in a caller-owned long-lived session don't
+    # accrete cached gram/band tables in storage memory
+    from marker_spark.cacheutil import release_all
+
+    exact.unpersist()
+    verified.unpersist()
+    release_all()
     if owns_session:  # don't tear down a caller-owned session (tests)
         spark.stop()
 

@@ -221,6 +221,8 @@ def save_merges(merges: list[tuple[str, str]], path: str) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"format": "marker-spark-bpe", "version": 1,
                    "merges": [list(p) for p in merges]}, f)
+        f.flush()
+        os.fsync(f.fileno())  # rename must not become durable first
     os.replace(tmp, path)
 
 
@@ -231,4 +233,9 @@ def load_merges(path: str) -> list[tuple[str, str]]:
         obj = json.load(f)
     if obj.get("format") != "marker-spark-bpe" or obj.get("version") != 1:
         raise ValueError(f"not a marker-spark BPE merge table: {path}")
-    return [tuple(p) for p in obj["merges"]]
+    merges = []
+    for p in obj["merges"]:
+        if len(p) != 2 or not all(isinstance(s, str) for s in p):
+            raise ValueError(f"malformed merge entry {p!r} in {path}")
+        merges.append((p[0], p[1]))
+    return merges

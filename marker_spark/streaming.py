@@ -458,7 +458,16 @@ def stateful_span_novelty(
                     f"transform(sequence(1, length({text_col}) - {k} + 1, {k}),"
                     f" i -> substring({text_col}, i, {k}))"
                 ),
-            ).otherwise(F.array(F.col(text_col)))
+            )
+            .when(
+                # short non-empty text: the whole text is its one gram
+                F.col(text_col).isNotNull() & (F.length(text_col) > 0),
+                F.array(F.col(text_col)),
+            )
+            # NULL/empty text contributes no grams (the batch-side
+            # convention) — array(NULL) would alias every null-text doc
+            # through encode_series' b"None" into one false duplicate
+            .otherwise(F.array().cast("array<string>"))
         ).alias("__gram"),
     ).withColumn(
         "__shard", F.pmod(F.xxhash64("__gram"), F.lit(n_shards)).cast("int")

@@ -131,8 +131,13 @@ def test_merge_table_roundtrip(tmp_path):
     p = str(tmp_path / "merges.json")
     save_merges(merges, p)
     assert load_merges(p) == merges
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        f.write('{"format": "other"}')
     with pytest.raises(ValueError, match="merge table"):
-        bad = str(tmp_path / "bad.json")
-        with open(bad, "w") as f:
-            f.write('{"format": "other"}')
         load_merges(bad)
+    arity = str(tmp_path / "arity.json")
+    with open(arity, "w") as f:
+        f.write('{"format": "marker-spark-bpe", "version": 1, "merges": [["a"]]}')
+    with pytest.raises(ValueError, match="malformed"):
+        load_merges(arity)
