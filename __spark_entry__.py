@@ -842,6 +842,30 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_dup_pairs(fps, min_shared=3, max_df=200).orderBy("id_a", "id_b")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality report (Rae et al. 2021 table A1, the filter
+    family FineWeb/Dolma pipelines run before dedup): per-source pass
+    counts plus averaged signals — every signal a deterministic
+    Catalyst expression, whole report exactly oracle-able."""
+    from marker_spark.ops.text import gopher_pass_col, with_gopher_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = with_gopher_signals(docs)
+    return (
+        sig.withColumn("ok", gopher_pass_col(min_words=30).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_pass"),
+            F.round(F.avg("mean_word_len"), 4).alias("avg_word_len"),
+            F.round(F.avg("alpha_word_frac"), 4).alias("avg_alpha_frac"),
+            F.round(F.avg("symbol_word_ratio"), 4).alias("avg_symbol_ratio"),
+            F.round(F.avg("dup_line_frac"), 4).alias("avg_dup_line_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash ESTIMATOR under an exact gate: 16 md5-keyed permutations
     (perm i's hash of a 3-word shingle = md5('i:'||shingle)), signature
@@ -1238,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dups": q_winnowing_dups,
         "winnowing_dups_exact": q_winnowing_dups_exact,
         "minhash_similarity_exact": q_minhash_similarity_exact,
+        "gopher_quality": q_gopher_quality,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
@@ -1600,6 +1625,56 @@ def oracle_sql() -> dict[str, str]:
             FROM spans WHERE span_len >= 40
             ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
             LIMIT 20
+        """,
+        # Gopher signals replicated expression-for-expression; both
+        # engines round per-doc signals to 6 decimals before averaging
+        # (then the report to 4), so float noise cannot split the hash.
+        "gopher_quality": """
+            WITH base AS (
+                SELECT source, coalesce(text, '') AS t FROM documents
+            ), sig AS (
+                SELECT source, t,
+                    CASE WHEN trim(t) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_words,
+                    regexp_split_to_array(trim(t), '\\s+') AS words,
+                    length(regexp_replace(t, '\\s', '', 'g')) AS non_ws,
+                    string_split(t, chr(10)) AS lines
+                FROM base
+            ), per_doc AS (
+                SELECT source, n_words,
+                    ROUND(non_ws / GREATEST(n_words, 1), 6) AS mean_word_len,
+                    ROUND(CASE WHEN n_words = 0 THEN 0
+                          ELSE len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) END
+                          / GREATEST(n_words, 1), 6) AS alpha_word_frac,
+                    ROUND(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+                          / GREATEST(n_words, 1), 6) AS symbol_word_ratio,
+                    ROUND(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
+                          / GREATEST(len(lines), 1), 6) AS ellipsis_line_frac,
+                    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))
+                          / GREATEST(len(lines), 1), 6) AS bullet_line_frac,
+                    ROUND(1.0 - len(list_distinct(lines))
+                          / GREATEST(len(lines), 1), 6) AS dup_line_frac
+                FROM sig
+            ), scored AS (
+                SELECT *,
+                    CASE WHEN n_words >= 30 AND n_words <= 100000
+                          AND mean_word_len >= 3 AND mean_word_len <= 10
+                          AND symbol_word_ratio < 0.1
+                          AND alpha_word_frac >= 0.8
+                          AND ellipsis_line_frac < 0.3
+                          AND bullet_line_frac < 0.9
+                          AND dup_line_frac < 0.3
+                         THEN 1 ELSE 0 END AS ok
+                FROM per_doc
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ok) AS BIGINT) AS n_pass,
+                   ROUND(AVG(mean_word_len), 4) AS avg_word_len,
+                   ROUND(AVG(alpha_word_frac), 4) AS avg_alpha_frac,
+                   ROUND(AVG(symbol_word_ratio), 4) AS avg_symbol_ratio,
+                   ROUND(AVG(dup_line_frac), 4) AS avg_dup_line_frac
+            FROM scored GROUP BY source ORDER BY source
         """,
         # MinHash estimator under an exact gate: 16 md5-keyed perms,
         # per-perm min over DISTINCT 3-word shingles, pairwise

@@ -528,3 +528,76 @@ def winnowing_fingerprints_exact(
         .agg(F.min("m").alias("fp"))
     )
     return full.unionByName(short).distinct()
+
+
+def with_gopher_signals(df, text_col: str = "text"):
+    """Gopher-style quality signals (Rae et al. 2021, "Scaling Language
+    Models", table A1; the rule family FineWeb/Dolma-style pipelines
+    apply before dedup) — every signal a deterministic Catalyst
+    expression so the whole filter carries an exact SQL oracle:
+
+    * ``n_words``            whitespace tokens
+    * ``mean_word_len``      non-whitespace chars / n_words
+    * ``alpha_word_frac``    words containing >= 1 ASCII letter
+    * ``symbol_word_ratio``  ('#' + '...') occurrences / n_words
+    * ``ellipsis_line_frac`` lines ending in '...'
+    * ``bullet_line_frac``   lines starting with '-' or '*'
+    * ``dup_line_frac``      1 - distinct lines / lines
+
+    Adds ``gopher_pass`` with the standard thresholds (word count and
+    mean-word-length bands, symbol ratio < 0.1, >= 80% alphabetic
+    words, < 30% ellipsis lines, < 90% bullet lines, < 30% duplicate
+    lines).  The word-count band is parameterized by callers that run
+    on short-document fixtures.
+    """
+    words = words_col(F.coalesce(F.col(text_col), F.lit("")))
+    n_words = F.size(words)
+    non_ws = F.length(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"\s", ""))
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    n_lines = F.size(lines)
+    nw = F.greatest(n_words, F.lit(1))
+    nl = F.greatest(n_lines, F.lit(1))
+    sym = F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(r"#|\.\.\."))
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len", F.round(non_ws / nw, 6)
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.round(F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / nw, 6),
+        )
+        .withColumn("symbol_word_ratio", F.round(sym / nw, 6))
+        .withColumn(
+            "ellipsis_line_frac",
+            F.round(
+                F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$"))) / nl, 6
+            ),
+        )
+        .withColumn(
+            "bullet_line_frac",
+            F.round(
+                F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))) / nl, 6
+            ),
+        )
+        .withColumn(
+            "dup_line_frac",
+            F.round(F.lit(1.0) - F.size(F.array_distinct(lines)) / nl, 6),
+        )
+    )
+
+
+def gopher_pass_col(min_words: int = 50, max_words: int = 100_000):
+    """The Gopher accept predicate over :func:`with_gopher_signals`
+    columns (word-count band parameterizable for short-doc fixtures)."""
+    return (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("dup_line_frac") < 0.3)
+    )
