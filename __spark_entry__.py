@@ -866,6 +866,84 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition signals (the other half of its quality
+    family): per doc, the character fraction covered by the most common
+    word 2-gram (deterministic tie-break: count desc, bigram asc) and
+    by ALL word 3-grams occurring >= 2 times; reported as per-source
+    averages.  Pure Catalyst (explode + keyed counts + window top-1);
+    the oracle replicates formula-for-formula."""
+    from marker_spark.ops.text import words_col
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    base = docs.select(
+        "source",
+        F.col("doc_id"),
+        words.alias("__w"),
+        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+    )
+
+    def grams(n):
+        return base.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.when(
+                    F.size("__w") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(__w) - {n} + 1),"
+                        f" i -> concat_ws(' ', slice(__w, i, {n})))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+
+    big = (
+        grams(2)
+        .groupBy("source", "doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "g")
+    top_big = (
+        big.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "source",
+            "doc_id",
+            F.round(F.col("cnt") * F.length("g") / F.col("n_chars"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    tri = (
+        grams(3)
+        .groupBy("source", "doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("source", "doc_id", "n_chars")
+        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup_chars"))
+        .select(
+            "doc_id",
+            F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+    per_doc = top_big.join(tri, "doc_id", "left").na.fill({"dup_trigram_frac": 0.0})
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+            F.round(F.avg("dup_trigram_frac"), 4).alias("avg_dup_trigram_frac"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash ESTIMATOR under an exact gate: 16 md5-keyed permutations
     (perm i's hash of a 3-word shingle = md5('i:'||shingle)), signature
@@ -1263,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dups_exact": q_winnowing_dups_exact,
         "minhash_similarity_exact": q_minhash_similarity_exact,
         "gopher_quality": q_gopher_quality,
+        "repetition_signals": q_repetition_signals,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
@@ -1675,6 +1754,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(symbol_word_ratio), 4) AS avg_symbol_ratio,
                    ROUND(AVG(dup_line_frac), 4) AS avg_dup_line_frac
             FROM scored GROUP BY source ORDER BY source
+        """,
+        # Repetition formulas replicated exactly: same tie-break
+        # (count desc, bigram asc), same per-doc rounding, docs with
+        # < 2 words absent from both sides.
+        "repetition_signals": """
+            WITH w AS (
+                SELECT source, doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS words,
+                       GREATEST(length(text), 1) AS n_chars
+                FROM documents
+                WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 2
+            ), big AS (
+                SELECT source, doc_id, n_chars,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ') AS g,
+                       COUNT(*) AS cnt
+                FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+                GROUP BY 1, 2, 3, 4
+            ), top_big AS (
+                SELECT source, doc_id,
+                       ROUND(cnt * length(g) / n_chars, 6) AS top_bigram_frac,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, g) AS rn
+                FROM big
+            ), tri AS (
+                SELECT doc_id,
+                       ROUND(SUM(cnt * length(g)) / ANY_VALUE(n_chars), 6)
+                           AS dup_trigram_frac
+                FROM (
+                    SELECT doc_id, n_chars,
+                           array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS g,
+                           COUNT(*) AS cnt
+                    FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 3
+                         THEN generate_series(1, len(words) - 2) ELSE [] END) AS t(i)
+                    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+                ) GROUP BY doc_id
+            ), per_doc AS (
+                SELECT tb.source, tb.top_bigram_frac,
+                       COALESCE(tr.dup_trigram_frac, 0.0) AS dup_trigram_frac
+                FROM top_big tb LEFT JOIN tri tr USING (doc_id)
+                WHERE tb.rn = 1
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(AVG(top_bigram_frac), 4) AS avg_top_bigram_frac,
+                   ROUND(AVG(dup_trigram_frac), 4) AS avg_dup_trigram_frac
+            FROM per_doc GROUP BY source ORDER BY source
         """,
         # MinHash estimator under an exact gate: 16 md5-keyed perms,
         # per-perm min over DISTINCT 3-word shingles, pairwise
