@@ -1089,6 +1089,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata extraction over real MP3/MP4 payloads (no
+    decode — the crawl-filter pass that runs BEFORE any decode at
+    100 TB): frame-walk / box-walk each payload distributed, report per
+    container.  Deterministic synth assets (seeded), rows-only check;
+    parser correctness is pinned by synth->parse roundtrip tests."""
+    from marker_spark.ops.multimodal import probe_media_meta, synth_container_assets
+
+    assets = synth_container_assets(spark, n=24, seed=7)
+    meta = probe_media_meta(assets)
+    return (
+        meta.groupBy("container")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.round(F.sum("duration_s"), 3).alias("total_duration_s"),
+            F.sum("n_video_tracks").cast("long").alias("n_video_tracks"),
+            F.sum("n_audio_tracks").cast("long").alias("n_audio_tracks"),
+        )
+        .orderBy("container")
+    )
+
+
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (codec-library-free) decode path: deterministic BMP images
     and PCM16 WAV audio are decoded + featurized distributed with
@@ -1346,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "media_metadata": q_media_metadata,
         "minhash_source_similarity": q_minhash_source_similarity,
         "sketch_table_probe": q_sketch_table_probe,
         "theta_source_setops": q_theta_source_setops,

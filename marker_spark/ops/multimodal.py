@@ -428,3 +428,194 @@ def frame_sample(df: DataFrame, every_n: int = 10, fake: bool = True) -> DataFra
     if not fake:
         raise NotImplementedError("real frame decode not available in this environment")
     return out.select("asset_id", "kind", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# container metadata extraction (no decode): the first pass a 100 TB
+# media crawl runs — filter by duration/codec/track shape BEFORE any
+# expensive decode. Pure struct walking, stdlib only.
+# --------------------------------------------------------------------------
+
+MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+MP3_SAMPLERATES = [44100, 48000, 32000]
+
+
+def encode_minimal_mp3(n_frames: int = 10, bitrate_idx: int = 9, sr_idx: int = 0) -> bytes:
+    """Valid MPEG-1 Layer III frame stream (zeroed payloads): enough
+    structure for a frame-walking parser to recover duration/bitrate."""
+    out = bytearray()
+    bitrate = MP3_BITRATES[bitrate_idx] * 1000
+    sr = MP3_SAMPLERATES[sr_idx]
+    frame_len = 144 * bitrate // sr  # no padding
+    for _ in range(n_frames):
+        h = 0xFFE00000 | (0b11 << 19) | (0b01 << 17) | (1 << 16)  # MPEG1 L3, no CRC
+        h |= bitrate_idx << 12 | sr_idx << 10
+        out += h.to_bytes(4, "big") + bytes(frame_len - 4)
+    return bytes(out)
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk MPEG-1 Layer III frames: (n_frames, bitrate_kbps,
+    sample_rate, duration_s).  Skips a leading ID3v2 tag; stops at the
+    first malformed header (truncated uploads are normal in crawls)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        size = 0
+        for b in payload[6:10]:  # syncsafe int
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    bitrate = sr = None
+    while pos + 4 <= len(payload):
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        if (h >> 21) != 0x7FF:
+            break
+        version = (h >> 19) & 0b11
+        layer = (h >> 17) & 0b11
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0b11
+        padding = (h >> 9) & 1
+        if version != 0b11 or layer != 0b01 or br_idx in (0, 15) or sr_idx == 3:
+            break  # only MPEG-1 Layer III parsed; free-form/bad header stops
+        bitrate = MP3_BITRATES[br_idx] * 1000
+        sr = MP3_SAMPLERATES[sr_idx]
+        frame_len = 144 * bitrate // sr + padding
+        if pos + frame_len > len(payload):
+            break
+        pos += frame_len
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("no MPEG-1 Layer III frames found")
+    return {
+        "container": "mp3",
+        "n_frames": n_frames,
+        "bitrate_kbps": bitrate // 1000,
+        "sample_rate": sr,
+        "duration_s": round(n_frames * 1152 / sr, 6),
+    }
+
+
+def _mp4_box(kind: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + kind + payload
+
+
+def encode_minimal_mp4(duration_s: float, tracks: list[str], timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + one trak(tkhd+mdia(hdlr))
+    per entry in `tracks` ('vide'/'soun'))."""
+    import struct as _s
+
+    dur = int(duration_s * timescale)
+    mvhd = _s.pack(">B3x4I", 0, 0, 0, timescale, dur) + bytes(80)
+    traks = b""
+    for i, handler in enumerate(tracks):
+        tkhd = _s.pack(">B3x3I", 0, 0, 0, i + 1) + bytes(72)
+        hdlr = _s.pack(">B3x4x", 0) + handler.encode("ascii") + bytes(13)
+        mdia = _mp4_box(b"mdia", _mp4_box(b"hdlr", hdlr))
+        traks += _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    return ftyp + moov
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Walk top-level ISO-BMFF boxes: (duration_s, n_video_tracks,
+    n_audio_tracks).  Only the box framing plus mvhd/hdlr fields are
+    interpreted — the crawl-filter subset."""
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            kind = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                break
+            yield kind, pos + 8, pos + size
+            pos += size
+
+    top = {k: (a, b) for k, a, b in walk(payload, 0, len(payload))}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an ISO-BMFF (mp4) payload")
+    moov_a, moov_b = top[b"moov"]
+    duration_s = None
+    n_vide = n_soun = 0
+    for kind, a, b in walk(payload, moov_a, moov_b):
+        if kind == b"mvhd":
+            timescale = int.from_bytes(payload[a + 12 : a + 16], "big")
+            dur = int.from_bytes(payload[a + 16 : a + 20], "big")
+            duration_s = round(dur / max(timescale, 1), 6)
+        elif kind == b"trak":
+            for k2, a2, b2 in walk(payload, a, b):
+                if k2 != b"mdia":
+                    continue
+                for k3, a3, b3 in walk(payload, a2, b2):
+                    if k3 == b"hdlr":
+                        handler = payload[a3 + 8 : a3 + 12]
+                        if handler == b"vide":
+                            n_vide += 1
+                        elif handler == b"soun":
+                            n_soun += 1
+    if duration_s is None:
+        raise ValueError("mp4 missing mvhd")
+    return {
+        "container": "mp4",
+        "duration_s": duration_s,
+        "n_video_tracks": n_vide,
+        "n_audio_tracks": n_soun,
+    }
+
+
+def synth_container_assets(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    """Asset table of REAL container payloads (MP3 frame streams and
+    minimal MP4s with known durations/track shapes) for the metadata
+    probe path."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            nf = int(rng.integers(5, 40))
+            payload = encode_minimal_mp3(n_frames=nf, bitrate_idx=int(rng.integers(1, 14)))
+            rows.append((f"media-{i:06d}", "audio", payload,
+                         {"width": None, "height": None, "sample_rate": 44100, "n_frames": nf}))
+        else:
+            dur = float(rng.integers(1, 600))
+            tracks = ["vide"] + (["soun"] if i % 4 == 1 else [])
+            payload = encode_minimal_mp4(dur, tracks)
+            rows.append((f"media-{i:06d}", "video", payload,
+                         {"width": None, "height": None, "sample_rate": None, "n_frames": None}))
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
+def probe_media_meta(df: DataFrame) -> DataFrame:
+    """Distributed container-metadata extraction (no decode): each row's
+    payload is dispatched on magic to the MP3/MP4 walkers; unknown
+    containers yield NULL fields rather than failing the scan (crawl
+    reality: truncated/alien payloads are routine)."""
+    out_schema = (
+        "asset_id string, container string, duration_s double, "
+        "n_frames int, bitrate_kbps int, n_video_tracks int, n_audio_tracks int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                pb = bytes(p)
+                rec = {"asset_id": aid, "container": None, "duration_s": None,
+                       "n_frames": None, "bitrate_kbps": None,
+                       "n_video_tracks": None, "n_audio_tracks": None}
+                try:
+                    if pb[:3] == b"ID3" or (len(pb) >= 2 and pb[0] == 0xFF and (pb[1] & 0xE0) == 0xE0):
+                        m = parse_mp3_meta(pb)
+                        rec.update(container="mp3", duration_s=m["duration_s"],
+                                   n_frames=m["n_frames"], bitrate_kbps=m["bitrate_kbps"])
+                    elif len(pb) >= 8 and pb[4:8] == b"ftyp":
+                        m = parse_mp4_meta(pb)
+                        rec.update(container="mp4", duration_s=m["duration_s"],
+                                   n_video_tracks=m["n_video_tracks"],
+                                   n_audio_tracks=m["n_audio_tracks"])
+                except ValueError:
+                    pass  # malformed payload -> NULL fields
+                recs.append(rec)
+            yield pd.DataFrame(recs)
+
+    return df.mapInPandas(fn, schema=out_schema)

@@ -259,3 +259,61 @@ def test_resize_handles_greyscale_png(spark):
     out = resize_images(df, width=4, height=4).collect()
     for r in out:
         assert decode_png(bytes(r["payload"])).shape == (4, 4, 3)
+
+
+def test_mp3_meta_roundtrip():
+    from marker_spark.ops.multimodal import encode_minimal_mp3, parse_mp3_meta
+
+    for nf, br, sr in [(10, 9, 0), (3, 1, 2), (40, 14, 1)]:
+        m = parse_mp3_meta(encode_minimal_mp3(n_frames=nf, bitrate_idx=br, sr_idx=sr))
+        assert m["n_frames"] == nf
+        assert m["bitrate_kbps"] == [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                                     160, 192, 224, 256, 320][br]
+        assert m["sample_rate"] == [44100, 48000, 32000][sr]
+        assert m["duration_s"] == round(nf * 1152 / m["sample_rate"], 6)
+    # ID3v2 prefix is skipped
+    tagged = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + bytes(10) + encode_minimal_mp3(5)
+    assert parse_mp3_meta(tagged)["n_frames"] == 5
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_mp3_meta(b"\x00\x01\x02\x03")
+
+
+def test_mp4_meta_roundtrip():
+    from marker_spark.ops.multimodal import encode_minimal_mp4, parse_mp4_meta
+
+    m = parse_mp4_meta(encode_minimal_mp4(12.5, ["vide", "soun"]))
+    assert m["duration_s"] == 12.5
+    assert m["n_video_tracks"] == 1 and m["n_audio_tracks"] == 1
+    m2 = parse_mp4_meta(encode_minimal_mp4(600.0, ["vide"]))
+    assert m2["duration_s"] == 600.0 and m2["n_audio_tracks"] == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_mp4_meta(b"\x00" * 64)
+
+
+def test_probe_media_meta_distributed(spark):
+    """Distributed metadata probe: every synth asset parses, totals
+    match the synthesis parameters, malformed payloads yield NULLs."""
+    import pandas as pd
+
+    from marker_spark.ops.multimodal import (
+        ASSET_SCHEMA,
+        probe_media_meta,
+        synth_container_assets,
+    )
+
+    assets = synth_container_assets(spark, n=24, seed=7).repartition(4)
+    rows = probe_media_meta(assets).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["container"], []).append(r)
+    assert len(by_c["mp3"]) == 12 and len(by_c["mp4"]) == 12
+    assert all(r["duration_s"] > 0 for r in by_c["mp3"] + by_c["mp4"])
+    assert sum(r["n_video_tracks"] for r in by_c["mp4"]) == 12
+    # malformed payload -> NULL container, no crash
+    junk = spark.createDataFrame(
+        [("junk", "video", b"\x01\x02\x03\x04", None)], schema=ASSET_SCHEMA
+    )
+    jr = probe_media_meta(junk).collect()[0]
+    assert jr["container"] is None and jr["duration_s"] is None
