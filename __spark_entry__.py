@@ -868,11 +868,14 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's repetition signals (the other half of its quality
-    family): per doc, the character fraction covered by the most common
-    word 2-gram (deterministic tie-break: count desc, bigram asc) and
-    by ALL word 3-grams occurring >= 2 times; reported as per-source
-    averages.  Pure Catalyst (explode + keyed counts + window top-1);
-    the oracle replicates formula-for-formula."""
+    family), with UNION semantics so each word counts once: per doc,
+    the fraction of word positions covered by occurrences of the most
+    common word 2-gram (deterministic tie-break: count desc, bigram
+    asc) and by ALL word 3-grams occurring >= 2 times.  Fractions are
+    therefore true fractions (<= 1), comparable to published
+    thresholds.  Pure Catalyst; the oracle replicates
+    formula-for-formula."""
+    from marker_spark.cacheutil import register
     from marker_spark.ops.text import words_col
     from pyspark.sql import Window
 
@@ -882,15 +885,15 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("doc_id"),
         words.alias("__w"),
-        F.greatest(F.length("text"), F.lit(1)).alias("n_chars"),
+        F.greatest(F.size(words), F.lit(1)).alias("n_words"),
     )
 
     def grams(n):
         return base.select(
             "source",
             "doc_id",
-            "n_chars",
-            F.explode(
+            "n_words",
+            F.posexplode(
                 F.when(
                     F.size("__w") >= n,
                     F.expr(
@@ -898,41 +901,49 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f" i -> concat_ws(' ', slice(__w, i, {n})))"
                     ),
                 ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
-        )
+            ).alias("idx", "g"),
+        ).select("source", "doc_id", "n_words", (F.col("idx") + 1).alias("pos"), "g")
 
-    big = (
-        grams(2)
-        .groupBy("source", "doc_id", "n_chars", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    big = register(grams(2).persist())
+    counts2 = big.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), "g")
-    top_big = (
-        big.withColumn("rn", F.row_number().over(w))
+    top_g = (
+        counts2.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
+        .select("doc_id", "g")
+    )
+    # union of word positions covered by the top bigram: {pos, pos+1}
+    top_cov = (
+        big.join(top_g, ["doc_id", "g"])
+        .select("source", "doc_id", "n_words",
+                F.explode(F.array("pos", F.col("pos") + 1)).alias("p"))
+        .groupBy("source", "doc_id", "n_words")
+        .agg(F.countDistinct("p").alias("covered"))
         .select(
             "source",
             "doc_id",
-            F.round(F.col("cnt") * F.length("g") / F.col("n_chars"), 6).alias(
-                "top_bigram_frac"
-            ),
+            F.round(F.col("covered") / F.col("n_words"), 6).alias("top_bigram_frac"),
         )
     )
-    tri = (
-        grams(3)
-        .groupBy("source", "doc_id", "n_chars", "g")
+    tri = register(grams(3).persist())
+    dup_g = (
+        tri.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 2)
-        .groupBy("source", "doc_id", "n_chars")
-        .agg(F.sum(F.col("cnt") * F.length("g")).alias("dup_chars"))
+        .select("doc_id", "g")
+    )
+    tri_cov = (
+        tri.join(dup_g, ["doc_id", "g"])
+        .select("doc_id", "n_words",
+                F.explode(F.array("pos", F.col("pos") + 1, F.col("pos") + 2)).alias("p"))
+        .groupBy("doc_id", "n_words")
+        .agg(F.countDistinct("p").alias("covered"))
         .select(
             "doc_id",
-            F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias(
-                "dup_trigram_frac"
-            ),
+            F.round(F.col("covered") / F.col("n_words"), 6).alias("dup_trigram_frac"),
         )
     )
-    per_doc = top_big.join(tri, "doc_id", "left").na.fill({"dup_trigram_frac": 0.0})
+    per_doc = top_cov.join(tri_cov, "doc_id", "left").na.fill({"dup_trigram_frac": 0.0})
     return (
         per_doc.groupBy("source")
         .agg(
@@ -1778,46 +1789,58 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(dup_line_frac), 4) AS avg_dup_line_frac
             FROM scored GROUP BY source ORDER BY source
         """,
-        # Repetition formulas replicated exactly: same tie-break
-        # (count desc, bigram asc), same per-doc rounding, docs with
-        # < 2 words absent from both sides.
+        # Union-coverage repetition formulas replicated exactly: same
+        # tie-break (count desc, bigram asc), positions covered counted
+        # DISTINCT (a word counts once), same per-doc rounding, docs
+        # with < 2 words absent from both sides.
         "repetition_signals": """
             WITH w AS (
                 SELECT source, doc_id,
                        regexp_split_to_array(trim(text), '\\s+') AS words,
-                       GREATEST(length(text), 1) AS n_chars
+                       GREATEST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                                1) AS n_words
                 FROM documents
                 WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 2
             ), big AS (
-                SELECT source, doc_id, n_chars,
-                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ') AS g,
-                       COUNT(*) AS cnt
+                SELECT source, doc_id, n_words, CAST(t.i AS INT) AS pos,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ') AS g
                 FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 1)) AS t(i)
-                GROUP BY 1, 2, 3, 4
-            ), top_big AS (
-                SELECT source, doc_id,
-                       ROUND(cnt * length(g) / n_chars, 6) AS top_bigram_frac,
-                       ROW_NUMBER() OVER (PARTITION BY doc_id
-                                          ORDER BY cnt DESC, g) AS rn
-                FROM big
+            ), counts2 AS (
+                SELECT doc_id, g, COUNT(*) AS cnt FROM big GROUP BY 1, 2
+            ), top_g AS (
+                SELECT doc_id, g FROM (
+                    SELECT doc_id, g,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY cnt DESC, g) AS rn
+                    FROM counts2
+                ) WHERE rn = 1
+            ), top_cov AS (
+                SELECT b.source, b.doc_id,
+                       ROUND(COUNT(DISTINCT p.p) / ANY_VALUE(b.n_words), 6)
+                           AS top_bigram_frac
+                FROM big b JOIN top_g USING (doc_id, g)
+                CROSS JOIN UNNEST([b.pos, b.pos + 1]) AS p(p)
+                GROUP BY b.source, b.doc_id
             ), tri AS (
-                SELECT doc_id,
-                       ROUND(SUM(cnt * length(g)) / ANY_VALUE(n_chars), 6)
+                SELECT source, doc_id, n_words, CAST(t.i AS INT) AS pos,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS g
+                FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 3
+                     THEN generate_series(1, len(words) - 2) ELSE [] END) AS t(i)
+            ), dup_g AS (
+                SELECT doc_id, g FROM tri GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), tri_cov AS (
+                SELECT t.doc_id,
+                       ROUND(COUNT(DISTINCT p.p) / ANY_VALUE(t.n_words), 6)
                            AS dup_trigram_frac
-                FROM (
-                    SELECT doc_id, n_chars,
-                           array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS g,
-                           COUNT(*) AS cnt
-                    FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 3
-                         THEN generate_series(1, len(words) - 2) ELSE [] END) AS t(i)
-                    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
-                ) GROUP BY doc_id
+                FROM tri t JOIN dup_g USING (doc_id, g)
+                CROSS JOIN UNNEST([t.pos, t.pos + 1, t.pos + 2]) AS p(p)
+                GROUP BY t.doc_id
             ), per_doc AS (
-                SELECT tb.source, tb.top_bigram_frac,
+                SELECT tc.source, tc.top_bigram_frac,
                        COALESCE(tr.dup_trigram_frac, 0.0) AS dup_trigram_frac
-                FROM top_big tb LEFT JOIN tri tr USING (doc_id)
-                WHERE tb.rn = 1
+                FROM top_cov tc LEFT JOIN tri_cov tr USING (doc_id)
             )
             SELECT source,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

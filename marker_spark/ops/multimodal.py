@@ -456,16 +456,23 @@ def encode_minimal_mp3(n_frames: int = 10, bitrate_idx: int = 9, sr_idx: int = 0
 
 def parse_mp3_meta(payload: bytes) -> dict:
     """Walk MPEG-1 Layer III frames: (n_frames, bitrate_kbps,
-    sample_rate, duration_s).  Skips a leading ID3v2 tag; stops at the
-    first malformed header (truncated uploads are normal in crawls)."""
+    sample_rate, duration_s).  Skips a leading ID3v2 tag (footer flag
+    honored); stops at the first malformed header (truncated uploads
+    are normal in crawls).  VBR-correct: duration accumulates
+    1152/sample_rate PER FRAME; reported bitrate/sample-rate are the
+    FIRST frame's (a single summary number for a VBR stream is
+    inherently approximate — the duration is not)."""
     pos = 0
     if payload[:3] == b"ID3":
         size = 0
         for b in payload[6:10]:  # syncsafe int
             size = (size << 7) | (b & 0x7F)
         pos = 10 + size
+        if len(payload) > 5 and payload[5] & 0x10:  # footer present
+            pos += 10
     n_frames = 0
-    bitrate = sr = None
+    first_bitrate = first_sr = None
+    duration = 0.0
     while pos + 4 <= len(payload):
         h = int.from_bytes(payload[pos : pos + 4], "big")
         if (h >> 21) != 0x7FF:
@@ -479,19 +486,22 @@ def parse_mp3_meta(payload: bytes) -> dict:
             break  # only MPEG-1 Layer III parsed; free-form/bad header stops
         bitrate = MP3_BITRATES[br_idx] * 1000
         sr = MP3_SAMPLERATES[sr_idx]
+        if first_bitrate is None:
+            first_bitrate, first_sr = bitrate, sr
         frame_len = 144 * bitrate // sr + padding
         if pos + frame_len > len(payload):
             break
         pos += frame_len
         n_frames += 1
+        duration += 1152 / sr
     if n_frames == 0:
         raise ValueError("no MPEG-1 Layer III frames found")
     return {
         "container": "mp3",
         "n_frames": n_frames,
-        "bitrate_kbps": bitrate // 1000,
-        "sample_rate": sr,
-        "duration_s": round(n_frames * 1152 / sr, 6),
+        "bitrate_kbps": first_bitrate // 1000,
+        "sample_rate": first_sr,
+        "duration_s": round(duration, 6),
     }
 
 
@@ -527,9 +537,17 @@ def parse_mp4_meta(payload: bytes) -> dict:
         while pos + 8 <= end:
             size = int.from_bytes(buf[pos : pos + 4], "big")
             kind = buf[pos + 4 : pos + 8]
-            if size < 8 or pos + size > end:
+            body = pos + 8
+            if size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            elif size == 1:  # 64-bit largesize follows the type
+                if pos + 16 > end:
+                    break
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            if size < body - pos or pos + size > end:
                 break
-            yield kind, pos + 8, pos + size
+            yield kind, body, pos + size
             pos += size
 
     top = {k: (a, b) for k, a, b in walk(payload, 0, len(payload))}
@@ -540,8 +558,13 @@ def parse_mp4_meta(payload: bytes) -> dict:
     n_vide = n_soun = 0
     for kind, a, b in walk(payload, moov_a, moov_b):
         if kind == b"mvhd":
-            timescale = int.from_bytes(payload[a + 12 : a + 16], "big")
-            dur = int.from_bytes(payload[a + 16 : a + 20], "big")
+            version = payload[a]
+            if version == 1:  # 64-bit creation/modification/duration
+                timescale = int.from_bytes(payload[a + 20 : a + 24], "big")
+                dur = int.from_bytes(payload[a + 24 : a + 32], "big")
+            else:
+                timescale = int.from_bytes(payload[a + 12 : a + 16], "big")
+                dur = int.from_bytes(payload[a + 16 : a + 20], "big")
             duration_s = round(dur / max(timescale, 1), 6)
         elif kind == b"trak":
             for k2, a2, b2 in walk(payload, a, b):
@@ -599,11 +622,13 @@ def probe_media_meta(df: DataFrame) -> DataFrame:
         for pdf in batches:
             recs = []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                pb = bytes(p)
                 rec = {"asset_id": aid, "container": None, "duration_s": None,
                        "n_frames": None, "bitrate_kbps": None,
                        "n_video_tracks": None, "n_audio_tracks": None}
                 try:
+                    # NULL payloads must fall into the NULL-fields row,
+                    # not TypeError the task — hence inside the try
+                    pb = bytes(p)
                     if pb[:3] == b"ID3" or (len(pb) >= 2 and pb[0] == 0xFF and (pb[1] & 0xE0) == 0xE0):
                         m = parse_mp3_meta(pb)
                         rec.update(container="mp3", duration_s=m["duration_s"],
@@ -613,8 +638,8 @@ def probe_media_meta(df: DataFrame) -> DataFrame:
                         rec.update(container="mp4", duration_s=m["duration_s"],
                                    n_video_tracks=m["n_video_tracks"],
                                    n_audio_tracks=m["n_audio_tracks"])
-                except ValueError:
-                    pass  # malformed payload -> NULL fields
+                except (ValueError, TypeError):
+                    pass  # malformed/NULL payload -> NULL fields
                 recs.append(rec)
             yield pd.DataFrame(recs)
 

@@ -544,11 +544,12 @@ def with_gopher_signals(df, text_col: str = "text"):
     * ``bullet_line_frac``   lines starting with '-' or '*'
     * ``dup_line_frac``      1 - distinct lines / lines
 
-    Adds ``gopher_pass`` with the standard thresholds (word count and
+    The accept predicate over these columns is the separate
+    :func:`gopher_pass_col` (standard thresholds: word count and
     mean-word-length bands, symbol ratio < 0.1, >= 80% alphabetic
     words, < 30% ellipsis lines, < 90% bullet lines, < 30% duplicate
-    lines).  The word-count band is parameterized by callers that run
-    on short-document fixtures.
+    lines; the word-count band is parameterized for short-document
+    fixtures) — apply it as ``df.withColumn("ok", gopher_pass_col())``.
     """
     words = words_col(F.coalesce(F.col(text_col), F.lit("")))
     n_words = F.size(words)

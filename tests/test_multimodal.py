@@ -317,3 +317,61 @@ def test_probe_media_meta_distributed(spark):
     )
     jr = probe_media_meta(junk).collect()[0]
     assert jr["container"] is None and jr["duration_s"] is None
+
+
+def test_media_parsers_spec_edges():
+    """Edge layouts the crawl actually contains: v1 mvhd (64-bit
+    duration), largesize/size-0 boxes (moov after a big mdat), ID3v2
+    footer flag, and NULL payloads through the distributed probe."""
+    import struct
+
+    from marker_spark.ops.multimodal import (
+        _mp4_box,
+        encode_minimal_mp3,
+        encode_minimal_mp4,
+        parse_mp3_meta,
+        parse_mp4_meta,
+    )
+
+    # v1 mvhd: version byte 1, 64-bit times/duration, timescale at +20
+    ts, dur = 600, 9000  # 15 s
+    mvhd_v1 = (
+        struct.pack(">B3x", 1)
+        + (0).to_bytes(8, "big") * 2  # creation/modification 64-bit
+        + ts.to_bytes(4, "big")
+        + dur.to_bytes(8, "big")
+        + bytes(80)
+    )
+    mp4 = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(
+        b"moov", _mp4_box(b"mvhd", mvhd_v1)
+    )
+    assert parse_mp4_meta(mp4)["duration_s"] == 15.0
+
+    # moov after an mdat using 64-bit largesize, then a size-0 free box
+    base = encode_minimal_mp4(7.0, ["vide"])
+    ftyp, moov = base[:24], base[24:]
+    mdat_payload = bytes(32)
+    mdat_large = (
+        (1).to_bytes(4, "big") + b"mdat"
+        + (16 + len(mdat_payload)).to_bytes(8, "big") + mdat_payload
+    )
+    tail_free = (0).to_bytes(4, "big") + b"free" + bytes(8)
+    m = parse_mp4_meta(ftyp + mdat_large + moov + tail_free)
+    assert m["duration_s"] == 7.0 and m["n_video_tracks"] == 1
+
+    # ID3v2 with footer flag: tag length is 10 + size + 10
+    body = encode_minimal_mp3(4)
+    tagged = b"ID3\x04\x00\x10\x00\x00\x00\x0a" + bytes(10) + bytes(10) + body
+    assert parse_mp3_meta(tagged)["n_frames"] == 4
+
+
+def test_probe_media_meta_null_payload(spark):
+    import pandas as pd
+
+    from marker_spark.ops.multimodal import ASSET_SCHEMA, probe_media_meta
+
+    df = spark.createDataFrame(
+        [("n0", "video", None, None)], schema=ASSET_SCHEMA
+    )
+    r = probe_media_meta(df).collect()[0]
+    assert r["container"] is None and r["duration_s"] is None
