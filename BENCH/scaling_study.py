@@ -13,6 +13,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from bench import (  # noqa: E402
+    _load1,
     _steal_pct,
     _steal_ticks,
     _tokseq_parquet,
@@ -49,8 +50,10 @@ def main() -> None:
                         "n_tokens": n_tokens,
                         "tokens_per_sec": round(tps),
                         # a timing without its steal share is unusable
-                        # on this VM (BENCH/BASELINE.md §5)
+                        # on this VM (BENCH/BASELINE.md §5); load1 too —
+                        # degraded states show idle load 5+ at <1% steal
                         "steal_pct": None if steal is None else round(steal, 2),
+                        "load1": _load1(),
                     }
                 ),
                 flush=True,

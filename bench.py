@@ -66,6 +66,19 @@ def _steal_ticks() -> tuple[int, int] | None:
     return steal, sum(vals)
 
 
+def _load1() -> float | None:
+    """1-minute load average — recorded alongside steal because this VM
+    exhibits DEGRADED states where idle loadavg sits at 5+ with zero
+    user CPU and identical code runs 1.5x slower at <1% steal (observed
+    round 4: same 1.6M-doc job 63s -> 100s trials as idle load rose).
+    Steal alone does not certify a window."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def _steal_pct(before, after) -> float | None:
     """% of CPU time stolen between two _steal_ticks() snapshots."""
     if before is None or after is None:
@@ -567,6 +580,7 @@ def main() -> None:
                 "bench_docs": n_docs,
                 "build_steal_pct": None if build_steal is None else round(build_steal, 2),
                 "build_trials": build_trials,
+                "load1_at_exit": _load1(),
                 "bloom_fp_check": fp_check,
             }
         )
