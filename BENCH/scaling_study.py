@@ -28,6 +28,7 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     cpu_list = (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")
     variant = sys.argv[3] if len(sys.argv) > 3 else "corpus"
+    n_trials = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     fn = {
         "bucketed": sketch_build_bucketed_throughput,
         "partitioned": sketch_build_partitioned_throughput,
@@ -37,7 +38,7 @@ def main() -> None:
         spark = build_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).count()  # warm JVM + python workers
-        for trial in range(3):
+        for trial in range(n_trials):
             s0 = _steal_ticks()
             secs, n_tokens, tps = fn(spark, n_docs)
             steal = _steal_pct(s0, _steal_ticks())
