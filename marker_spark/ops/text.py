@@ -10,7 +10,6 @@ which depends on the engine hash function.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from ..cacheutil import register
