@@ -842,6 +842,62 @@ def q_winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_dup_pairs(fps, min_shared=3, max_df=200).orderBy("id_a", "id_b")
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the canonical pre-training hygiene
+    pass: flag training documents sharing any 8-word shingle with a
+    held-out benchmark set.  The benchmark here is the deterministic
+    md5-bottom-20 docs (standing in for an eval suite); its distinct
+    shingles BROADCAST (the benchmark side is always tiny relative to
+    the corpus), so the training side streams through one broadcast
+    semi-join — zero shuffle of corpus data at any scale.  Exact
+    oracle: same shingles, same sample rank, same join."""
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    bench_ids = (
+        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r"))
+        .orderBy("__r")
+        .limit(20)
+        .select("doc_id")
+    )
+    words = words_col(F.col("text"))
+    sh = lambda df: df.select(  # noqa: E731
+        F.col("doc_id"),
+        F.col("source"),
+        F.explode(
+            F.when(
+                F.size(words) >= 8,
+                F.expr(
+                    "transform(sequence(1, size(__w) - 7),"
+                    " i -> concat_ws(' ', slice(__w, i, 8)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    with_w = docs.withColumn("__w", words)
+    bench_grams = (
+        sh(with_w.join(bench_ids, "doc_id", "left_semi")).select("g").distinct()
+    )
+    train = with_w.join(bench_ids, "doc_id", "left_anti")
+    train_grams = sh(train)
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(
+            contaminated.withColumn("__c", F.lit(1)), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality report (Rae et al. 2021 table A1, the filter
     family FineWeb/Dolma pipelines run before dedup): per-source pass
@@ -1375,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_similarity_exact": q_minhash_similarity_exact,
         "gopher_quality": q_gopher_quality,
         "repetition_signals": q_repetition_signals,
+        "decontamination": q_decontamination,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "multimodal_features": q_multimodal_features,
@@ -1738,6 +1795,39 @@ def oracle_sql() -> dict[str, str]:
             FROM spans WHERE span_len >= 40
             ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
             LIMIT 20
+        """,
+        # Same held-out sample (md5-bottom-20 doc ids), same 8-word
+        # shingles, same semi-join contamination flag.
+        "decontamination": """
+            WITH bench_ids AS (
+                SELECT doc_id FROM documents
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 20
+            ), w AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE trim(coalesce(text, '')) <> ''
+            ), sh AS (
+                SELECT doc_id, source,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 7], ' ') AS g
+                FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 8
+                     THEN generate_series(1, len(words) - 7) ELSE [] END) AS t(i)
+            ), bench_grams AS (
+                SELECT DISTINCT g FROM sh WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+            ), train AS (
+                SELECT doc_id, source FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM bench_ids)
+            ), contaminated AS (
+                SELECT DISTINCT s.doc_id FROM sh s
+                WHERE s.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+                  AND s.g IN (SELECT g FROM bench_grams)
+            )
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_contaminated
+            FROM train t LEFT JOIN contaminated c USING (doc_id)
+            GROUP BY t.source ORDER BY t.source
         """,
         # Gopher signals replicated expression-for-expression; both
         # engines round per-doc signals to 6 decimals before averaging

@@ -145,3 +145,12 @@ def test_probe_plan_carries_no_sketch_bytes(spark):
     assert "Join" not in plan, "probe must not join the sketch table"
     assert "sketch#" not in plan, "sketch binary column leaked into the probe plan"
     assert "ArrowEvalPython" in plan  # the keyed membership UDF
+
+
+def test_decontamination_broadcasts_benchmark_grams(spark):
+    """The benchmark-shingle side must broadcast: the training corpus
+    streams through a broadcast semi-join with zero corpus shuffle."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["decontamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
