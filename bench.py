@@ -87,17 +87,31 @@ def _steal_pct(before, after) -> float | None:
     return 100.0 * ds / dt if dt > 0 else None
 
 
-def timed_trials(fn, min_trials: int, max_trials: int, clean_pct: float = 1.0):
+def timed_trials(
+    fn,
+    min_trials: int,
+    max_trials: int,
+    clean_pct: float = 1.0,
+    steal_probe=None,
+):
     """Run fn() (returning elapsed seconds) until we hold a trial whose
     steal share was < clean_pct, bounded by max_trials.  Returns
     (best_secs, steal_pct_of_best, n_trials).  Keeps the overall best
     if no clean window appears in the budget — the bench must always
-    report a number, but the steal annotation travels with it."""
+    report a number, but the steal annotation travels with it.
+
+    ``steal_probe`` (a zero-arg callable returning the per-trial steal
+    percent, or None when unmeasurable) exists for deterministic tests;
+    production uses the /proc/stat tick pair."""
     best, best_steal, trials = None, None, 0
     while trials < max_trials:
-        s0 = _steal_ticks()
-        secs = fn()
-        st = _steal_pct(s0, _steal_ticks())
+        if steal_probe is None:
+            s0 = _steal_ticks()
+            secs = fn()
+            st = _steal_pct(s0, _steal_ticks())
+        else:
+            secs = fn()
+            st = steal_probe()
         trials += 1
         if best is None or secs < best:
             best, best_steal = secs, st
