@@ -39,6 +39,11 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).count()  # warm JVM + python workers
         for trial in range(n_trials):
+            # load BEFORE the trial: sampled after, the 1-minute average
+            # is dominated by the trial's own just-finished full-load
+            # run (~N on a healthy host) and can't expose the
+            # degraded-idle signature (load 5+ with zero user CPU)
+            load_before = _load1()
             s0 = _steal_ticks()
             secs, n_tokens, tps = fn(spark, n_docs)
             steal = _steal_pct(s0, _steal_ticks())
@@ -51,10 +56,9 @@ def main() -> None:
                         "n_tokens": n_tokens,
                         "tokens_per_sec": round(tps),
                         # a timing without its steal share is unusable
-                        # on this VM (BENCH/BASELINE.md §5); load1 too —
-                        # degraded states show idle load 5+ at <1% steal
+                        # on this VM (BENCH/BASELINE.md §5)
                         "steal_pct": None if steal is None else round(steal, 2),
-                        "load1": _load1(),
+                        "load1_before": load_before,
                     }
                 ),
                 flush=True,

@@ -846,53 +846,55 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination — the canonical pre-training hygiene
     pass: flag training documents sharing any 8-word shingle with a
     held-out benchmark set.  The benchmark here is the deterministic
-    md5-bottom-20 docs (standing in for an eval suite); its distinct
-    shingles BROADCAST (the benchmark side is always tiny relative to
-    the corpus), so the training side streams through one broadcast
-    semi-join — zero shuffle of corpus data at any scale.  Exact
-    oracle: same shingles, same sample rank, same join."""
-    from marker_spark.ops.text import words_col
+    md5-bottom-20 docs (standing in for an eval suite).
+
+    Scale shape — no corpus-sided join anywhere: the 20 benchmark ids
+    are a bounded driver collect (one scan, reused as an IN-list on
+    every branch — not three recomputed TakeOrdered subtrees); the
+    benchmark's distinct shingles BROADCAST into a left-semi join the
+    training shingles stream through; and both report terms are
+    per-source AGGREGATES (contaminated doc counts from the semi-join
+    output, totals from the corpus) joined only at per-source size.
+    Exact oracle: same shingles, same sample rank, same flags."""
+    from marker_spark.ops.text import word_shingles_expr, words_col
 
     docs = _read(spark, sf_dir, "documents")
-    bench_ids = (
-        docs.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r"))
+    bench_ids = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
+        )
         .orderBy("__r")
         .limit(20)
-        .select("doc_id")
-    )
-    words = words_col(F.col("text"))
+        .collect()
+    ]
+    with_w = docs.withColumn("__w", words_col(F.col("text")))
     sh = lambda df: df.select(  # noqa: E731
         F.col("doc_id"),
         F.col("source"),
-        F.explode(
-            F.when(
-                F.size(words) >= 8,
-                F.expr(
-                    "transform(sequence(1, size(__w) - 7),"
-                    " i -> concat_ws(' ', slice(__w, i, 8)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(word_shingles_expr("__w", 8)).alias("g"),
     )
-    with_w = docs.withColumn("__w", words)
     bench_grams = (
-        sh(with_w.join(bench_ids, "doc_id", "left_semi")).select("g").distinct()
+        sh(with_w.where(F.col("doc_id").isin(bench_ids))).select("g").distinct()
     )
-    train = with_w.join(bench_ids, "doc_id", "left_anti")
-    train_grams = sh(train)
-    contaminated = (
-        train_grams.join(F.broadcast(bench_grams), "g", "left_semi")
-        .select("doc_id")
+    train = with_w.where(~F.col("doc_id").isin(bench_ids))
+    contaminated_per_source = (
+        sh(train)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id", "source")
         .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    totals = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     return (
-        train.join(
-            contaminated.withColumn("__c", F.lit(1)), "doc_id", "left"
-        )
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_contaminated"),
+        totals.join(contaminated_per_source, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
         )
         .orderBy("source")
     )
@@ -944,20 +946,14 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.size(words), F.lit(1)).alias("n_words"),
     )
 
+    from marker_spark.ops.text import word_shingles_expr
+
     def grams(n):
         return base.select(
             "source",
             "doc_id",
             "n_words",
-            F.posexplode(
-                F.when(
-                    F.size("__w") >= n,
-                    F.expr(
-                        f"transform(sequence(1, size(__w) - {n} + 1),"
-                        f" i -> concat_ws(' ', slice(__w, i, {n})))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("idx", "g"),
+            F.posexplode(word_shingles_expr("__w", n)).alias("idx", "g"),
         ).select("source", "doc_id", "n_words", (F.col("idx") + 1).alias("pos"), "g")
 
     big = register(grams(2).persist())
@@ -1019,19 +1015,14 @@ def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only); this variant proves the signature/banding PLUMBING —
     explode, per-perm min, pairwise agreement count — byte-for-byte
     against DuckDB."""
-    from marker_spark.ops.text import words_col
+    from marker_spark.ops.text import word_shingles_expr, words_col
 
     docs = _read(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     src = docs.select(F.col("doc_id"), words.alias("__w")).where(F.size("__w") >= 3)
     sh = src.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__w) - 2),"
-                " i -> concat_ws(' ', slice(__w, i, 3)))"
-            )
-        ).alias("sh"),
+        F.explode(word_shingles_expr("__w", 3)).alias("sh"),
     ).distinct()
     perms = sh.select(
         "doc_id",

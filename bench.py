@@ -478,6 +478,9 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
+    # sampled BEFORE any work: the degraded-host signature is high
+    # idle load; after the sweep the average reflects our own run
+    load1_at_start = _load1()
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -594,7 +597,7 @@ def main() -> None:
                 "bench_docs": n_docs,
                 "build_steal_pct": None if build_steal is None else round(build_steal, 2),
                 "build_trials": build_trials,
-                "load1_at_exit": _load1(),
+                "load1_at_start": load1_at_start,
                 "bloom_fp_check": fp_check,
             }
         )

@@ -601,3 +601,18 @@ def gopher_pass_col(min_words: int = 50, max_words: int = 100_000):
         & (F.col("bullet_line_frac") < 0.9)
         & (F.col("dup_line_frac") < 0.3)
     )
+
+
+def word_shingles_expr(words_col_name: str, n: int):
+    """array<string> of n-word shingle strings over an existing word
+    array column; < n words -> empty array.  The ONE definition of the
+    string-shingle expression shared by every exact-oracle query
+    (decontamination, repetition signals, MinHash-exact) — a semantics
+    fix here cannot leave a sibling query diverged."""
+    return F.when(
+        F.size(words_col_name) >= n,
+        F.expr(
+            f"transform(sequence(1, size({words_col_name}) - {n} + 1),"
+            f" i -> concat_ws(' ', slice({words_col_name}, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))

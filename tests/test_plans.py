@@ -148,9 +148,17 @@ def test_probe_plan_carries_no_sketch_bytes(spark):
 
 
 def test_decontamination_broadcasts_benchmark_grams(spark):
-    """The benchmark-shingle side must broadcast: the training corpus
-    streams through a broadcast semi-join with zero corpus shuffle."""
+    """The benchmark-SHINGLE side must broadcast: assert the semi-join
+    keyed on the gram column specifically — a generic 'BroadcastHashJoin
+    + LeftSemi somewhere' would be satisfied by the tiny doc-id joins
+    and could not fail if the grams join degraded to sort-merge."""
+    import re
+
     import __spark_entry__ as entrymod
 
     plan = _plan(entrymod.queries()["decontamination"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the one LeftSemi must be keyed on the gram column (formatted mode
+    # lists keys in the join's own section)
+    assert "Join type: LeftSemi" in plan
+    assert re.search(r"Left keys \[1\]: \[g#\d+\]", plan), plan[:2000]
+    assert "SortMergeJoin" not in plan, "corpus-sided shuffle join crept in"
