@@ -1378,8 +1378,15 @@ def q_cache_fp_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so every exact-oracle query precedes the rows-only ones:
+    the driver's correctness artifact records the first ~50 entries, and
+    an oracle-bearing query falling off the tail (round 4:
+    sketch_table_probe / cache_timerange_lookup) loses its driver-side
+    certification.  Within each class, roughly core-SQL -> text/dedup ->
+    sketch/cache; the pure rows-only multimodal/sibling-of-exact entries
+    sit last (all are gated by local tests and tests/test_oracles.py)."""
     return {
-        "flagship_bloom_by_source": _flagship,
+        # -- exact-oracle entries (every key here has an oracle_sql row) --
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "bucket_counts": q_bucket_counts,
@@ -1390,7 +1397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "top_words": q_top_words,
         "bpe_token_counts": q_bpe_token_counts,
-        "bpe_learned_tokens": q_bpe_learned_tokens,
         "ngram_jaccard": q_ngram_jaccard,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1407,17 +1413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
         "bloom_ngram_membership": q_bloom_ngram_membership,
-        "hll_distinct_ngrams": q_hll_distinct_ngrams,
-        "cms_heavy_tokens": q_cms_heavy_tokens,
-        "kll_ntok_quantiles": q_kll_ntok_quantiles,
-        "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "mg_heavy_words": q_mg_heavy_words,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_dup": q_simhash_near_dup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
-        "winnowing_dups": q_winnowing_dups,
         "winnowing_dups_exact": q_winnowing_dups_exact,
         "minhash_similarity_exact": q_minhash_similarity_exact,
         "gopher_quality": q_gopher_quality,
@@ -1425,14 +1424,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
+        "sketch_table_probe": q_sketch_table_probe,
+        "cache_timerange_lookup": q_cache_timerange_lookup,
+        # -- rows-only entries (sketch estimates / hash-dependent) --
+        "flagship_bloom_by_source": _flagship,
+        "theta_source_setops": q_theta_source_setops,
+        "cache_fp_window": q_cache_fp_window,
+        "hll_distinct_ngrams": q_hll_distinct_ngrams,
+        "cms_heavy_tokens": q_cms_heavy_tokens,
+        "kll_ntok_quantiles": q_kll_ntok_quantiles,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "bpe_learned_tokens": q_bpe_learned_tokens,
+        # -- tail: rows-only with an exact-oracle sibling above, or
+        #    multimodal plumbing gated by local parity tests --
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_dup": q_simhash_near_dup,
+        "winnowing_dups": q_winnowing_dups,
+        "minhash_source_similarity": q_minhash_source_similarity,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "media_metadata": q_media_metadata,
-        "minhash_source_similarity": q_minhash_source_similarity,
-        "sketch_table_probe": q_sketch_table_probe,
-        "theta_source_setops": q_theta_source_setops,
-        "cache_timerange_lookup": q_cache_timerange_lookup,
-        "cache_fp_window": q_cache_fp_window,
     }
 
 

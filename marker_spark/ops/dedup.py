@@ -171,18 +171,18 @@ def _shingle_hashes_flat(
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative of each exact-duplicate group.
+    """Keep the min-id representative of each exact-duplicate group;
+    returns (text_col, id_col, dup_count).
 
-    Groups by a 64-bit digest of the text (cheap shuffle key); exactness
-    is preserved by also carrying the text through the aggregation —
-    fine at moderate scale; use :func:`exact_dedup_scalable` when the
-    text payload dominates shuffle volume.
+    Thin projection of :func:`exact_dedup_scalable`, which owns the
+    single 100 TB-shape plan: the groupBy shuffle carries a 128-bit
+    digest + id — never document text (text moves once, with its own
+    representative row, in the final join).  An earlier variant grouped
+    by (digest, text) directly; folded so no API path pays a
+    text-payload shuffle.
     """
-    return (
-        df.withColumn("__digest", F.xxhash64(F.col(text_col)))
-        .groupBy("__digest", text_col)
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
-        .drop("__digest")
+    return exact_dedup_scalable(df, text_col, id_col).select(
+        text_col, id_col, "dup_count"
     )
 
 
@@ -699,7 +699,7 @@ def duplicated_spans(
        deduplicated 100 TB corpus this discards nearly everything
        map-side-aggregated; the pair join below only touches grams
        already known to be duplicated.
-    3. Pair join on the gram digest with doc_a < doc_b; runs of
+    3. Pair join on the raw gram key with doc_a < doc_b; runs of
        consecutive positions on one diagonal (pos_a - pos_b) are
        collapsed to maximal spans with one window + groupBy:
        span_len = run_length + k - 1.
@@ -892,6 +892,14 @@ def remove_duplicated_spans(
                     lambda x: x["part"],
                 ),
             ).alias("text")
+        )
+        # a NULL-text doc has no grams, hence no spans: it is always
+        # untouched and must come back NULL, not '' (concat_ws skips
+        # nulls).  n_chars_before is NULL exactly for those docs.
+        .withColumn(
+            "text",
+            F.when(F.col("n_chars_before").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.col("text")),
         )
         .withColumn("n_chars_after", F.length("text"))
     )

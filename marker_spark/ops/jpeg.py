@@ -303,8 +303,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -338,8 +342,10 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         d = self.data
-        while d[self.pos] != 0xFF or d[self.pos + 1] == 0x00:
+        while self.pos + 1 < len(d) and (d[self.pos] != 0xFF or d[self.pos + 1] == 0x00):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG stream")
         if 0xD0 <= d[self.pos + 1] <= 0xD7:
             self.pos += 2
 
@@ -399,7 +405,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            raise ValueError("truncated JPEG stream")
         (ln,) = struct.unpack_from(">H", payload, i + 2)
+        if i + 2 + ln > n:
+            raise ValueError("truncated JPEG stream")
         body = payload[i + 4 : i + 2 + ln]
         if m == 0xDB:  # DQT: one or more tables
             p = 0

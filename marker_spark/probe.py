@@ -67,17 +67,40 @@ def _group_rows(key_cols: tuple[pd.Series, ...]):
         yield tuple(_norm_key(k) for k in key), np.asarray(idxs)
 
 
+#: Collecting more serialized state than this is almost certainly a
+#: mis-specified group key (e.g. grouping by a high-cardinality column):
+#: fail loudly instead of OOMing the driver / flooding the broadcast.
+MAX_STATE_BYTES = 1 << 30  # 1 GiB
+
+
 def collect_sketch_states(
-    sketch_table: DataFrame, group_cols: list[str]
+    sketch_table: DataFrame, group_cols: list[str], max_bytes: int = MAX_STATE_BYTES
 ) -> dict[tuple, bytes]:
     """Collect the bounded per-group serialized states once:
     O(#groups × state_bytes), the exact volume the reference reader
     mmaps.  Duplicate group rows keep the last.
 
+    The "bounded" assumption is enforced: a cheap pre-pass sums
+    ``length(sketch)`` (scalar aggregate, no payload movement) and
+    raises if the total exceeds ``max_bytes`` — an unexpectedly wide
+    sketch table surfaces as a clear error instead of a driver OOM.
+
     Keys are CAST TO STRING on the Spark side: a nullable int64 group
     column reaches the pandas UDF as float64, where keys above 2^53
     would silently collide or miss the dict — string keys are exact at
     any magnitude and NULL stays None through both paths."""
+    total = sketch_table.agg(
+        F.sum(F.length(F.col(SKETCH_COL))).alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if total["b"] is not None and total["b"] > max_bytes:
+        raise ValueError(
+            f"sketch table holds {total['b']} serialized state bytes across "
+            f"{total['n']} groups, above the {max_bytes}-byte collect cap — "
+            "the per-group state dict would not be driver/broadcast-bounded. "
+            "Check the group columns (high-cardinality key?) or raise "
+            "max_bytes explicitly."
+        )
     rows = sketch_table.select(
         *[F.col(c).cast("string") for c in group_cols], SKETCH_COL
     ).collect()

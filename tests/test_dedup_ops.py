@@ -355,3 +355,20 @@ def test_duplicated_token_spans_word_boundaries(spark):
     assert r["start_a"] == 3  # third word, after pre1 pre2
     assert r["start_b"] == 1
     assert r["span_len"] == 12  # the full shared word run
+
+
+def test_span_removal_preserves_null_text(spark):
+    """A NULL-text doc has no grams, so it is untouched — and must come
+    back with text NULL (not coerced to ''), n_chars NULL on both sides."""
+    from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(1, base + "alpha"), (2, base + "beta"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = duplicated_spans(docs, k=24, min_len=40, max_df=16, max_occ=64)
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, spans).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["text"] is None
+    assert out[3]["n_chars_before"] is None and out[3]["n_chars_after"] is None
+    assert spans.count() > 0  # the non-null pair did get excised
+    assert out[2]["n_chars_after"] < out[2]["n_chars_before"]

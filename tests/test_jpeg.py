@@ -150,3 +150,15 @@ def test_subsampled_420_roundtrip():
     solid = np.tile(np.array([30, 180, 220], dtype=np.uint8), (32, 32, 1))
     out2 = decode_jpeg(encode_jpeg(solid, subsample=True))
     assert np.max(np.abs(out2.astype(int) - solid.astype(int))) <= 3
+
+
+def test_truncated_entropy_stream_raises_value_error():
+    """A crawl payload cut mid-scan must fail as a classifiable decode
+    error (ValueError), not an unhandled IndexError from the bit reader."""
+    img = np.tile(np.arange(16, dtype=np.uint8)[:, None, None] * 16, (1, 16, 3))
+    payload = encode_jpeg(img)
+    eoi = payload.rfind(b"\xff\xd9")
+    assert eoi > 0
+    truncated = payload[: max(eoi - 40, eoi // 2)]  # cut well inside the scan
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(truncated)

@@ -162,3 +162,21 @@ def test_decontamination_broadcasts_benchmark_grams(spark):
     assert "Join type: LeftSemi" in plan
     assert re.search(r"Left keys \[1\]: \[g#\d+\]", plan), plan[:2000]
     assert "SortMergeJoin" not in plan, "corpus-sided shuffle join crept in"
+
+
+def test_exact_dedup_exchange_carries_no_text(spark):
+    """exact_dedup's groupBy shuffle must move digest+id only — document
+    text may appear in the scan and the final representative join, never
+    in an Exchange above the aggregation (the 100 TB-shape invariant the
+    scalable fold guarantees)."""
+    from marker_spark.ops.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    # every hashpartitioning Exchange in the plan keys on the digest or
+    # the id — none mentions the text column
+    exchanges = plan.split("Exchange hashpartitioning")[1:]
+    assert exchanges, "expected at least one shuffle in the dedup plan"
+    for frag in exchanges:
+        keyspec = frag.split("\n")[0]
+        assert "text" not in keyspec, keyspec

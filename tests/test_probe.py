@@ -48,3 +48,21 @@ def test_probe_marker_table(spark, tmp_path):
     n = res2.count()
     hits = res2.where(F.col("found")).count()
     assert hits / max(n, 1) < 0.05, f"cross-group FP rate {hits}/{n}"
+
+
+def test_collect_states_guard_rejects_unbounded_tables(spark):
+    """The 'bounded per-group dict' assumption is enforced: a sketch
+    table whose total serialized state exceeds the cap raises instead
+    of OOMing the driver through collect + broadcast."""
+    from marker_spark.probe import collect_sketch_states
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "marker", F.concat_ws("|", F.col("event_id"), F.col("props"))
+    )
+    table = bloom_agg(ev, marker_col="marker", capacity=50_000, fp=0.001,
+                      group_cols=["event_type"])
+    with pytest.raises(ValueError, match="collect cap"):
+        collect_sketch_states(table, ["event_type"], max_bytes=64)
+    # the default cap accepts the bounded table
+    states = collect_sketch_states(table, ["event_type"])
+    assert len(states) > 0
