@@ -1007,14 +1007,15 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash ESTIMATOR under an exact gate: 16 md5-keyed permutations
-    (perm i's hash of a 3-word shingle = md5('i:'||shingle)), signature
-    = per-perm minimum, estimated Jaccard = agreeing-perm fraction.
-    The production MinHash keeps its vectorized splitmix64 permutations
-    (rows-only); this variant proves the signature/banding PLUMBING —
-    explode, per-perm min, pairwise agreement count — byte-for-byte
-    against DuckDB."""
+def _md5_perm_sigs(spark: SparkSession, sf_dir: str, num_perm: int = 16) -> DataFrame:
+    """(doc_id, perm, sig) MinHash signature table with md5-keyed
+    permutations: perm i's hash of a distinct 3-word shingle is
+    md5('i:'||shingle), the signature is the per-perm minimum.  DuckDB
+    replays the identical expression, so every consumer of this table
+    (estimator agreement, LSH banding) carries an EXACT oracle.  The
+    production MinHash keeps its vectorized splitmix64 permutations
+    (rows-only); this is the cross-engine-replayable twin that proves
+    the plumbing.  Caller persists/registers as needed."""
     from marker_spark.ops.text import word_shingles_expr, words_col
 
     docs = _read(spark, sf_dir, "documents")
@@ -1026,18 +1027,24 @@ def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     perms = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("perm"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
         "sh",
     ).select(
         "doc_id", "perm", F.md5(F.concat_ws(":", F.col("perm"), F.col("sh"))).alias("h")
     )
+    return perms.groupBy("doc_id", "perm").agg(F.min("h").alias("sig"))
+
+
+def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR under an exact gate: md5-keyed permutation
+    signatures (:func:`_md5_perm_sigs`), estimated Jaccard =
+    agreeing-perm fraction — explode, per-perm min, pairwise agreement
+    count proven byte-for-byte against DuckDB."""
     from marker_spark.cacheutil import register
 
     # persist: both self-join sides consume the signature table; the
     # distinct-shingle explode x16-perm md5 agg must not run twice
-    sigs = register(
-        perms.groupBy("doc_id", "perm").agg(F.min("h").alias("sig")).persist()
-    )
+    sigs = register(_md5_perm_sigs(spark, sf_dir).persist())
     pairs = (
         sigs.alias("a")
         .join(sigs.alias("b"), ["perm", "sig"])
@@ -1055,6 +1062,157 @@ def q_minhash_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_agree"), "id_a", "id_b")
         .limit(20)
+    )
+
+
+def q_minhash_lsh_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH BANDING rule under an exact gate (the production
+    `lsh_candidate_pairs` is rows-only because its splitmix64 signatures
+    aren't SQL-replayable): md5-keyed permutation signatures
+    (:func:`_md5_perm_sigs`) sliced into 4 bands x 4 rows, band hash =
+    md5 of the band's signature values joined in perm order, candidate
+    pairs = docs sharing >= 1 (band, band_hash).  Proves the banding
+    kernel — slice, per-band hash, equi-join on the band key,
+    cross-band pair dedup — byte-for-byte against DuckDB.  Same
+    candidate-generation FP-tolerance discipline as the reference's
+    lookup tests (/root/reference/DBAppUnitTests.cpp:108-125): the rule
+    itself is deterministic, so the gate is exact."""
+    from marker_spark.cacheutil import register
+
+    sigs = _md5_perm_sigs(spark, sf_dir)
+    # persist: the banded table feeds both self-join sides; without it
+    # the shingle-explode x16-perm md5 subtree would run twice
+    bands = register(
+        sigs.groupBy("doc_id", F.expr("perm div 4").alias("band"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+        .persist()
+    )
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_bands").cast("long").alias("n_bands"),
+        )
+        .orderBy(F.desc("n_bands"), "id_a", "id_b")
+        .limit(30)
+    )
+
+
+def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash banded Hamming join under an exact gate (the
+    production `simhash_near_dup` is rows-only because its mmh3 shingle
+    hashes aren't SQL-replayable): a 60-bit fingerprint built from
+    md5 — each 2-word shingle occurrence contributes the first 15 hex
+    digits of md5(shingle); per digit position the 4 bits are
+    majority-voted over the doc's shingles (ones > half, the exact
+    sign-of-±1-sum rule) and the reconstructed digits assemble the
+    fingerprint via shift-or.  Pairs come from the same pigeonhole
+    structure as production (4 bands x 15 bits: Hamming <= 3 implies
+    >= 1 equal band), verified with bit_count(xor) — every stage
+    replayable in DuckDB, so the gate is rows+schema+hash exact."""
+    from marker_spark.cacheutil import register
+    from marker_spark.ops.text import word_shingles_expr, words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    src = docs.select(F.col("doc_id"), words.alias("__w")).where(F.size("__w") >= 2)
+    # ALL shingle occurrences (production semantics: repetition weighs
+    # the vote), 15 digit positions each
+    dig = (
+        src.select("doc_id", F.explode(word_shingles_expr("__w", 2)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("h"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(15))).alias("p"),
+            "h",
+        )
+        .select(
+            "doc_id",
+            "p",
+            (F.expr("instr('0123456789abcdef', substring(h, p, 1))") - 1).alias("d"),
+        )
+    )
+    votes = dig.groupBy("doc_id", "p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("d % 2")).alias("s0"),
+        F.sum(F.expr("(d div 2) % 2")).alias("s1"),
+        F.sum(F.expr("(d div 4) % 2")).alias("s2"),
+        F.sum(F.expr("(d div 8) % 2")).alias("s3"),
+    )
+    digit = (
+        (F.col("s0") * 2 > F.col("n")).cast("int")
+        + (F.col("s1") * 2 > F.col("n")).cast("int") * 2
+        + (F.col("s2") * 2 > F.col("n")).cast("int") * 4
+        + (F.col("s3") * 2 > F.col("n")).cast("int") * 8
+    )
+    fps = (
+        votes.select("doc_id", "p", digit.alias("digit"))
+        .select(
+            "doc_id",
+            F.expr("shiftleft(cast(digit as bigint), cast((p - 1) * 4 as int))").alias(
+                "contrib"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("fp"))
+    )
+    # persist: the banded table feeds both self-join sides
+    banded = register(
+        fps.select(
+            "doc_id",
+            "fp",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        )
+        .select(
+            "doc_id",
+            "fp",
+            "band",
+            F.expr("shiftrightunsigned(fp, cast(band * 15 as int)) & 32767").alias(
+                "band_val"
+            ),
+        )
+        .persist()
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 3)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+        .orderBy("hamming", "id_a", "id_b")
+        .limit(40)
     )
 
 
@@ -1419,6 +1577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_dups_exact": q_winnowing_dups_exact,
         "minhash_similarity_exact": q_minhash_similarity_exact,
+        "minhash_lsh_pairs_exact": q_minhash_lsh_pairs_exact,
+        "simhash_near_dup_exact": q_simhash_near_dup_exact,
         "gopher_quality": q_gopher_quality,
         "repetition_signals": q_repetition_signals,
         "decontamination": q_decontamination,
@@ -1974,6 +2134,91 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             ORDER BY n_agree DESC, id_a, id_b
             LIMIT 20
+        """,
+        # LSH banding rule replayed exactly: same md5-keyed signatures,
+        # 4 bands x 4 rows, band hash = md5 of the in-band signature
+        # values joined in perm order, pairs share >= 1 band bucket.
+        "minhash_lsh_pairs_exact": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS sh
+                FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+            ), perms AS (
+                SELECT doc_id, p.perm,
+                       md5(CAST(p.perm AS VARCHAR) || ':' || sh) AS h
+                FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS p(perm)
+            ), sigs AS (
+                SELECT doc_id, perm, MIN(h) AS sig
+                FROM perms GROUP BY doc_id, perm
+            ), bands AS (
+                SELECT doc_id, perm // 4 AS band,
+                       md5(string_agg(sig, '|' ORDER BY perm)) AS band_hash
+                FROM sigs GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+                FROM bands a JOIN bands b USING (band, band_hash)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(n_bands AS BIGINT) AS n_bands
+            FROM pairs
+            ORDER BY n_bands DESC, id_a, id_b
+            LIMIT 30
+        """,
+        # SimHash replayed exactly: 60-bit fingerprint from per-digit
+        # majority votes over md5 hex digits of 2-word shingle
+        # occurrences; 4x15-bit pigeonhole bands; bit_count(xor) verify.
+        "simhash_near_dup_exact": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 2
+            ), sh AS (
+                SELECT doc_id,
+                       md5(array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ')) AS h
+                FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+            ), dig AS (
+                SELECT doc_id, CAST(p.p AS INT) AS p,
+                       strpos('0123456789abcdef', substring(h, CAST(p.p AS INT), 1)) - 1 AS d
+                FROM sh CROSS JOIN UNNEST(generate_series(1, 15)) AS p(p)
+            ), votes AS (
+                SELECT doc_id, p, COUNT(*) AS n,
+                       SUM(d % 2) AS s0, SUM((d // 2) % 2) AS s1,
+                       SUM((d // 4) % 2) AS s2, SUM((d // 8) % 2) AS s3
+                FROM dig GROUP BY doc_id, p
+            ), fps AS (
+                SELECT doc_id,
+                       SUM(CAST(CASE WHEN s0 * 2 > n THEN 1 ELSE 0 END
+                             + 2 * CASE WHEN s1 * 2 > n THEN 1 ELSE 0 END
+                             + 4 * CASE WHEN s2 * 2 > n THEN 1 ELSE 0 END
+                             + 8 * CASE WHEN s3 * 2 > n THEN 1 ELSE 0 END AS BIGINT)
+                           << ((p - 1) * 4)) AS fp
+                FROM votes GROUP BY doc_id
+            ), banded AS (
+                SELECT doc_id, fp, CAST(b.band AS INT) AS band,
+                       (fp >> (CAST(b.band AS INT) * 15)) & 32767 AS band_val
+                FROM fps CROSS JOIN UNNEST(generate_series(0, 3)) AS b(band)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.fp AS fp_a, b.fp AS fp_b
+                FROM banded a JOIN banded b USING (band, band_val)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a,
+                   CAST(id_b AS BIGINT) AS id_b,
+                   CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+            FROM cand
+            WHERE bit_count(xor(fp_a, fp_b)) <= 3
+            ORDER BY hamming, id_a, id_b
+            LIMIT 40
         """,
         # Winnowing under an exact gate: fingerprint set = distinct
         # window-4 minima of md5 char-8-gram hex hashes (lexicographic
