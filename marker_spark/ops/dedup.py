@@ -267,6 +267,8 @@ def ngram_jaccard_for_pairs(
 
     Returns (id_a, id_b, jaccard).
     """
+    import pyarrow as pyarrow_mod
+
     wh = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
     joined = (
         pairs.select("id_a", "id_b")
@@ -276,51 +278,68 @@ def ngram_jaccard_for_pairs(
         .join(
             wh.select(F.col(id_col).alias("id_b"), F.col("__wh").alias("wh_b")), "id_b"
         )
+        # pin positions: each equi-join hoists its key column to the
+        # front, and the Arrow kernel below reads by position
+        .select("id_a", "id_b", "wh_a", "wh_b")
     )
+    id_type = df.schema[id_col].dataType.simpleString()
 
-    @F.pandas_udf("double")
-    def jac(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        n = len(wa)
-        if n == 0:
-            return pd.Series(np.zeros(0, dtype=np.float64))
-        fa, sa = _shingle_hashes(wa, shingle)
-        fb, sb = _shingle_hashes(wb, shingle)
-        # One lexsort over the batch's concatenated (pair_id, shingle)
-        # instead of per-pair np.unique/intersect1d: the per-pair loop
-        # paid interpreter + small-array overhead |pairs| times.
-        pa = np.repeat(np.arange(n), np.diff(np.append(sa, len(fa))))
-        pb = np.repeat(np.arange(n), np.diff(np.append(sb, len(fb))))
+    def batch_fn(batches):
+        # mapInArrow over flat buffers (like _map_shingle_batches): the
+        # earlier pandas-UDF entry materialized one Python list per row
+        # for both word-hash columns — the last such path in the dedup
+        # family.  The kernel itself is unchanged: one lexsort over the
+        # batch's concatenated (pair_id, shingle) instead of per-pair
+        # np.unique/intersect1d.
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            fa_flat, offa = _arrow_list_i64(batch.column(2))
+            fb_flat, offb = _arrow_list_i64(batch.column(3))
+            fa, sa = _shingle_hashes_flat(fa_flat, offa, shingle)
+            fb, sb = _shingle_hashes_flat(fb_flat, offb, shingle)
+            pa = np.repeat(np.arange(n), np.diff(np.append(sa, len(fa))))
+            pb = np.repeat(np.arange(n), np.diff(np.append(sb, len(fb))))
 
-        def _dedup(p: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-            if len(p) == 0:
-                return p, h
-            order = np.lexsort((h, p))
-            p, h = p[order], h[order]
-            mask = np.empty(len(p), dtype=bool)
-            mask[0] = True
-            mask[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
-            return p[mask], h[mask]
+            def _dedup(p: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                if len(p) == 0:
+                    return p, h
+                order = np.lexsort((h, p))
+                p, h = p[order], h[order]
+                mask = np.empty(len(p), dtype=bool)
+                mask[0] = True
+                mask[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+                return p[mask], h[mask]
 
-        pa, ha = _dedup(pa, fa)
-        pb, hb = _dedup(pb, fb)
-        na = np.bincount(pa, minlength=n)
-        nb = np.bincount(pb, minlength=n)
-        pc = np.concatenate([pa, pb])
-        hc = np.concatenate([ha, hb])
-        inter = np.zeros(n, dtype=np.int64)
-        if len(pc):
-            order = np.lexsort((hc, pc))
-            pc, hc = pc[order], hc[order]
-            # within-side arrays are deduped, so an adjacent (pair, hash)
-            # match is exactly one element from each side
-            eq = (pc[1:] == pc[:-1]) & (hc[1:] == hc[:-1])
-            inter = np.bincount(pc[:-1][eq], minlength=n)
-        union = np.maximum(na + nb - inter, 1)
-        return pd.Series(inter / union)
+            pa, ha = _dedup(pa, fa)
+            pb, hb = _dedup(pb, fb)
+            na = np.bincount(pa, minlength=n)
+            nb = np.bincount(pb, minlength=n)
+            pc = np.concatenate([pa, pb])
+            hc = np.concatenate([ha, hb])
+            inter = np.zeros(n, dtype=np.int64)
+            if len(pc):
+                order = np.lexsort((hc, pc))
+                pc, hc = pc[order], hc[order]
+                # within-side arrays are deduped, so an adjacent (pair,
+                # hash) match is exactly one element from each side
+                eq = (pc[1:] == pc[:-1]) & (hc[1:] == hc[:-1])
+                inter = np.bincount(pc[:-1][eq], minlength=n)
+            union = np.maximum(na + nb - inter, 1)
+            yield pyarrow_mod.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pyarrow_mod.array(inter / union, type=pyarrow_mod.float64()),
+                ],
+                names=["id_a", "id_b", "jaccard"],
+            )
 
-    return joined.select(
-        "id_a", "id_b", F.round(jac(F.col("wh_a"), F.col("wh_b")), 6).alias("jaccard")
+    out = joined.mapInArrow(
+        batch_fn, schema=f"id_a {id_type}, id_b {id_type}, jaccard double"
     )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def lsh_candidate_pairs(
