@@ -442,6 +442,85 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "doc_id")
 
 
+def q_corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee-et-al. substring-dedup pipeline composed as ONE
+    oracle-gated query — the artifact a real training-data pipeline
+    ships (mirrors ``jobs/dedup_pipeline.py --excise``): Gopher quality
+    filter -> duplicated_spans on the surviving corpus ->
+    remove_duplicated_spans (span excision) -> eval-set
+    decontamination (drop cleaned docs sharing an 8-word shingle with
+    the md5-bottom-20 benchmark docs).  Every stage is individually
+    oracle-green; this gates their COMPOSITION, with the value hash
+    covering the final cleaned texts byte-for-byte.
+
+    Scale shape: each stage keeps its own 100 TB plan (pure-Catalyst
+    signals, capped gram pair join, broadcast benchmark shingles);
+    the composition adds no new shuffle beyond a doc_id-keyed join
+    per hand-off."""
+    from marker_spark.cacheutil import register
+    from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+    from marker_spark.ops.text import (
+        gopher_pass_col,
+        with_gopher_signals,
+        word_shingles_expr,
+        words_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    # stage 1: Gopher filter (fixture word band, as q_gopher_quality)
+    kept = register(
+        with_gopher_signals(docs)
+        .where(gopher_pass_col(min_words=30))
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    # stages 2+3: span detection on the FILTERED corpus, then excision
+    spans = duplicated_spans(kept, k=24, min_len=40, max_df=16, max_occ=64)
+    cleaned = register(
+        remove_duplicated_spans(kept, spans)
+        .join(kept.select("doc_id", "source"), "doc_id")
+        .persist()
+    )
+    # stage 4: decontamination — benchmark = md5-bottom-20 of the
+    # ORIGINAL corpus (an external eval suite stand-in; its shingles
+    # come from the original texts), training = cleaned minus benchmark
+    bench_ids = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
+        )
+        .orderBy("__r")
+        .limit(20)
+        .collect()
+    ]
+    bench_grams = (
+        docs.where(F.col("doc_id").isin(bench_ids))
+        .withColumn("__w", words_col(F.col("text")))
+        .select(F.explode(word_shingles_expr("__w", 8)).alias("g"))
+        .distinct()
+    )
+    train = cleaned.where(~F.col("doc_id").isin(bench_ids))
+    contaminated = (
+        train.withColumn("__w", words_col(F.col("text")))
+        .select("doc_id", F.explode(word_shingles_expr("__w", 8)).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    final = train.join(contaminated, "doc_id", "left_anti")
+    return (
+        final.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_chars_before").cast("long").alias("n_chars_before"),
+            F.col("n_chars_after").cast("long").alias("n_chars_after"),
+            "text",
+        )
+        .orderBy(F.desc(F.col("n_chars_before") - F.col("n_chars_after")), "doc_id")
+        .limit(20)
+    )
+
+
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact oracle of the Bloom time-range lookup: which early-window
     markers reappear in the late window (semi-join form)."""
@@ -1567,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_token_spans": q_duplicated_token_spans,
         "span_removal": q_span_removal,
         "corpus_prep": q_corpus_prep,
+        "corpus_prep_spans": q_corpus_prep_spans,
         "marker_membership_exact": q_marker_membership_exact,
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
@@ -2455,6 +2535,146 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source, round(quality, 6) AS quality
             FROM samp WHERE rn <= 3
             ORDER BY source, doc_id
+        """,
+        # Full Lee-et-al. pipeline composed: Gopher filter -> char-span
+        # detection on the surviving corpus -> excision -> benchmark
+        # decontamination over the CLEANED texts.  Value hash covers
+        # the final cleaned strings byte-for-byte.
+        "corpus_prep_spans": """
+            WITH sigd AS (
+                SELECT doc_id, source, text, coalesce(text, '') AS t,
+                    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                         ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) END AS n_words,
+                    regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS wlist,
+                    length(regexp_replace(coalesce(text, ''), '\\s', '', 'g')) AS non_ws,
+                    string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ), per_doc AS (
+                SELECT doc_id, source, text, n_words,
+                    ROUND(non_ws / GREATEST(n_words, 1), 6) AS mean_word_len,
+                    ROUND(CASE WHEN n_words = 0 THEN 0
+                          ELSE len(list_filter(wlist, w -> regexp_matches(w, '[a-zA-Z]'))) END
+                          / GREATEST(n_words, 1), 6) AS alpha_word_frac,
+                    ROUND(len(regexp_extract_all(t, '#|\\.\\.\\.'))
+                          / GREATEST(n_words, 1), 6) AS symbol_word_ratio,
+                    ROUND(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$')))
+                          / GREATEST(len(lines), 1), 6) AS ellipsis_line_frac,
+                    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*]')))
+                          / GREATEST(len(lines), 1), 6) AS bullet_line_frac,
+                    ROUND(1.0 - len(list_distinct(lines))
+                          / GREATEST(len(lines), 1), 6) AS dup_line_frac
+                FROM sigd
+            ), kept AS (
+                SELECT doc_id, source, text FROM per_doc
+                WHERE n_words >= 30 AND n_words <= 100000
+                  AND mean_word_len >= 3 AND mean_word_len <= 10
+                  AND symbol_word_ratio < 0.1
+                  AND alpha_word_frac >= 0.8
+                  AND ellipsis_line_frac < 0.3
+                  AND bullet_line_frac < 0.9
+                  AND dup_line_frac < 0.3
+            ), grams AS (
+                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+                       substring(d.text, CAST(t.i AS INT), 24) AS g
+                FROM kept d
+                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
+                     THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
+            ), keep_g AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
+            ), fg AS (
+                SELECT * FROM grams WHERE g IN (SELECT g FROM keep_g)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
+            ), islands0 AS (
+                SELECT doc_a, doc_b, diag, pos_a,
+                       pos_a - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+                FROM pairs
+            ), spans AS (
+                SELECT doc_a, doc_b, MIN(pos_a) - diag AS start_b,
+                       COUNT(*) + 23 AS span_len
+                FROM islands0 GROUP BY doc_a, doc_b, diag, grp
+                HAVING COUNT(*) + 23 >= 40
+            ), iv0 AS (
+                SELECT doc_b AS id, start_b AS s,
+                       MAX(start_b + span_len - 1) AS e
+                FROM spans GROUP BY doc_b, start_b
+            ), ord0 AS (
+                SELECT id, s, e, MAX(e) OVER (PARTITION BY id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM iv0
+            ), isl AS (
+                SELECT id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                          THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s) AS island
+                FROM ord0
+            ), merged AS (
+                SELECT id, island, MIN(s) AS s, MAX(e) AS e
+                FROM isl GROUP BY id, island
+            ), segs AS (
+                SELECT id,
+                       COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s) + 1, 1)
+                           AS seg_start,
+                       s - 1 AS seg_end
+                FROM merged
+                UNION ALL
+                SELECT id, MAX(e) + 1, NULL FROM merged GROUP BY id
+            ), rebuilt AS (
+                SELECT k.doc_id, length(k.text) AS n_chars_before,
+                       string_agg(
+                           CASE WHEN COALESCE(seg_end, length(k.text)) >= seg_start
+                                THEN substring(k.text, CAST(seg_start AS INT),
+                                     CAST(COALESCE(seg_end, length(k.text))
+                                          - seg_start + 1 AS INT))
+                                ELSE '' END,
+                           '' ORDER BY seg_start) AS text
+                FROM kept k JOIN segs ON segs.id = k.doc_id
+                GROUP BY k.doc_id, length(k.text)
+            ), cleaned AS (
+                SELECT doc_id, n_chars_before, text FROM rebuilt
+                UNION ALL
+                SELECT doc_id, length(text), text FROM kept
+                WHERE doc_id NOT IN (SELECT id FROM segs)
+            ), bench_ids AS (
+                SELECT doc_id FROM documents
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 20
+            ), bench_w AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM bench_ids)
+                  AND trim(coalesce(text, '')) <> ''
+            ), bench_grams AS (
+                SELECT DISTINCT
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 7], ' ') AS g
+                FROM bench_w CROSS JOIN UNNEST(CASE WHEN len(words) >= 8
+                     THEN generate_series(1, len(words) - 7) ELSE [] END) AS t(i)
+            ), train AS (
+                SELECT c.doc_id, k.source, c.n_chars_before, c.text
+                FROM cleaned c JOIN kept k USING (doc_id)
+                WHERE c.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+            ), train_w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM train WHERE trim(coalesce(text, '')) <> ''
+            ), contaminated AS (
+                SELECT DISTINCT doc_id
+                FROM train_w CROSS JOIN UNNEST(CASE WHEN len(words) >= 8
+                     THEN generate_series(1, len(words) - 7) ELSE [] END) AS t(i)
+                WHERE array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 7], ' ')
+                      IN (SELECT g FROM bench_grams)
+            ), final AS (
+                SELECT * FROM train
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(n_chars_before AS BIGINT) AS n_chars_before,
+                   CAST(length(text) AS BIGINT) AS n_chars_after,
+                   text
+            FROM final
+            ORDER BY n_chars_before - length(text) DESC, doc_id
+            LIMIT 20
         """,
         "window_top_orders": """
             SELECT o_custkey, o_orderkey,
