@@ -1003,6 +1003,76 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (Dolma/FineWeb hygiene pass) under an exact gate.  The
+    synthetic fixture contains no PII, so the query first AUGMENTS every
+    5th doc with a deterministic email + phone + IPv4 (both engines
+    apply the identical expression — this is fixture construction, not
+    operator logic), then runs :func:`redact_pii`: RE2-compatible
+    patterns, counts per stage, placeholders substituted.  Map-only
+    plan, no shuffle; the value hash covers the redacted texts."""
+    from marker_spark.ops.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 node 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = redact_pii(aug)
+    return (
+        red.where((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_phone").cast("long").alias("n_phone"),
+            F.col("n_ip").cast("long").alias("n_ip"),
+            F.col("text_redacted"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+def q_lm_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/FineWeb-style LM quality scoring under an exact gate:
+    train an add-1 bigram LM on the deterministic md5-bottom-100
+    reference docs, score every doc's cross-entropy under it
+    (:func:`lm_bigram_scores` — reference counts broadcast, corpus
+    streams through two broadcast joins).  Highest-entropy (least
+    reference-like) docs surface first."""
+    from marker_spark.ops.text import lm_bigram_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    ref_ids = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
+        )
+        .orderBy("__r")
+        .limit(100)
+        .collect()
+    ]
+    scores = lm_bigram_scores(docs, docs.where(F.col("doc_id").isin(ref_ids)))
+    return (
+        scores.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("cross_entropy"),
+        )
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(20)
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's repetition signals (the other half of its quality
     family), with UNION semantics so each word counts once: per doc,
@@ -1662,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "repetition_signals": q_repetition_signals,
         "decontamination": q_decontamination,
+        "pii_redaction": q_pii_redaction,
+        "lm_quality_perplexity": q_lm_quality_perplexity,
         "sample_uniform": q_sample_uniform,
         "sample_stratified": q_sample_stratified,
         "sketch_table_probe": q_sketch_table_probe,
@@ -2040,6 +2112,97 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Same held-out sample (md5-bottom-20 doc ids), same 8-word
         # shingles, same semi-join contamination flag.
+        # PII redaction: identical RE2-compatible patterns, counts per
+        # stage (each on the previous stage's output), 'g' flag because
+        # DuckDB regexp_replace is single-match by default.
+        "pii_redaction": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                            coalesce(text, '') || ' contact user' ||
+                            CAST(doc_id AS VARCHAR) ||
+                            '@example.com or 555-123-4567 node 10.0.0.' ||
+                            CAST(doc_id % 256 AS VARCHAR)
+                       ELSE text END AS text
+                FROM documents
+            ), s0 AS (
+                SELECT doc_id, coalesce(text, '') AS t FROM aug
+            ), s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                FROM s0
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                       regexp_replace(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g') AS t
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, n_email, n_phone,
+                       len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+                       regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t
+                FROM s2
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ip AS BIGINT) AS n_ip,
+                   t AS text_redacted
+            FROM s3
+            WHERE n_email + n_phone + n_ip > 0
+            ORDER BY doc_id
+            LIMIT 20
+        """,
+        # Bigram-LM cross-entropy: add-1-smoothed counts from the
+        # md5-bottom-100 reference docs; ln agreement between engines
+        # is far inside the round-6 gate (BM25 precedent).
+        "lm_quality_perplexity": """
+            WITH ref_ids AS (
+                SELECT doc_id FROM documents
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100
+            ), ref_w AS (
+                SELECT regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS words
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM ref_ids)
+                  AND trim(coalesce(text, '')) <> ''
+            ), uni AS (
+                SELECT w.w AS w, COUNT(*) AS c1
+                FROM ref_w CROSS JOIN UNNEST(words) AS w(w)
+                GROUP BY w.w
+            ), vocab AS (
+                SELECT COUNT(*) AS v FROM uni
+            ), bi AS (
+                SELECT array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ') AS g,
+                       COUNT(*) AS c2
+                FROM ref_w CROSS JOIN UNNEST(CASE WHEN len(words) >= 2
+                     THEN generate_series(1, len(words) - 1) ELSE [] END) AS t(i)
+                GROUP BY 1
+            ), doc_w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 2
+            ), doc_bi AS (
+                SELECT doc_id,
+                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ') AS g
+                FROM doc_w CROSS JOIN UNNEST(generate_series(1, len(words) - 1)) AS t(i)
+            ), scored AS (
+                SELECT d.doc_id,
+                       ln((COALESCE(b.c2, 0) + 1.0)
+                          / (COALESCE(u.c1, 0) + 1.0 * (SELECT v FROM vocab))) AS lp
+                FROM doc_bi d
+                LEFT JOIN bi b USING (g)
+                LEFT JOIN uni u ON u.w = split_part(d.g, ' ', 1)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(-AVG(lp), 6) AS cross_entropy
+            FROM scored
+            GROUP BY doc_id
+            ORDER BY cross_entropy DESC, doc_id
+            LIMIT 20
+        """,
         "decontamination": """
             WITH bench_ids AS (
                 SELECT doc_id FROM documents

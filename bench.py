@@ -532,6 +532,7 @@ def main() -> None:
         "simhash_near_dup",
         "winnowing_dups",
         "duplicated_spans",
+        "corpus_prep_spans",
         "bpe_learned_tokens",
         "sample_uniform",
         "hll_distinct_ngrams",

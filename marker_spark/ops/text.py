@@ -616,3 +616,100 @@ def word_shingles_expr(words_col_name: str, n: int):
             f" i -> concat_ws(' ', slice({words_col_name}, i, {n})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# -- PII redaction ----------------------------------------------------------
+
+#: (tag, pattern) pairs — deliberately RE2-compatible (no lookaround, no
+#: backreferences) so the SAME pattern strings run in Spark's Java regex
+#: and DuckDB's RE2, making the operator exactly SQL-oracle-able.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub (the Dolma/FineWeb-style pre-training hygiene pass):
+    replace emails / phone numbers / IPv4 literals with ``<TAG>``
+    placeholders and count the matches per doc.
+
+    Pure Catalyst (regexp_count + chained regexp_replace, whole-stage
+    codegen) — the 100 TB shape is a map-only pass, no shuffle at all.
+    Patterns are applied in :data:`PII_PATTERNS` order; PHONE runs
+    before IP would also match "123.456.789.012"-style strings, so IP
+    counts are taken on the PHONE-redacted text (counts reflect what
+    each stage actually replaced, matching the redaction exactly).
+
+    Adds ``text_redacted`` plus ``n_<tag>`` count columns.
+    """
+    out = df
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    for tag, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{tag.lower()}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, f"<{tag}>")
+    return out.withColumn("text_redacted", cur)
+
+
+# -- n-gram LM quality scoring ---------------------------------------------
+
+def lm_bigram_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """CCNet/FineWeb-style LM quality signal: score every document's
+    cross-entropy under an add-k-smoothed bigram LM trained on a
+    REFERENCE corpus (the "good text" sample; junk scores high).
+
+        logp(w2 | w1) = ln( (c2(w1 w2) + k) / (c1(w1) + k * V) )
+
+    with c2/c1 the reference bigram/unigram occurrence counts over
+    lowercased whitespace words and V the reference vocabulary size.
+
+    100 TB shape: the reference corpus is the BOUNDED side — its count
+    tables aggregate map-side and BROADCAST into the scoring joins, so
+    the full corpus streams through two broadcast-hash left joins and
+    one per-doc aggregation; nothing corpus-sized shuffles on a text
+    key.  Every expression is deterministic Catalyst (ln over doubles
+    agrees with DuckDB well past the round-6 gate), so the whole
+    operator carries an exact SQL oracle.
+
+    Returns (id_col, n_bigrams, cross_entropy) for docs with >= 1
+    bigram.
+    """
+    lw = lambda c: words_col(F.lower(F.coalesce(c, F.lit(""))))  # noqa: E731
+    ref_words = ref.select(F.explode(lw(F.col(text_col))).alias("w"))
+    uni = ref_words.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = ref_words.select(F.countDistinct("w").alias("v"))
+    bi = (
+        ref.select(lw(F.col(text_col)).alias("__w"))
+        .select(F.explode(word_shingles_expr("__w", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    doc_bi = (
+        docs.select(F.col(id_col), lw(F.col(text_col)).alias("__w"))
+        .where(F.size("__w") >= 2)
+        .select(id_col, F.explode(word_shingles_expr("__w", 2)).alias("g"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+    )
+    scored = (
+        doc_bi.join(F.broadcast(bi), "g", "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + F.lit(add_k))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(add_k) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+    )

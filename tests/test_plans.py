@@ -171,12 +171,26 @@ def test_exact_dedup_exchange_carries_no_text(spark):
     scalable fold guarantees)."""
     from marker_spark.ops.dedup import exact_dedup
 
+    import re
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(exact_dedup(docs))
-    # every hashpartitioning Exchange in the plan keys on the digest or
-    # the id — none mentions the text column
-    exchanges = plan.split("Exchange hashpartitioning")[1:]
-    assert exchanges, "expected at least one shuffle in the dedup plan"
-    for frag in exchanges:
-        keyspec = frag.split("\n")[0]
+    # every hashpartitioning spec in the plan keys on the digest or the
+    # id — none mentions the text column (formatted mode puts the spec
+    # on the Exchange node's Arguments line)
+    keyspecs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keyspecs, f"expected at least one shuffle in the dedup plan\n{plan[:1500]}"
+    for keyspec in keyspecs:
         assert "text" not in keyspec, keyspec
+
+
+def test_lm_scoring_broadcasts_reference_counts(spark):
+    """The bigram-LM scorer must stream the corpus through BROADCAST
+    joins against the bounded reference count tables — a corpus-sided
+    shuffle join on a text key would not survive 100 TB."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.q_lm_quality_perplexity(spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan, "corpus-sided shuffle join crept in"
