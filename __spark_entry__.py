@@ -541,6 +541,58 @@ def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (the custom temporal operator Spark lacks as
+    a built-in): each click event picks up the latest same-user
+    purchase at-or-before it.  Our union+window plan (ONE keyed
+    shuffle, payload carried with last-ignorenulls) is gated against
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent reference
+    implementation, not a re-expression of ours.  No-match probes
+    surface as -1 sentinels (cross-engine NULL-double repr differs)."""
+    from marker_spark.ops.temporal import asof_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, "user_id", "ts", ["value"])
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.round(F.coalesce("value_asof", F.lit(-1.0)), 6).alias("value_asof"),
+        F.coalesce(F.unix_micros(F.col("ts_asof").cast("timestamp")), F.lit(-1)).alias("purchase_us"),
+    ).orderBy("event_id")
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands over the event
+    stream, 6h inactivity gap): one shuffle on user_id, two window
+    passes, exact epoch-microsecond bounds so the gate is integer-
+    exact.  Largest sessions first."""
+    from marker_spark.ops.temporal import sessionize
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_s=21600)
+    return (
+        s.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("session").cast("long").alias("session"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_us",
+            "end_us",
+            "duration_us",
+        )
+        .orderBy(F.desc("n_events"), "user_id", "session")
+        .limit(20)
+    )
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function coverage: top-2 orders per customer."""
     from pyspark.sql import Window
@@ -1718,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "corpus_prep_spans": q_corpus_prep_spans,
         "marker_membership_exact": q_marker_membership_exact,
+        "asof_join": q_asof_join,
+        "sessionization": q_sessionization,
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
         "bloom_ngram_membership": q_bloom_ngram_membership,
@@ -2871,6 +2925,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_markers_reappearing
             FROM early WHERE marker IN (SELECT marker FROM late)
             GROUP BY event_type
+        """,
+        # Our union+window as-of plan vs DuckDB's NATIVE ASOF JOIN —
+        # an independent implementation of the same semantics.
+        "asof_join": """
+            WITH clicks AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT CAST(c.user_id AS BIGINT) AS user_id,
+                   CAST(c.event_id AS BIGINT) AS event_id,
+                   epoch_us(c.ts) AS click_us,
+                   ROUND(COALESCE(p.value, -1.0), 6) AS value_asof,
+                   COALESCE(epoch_us(p.ts), -1) AS purchase_us
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY event_id
+        """,
+        "sessionization": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events
+            ), g AS (
+                SELECT user_id, us,
+                       CASE WHEN us - LAG(us) OVER (
+                                PARTITION BY user_id ORDER BY us)
+                            > 21600 * CAST(1000000 AS BIGINT)
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+            ), s AS (
+                SELECT user_id, us,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY us) + 1
+                           AS session
+                FROM g
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session AS BIGINT) AS session,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(us) AS start_us,
+                   MAX(us) AS end_us,
+                   MAX(us) - MIN(us) AS duration_us
+            FROM s GROUP BY user_id, session
+            ORDER BY n_events DESC, user_id, session
+            LIMIT 20
         """,
         "sample_uniform": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang

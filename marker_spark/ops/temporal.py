@@ -1,0 +1,130 @@
+"""Temporal operators Spark lacks as built-ins: backward as-of join
+and gap-based sessionization.
+
+Both are classic event-stream primitives the reference's marker/event
+domain needs (the time-bucketed cache answers "was this marker seen in
+[t0, t1)?"; the as-of join answers "what was the latest state at t?"),
+and both reduce to ONE keyed shuffle + window functions — no per-key
+loops, no range cross-join:
+
+* as-of join — the union+window trick: tag reference rows 0 and probe
+  rows 1, union them, sort each key partition by (ts, tag), and carry
+  the reference payload forward with ``last(..., ignorenulls=True)``.
+  Cost is a single hash shuffle on the key for |L|+|R| rows, vs. the
+  naive range join's per-probe scan.  This is the same plan DuckDB /
+  kdb execute natively for ASOF JOIN — which makes DuckDB's built-in
+  ``ASOF JOIN`` the exact oracle for ours.
+* sessionization — gaps-and-islands: a new session starts where the
+  in-key gap exceeds ``gap_s``; session ids are the running sum of
+  those starts.  One shuffle, two window passes, then an aggregation.
+
+At 10^12-event scale both plans shuffle each row exactly once on the
+key; skewed keys (one bot user) are bounded by per-key data, and the
+window sort is the per-partition external sort Spark already does for
+any window function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    refs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each probe row, attach the reference row with the largest
+    ``ts <= probe.ts`` (backward, inclusive) for the same key.
+
+    Returns the probe rows plus ``<v>_asof`` for each value column and
+    ``<ts_col>_asof`` (all NULL when no reference precedes the probe).
+    Only ``direction='backward'`` is implemented — the forward variant
+    is the same plan with the sort reversed.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of join is implemented")
+    out_vals = [f"{v}_asof" for v in value_cols]
+    r = refs.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(0).alias("__tag"),
+        *[F.col(v).alias(f"{v}_asof") for v in value_cols],
+        F.col(ts_col).alias(f"{ts_col}_asof"),
+        *[F.lit(None).cast(t.dataType.simpleString()).alias(c)
+          for c, t in zip(probes.columns, probes.schema)
+          if c not in (key_col, ts_col)],
+    )
+    p = probes.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(refs.schema[v].dataType.simpleString()).alias(f"{v}_asof")
+          for v in value_cols],
+        F.lit(None).cast(refs.schema[ts_col].dataType.simpleString()).alias(
+            f"{ts_col}_asof"
+        ),
+        *[F.col(c) for c in probes.columns if c not in (key_col, ts_col)],
+    )
+    # reference rows sort BEFORE probes at equal ts (tag 0 < 1): the
+    # inclusive <= semantics DuckDB's ASOF JOIN uses
+    w = Window.partitionBy(key_col).orderBy(ts_col, "__tag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    unioned = r.unionByName(p)
+    carried = unioned.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
+          for c in (*out_vals, f"{ts_col}_asof")],
+    )
+    probe_cols = [c for c in probes.columns]
+    return carried.where(F.col("__tag") == 1).select(
+        *probe_cols,
+        *[F.col(f"__c_{c}").alias(c) for c in (*out_vals, f"{ts_col}_asof")],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions per key: a new session starts when the
+    in-key gap since the previous event exceeds ``gap_s`` seconds.
+
+    Returns one row per (key, session): ``session`` (1-based ordinal
+    within the key), ``n_events``, ``start_us``/``end_us`` (exact
+    epoch microseconds — integers survive any engine's float/timezone
+    formatting), ``duration_us``.
+    """
+    # parquet may surface TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+    # (cast interprets NTZ in the session TZ — pin it to UTC, as the
+    # driver contract and tests/conftest.py both do)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gapped = df.select(
+        F.col(key_col),
+        us.alias("__us"),
+        F.when(
+            us - F.lag(us).over(w) > gap_s * 1_000_000, F.lit(1)
+        ).otherwise(F.lit(0)).alias("__new"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("__us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    with_session = gapped.select(
+        key_col,
+        "__us",
+        (F.sum("__new").over(w2) + 1).alias("session"),
+    )
+    return with_session.groupBy(key_col, "session").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("__us").alias("start_us"),
+        F.max("__us").alias("end_us"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+    )

@@ -1,0 +1,86 @@
+"""Temporal operators vs brute-force references: the union+window
+as-of join and gaps-and-islands sessionization must agree exactly with
+naive per-key Python implementations, including the edge semantics
+(inclusive <= at equal timestamps, no-match probes, single-event
+sessions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    from marker_spark.ops.temporal import asof_join
+
+    # key 1: interleaved; key 2: probe before any ref (no match);
+    # key 3: ref and probe at the IDENTICAL timestamp (inclusive <=)
+    refs = [
+        (1, _ts(0), 10.0), (1, _ts(10), 11.0), (1, _ts(30), 12.0),
+        (2, _ts(50), 20.0),
+        (3, _ts(5), 30.0),
+    ]
+    probes = [
+        (1, 100, _ts(5)), (1, 101, _ts(10)), (1, 102, _ts(99)),
+        (2, 200, _ts(1)), (2, 201, _ts(50)),
+        (3, 300, _ts(5)),
+    ]
+    rdf = spark.createDataFrame(refs, "user_id int, ts timestamp, value double")
+    pdf = spark.createDataFrame(probes, "user_id int, event_id int, ts timestamp")
+    got = {
+        r["event_id"]: (r["value_asof"], r["ts_asof"])
+        for r in asof_join(pdf, rdf, "user_id", "ts", ["value"]).collect()
+    }
+
+    def brute(k, t):
+        cand = [(ts, v) for (kk, ts, v) in refs if kk == k and ts <= t]
+        return max(cand) if cand else None
+
+    for k, eid, t in probes:
+        want = brute(k, t)
+        if want is None:
+            assert got[eid] == (None, None), (eid, got[eid])
+        else:
+            assert got[eid] == (want[1], want[0]), (eid, got[eid], want)
+    # the equal-ts probe must see the ref at its own timestamp
+    assert got[300] == (30.0, _ts(5))
+    # the at-ref-ts probe must prefer the equal-ts ref over the earlier one
+    assert got[101] == (11.0, _ts(10))
+
+
+def test_sessionize_matches_bruteforce(spark):
+    from marker_spark.ops.temporal import sessionize
+
+    rows = [
+        # user 1: [0, 5, 20] | gap 40 | [60, 61] — two sessions (gap 30m)
+        (1, _ts(0)), (1, _ts(5)), (1, _ts(20)), (1, _ts(60)), (1, _ts(61)),
+        # user 2: single event — one 1-event session of duration 0
+        (2, _ts(100)),
+        # user 3: every event its own session
+        (3, _ts(0)), (3, _ts(31)), (3, _ts(62)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        (r["user_id"], r["session"]): (r["n_events"], r["start_us"], r["end_us"], r["duration_us"])
+        for r in sessionize(df, "user_id", "ts", gap_s=1800).collect()
+    }
+
+    def us(t):
+        return int((t - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    assert got[(1, 1)] == (3, us(_ts(0)), us(_ts(20)), 20 * 60_000_000)
+    assert got[(1, 2)] == (2, us(_ts(60)), us(_ts(61)), 60_000_000)
+    assert got[(2, 1)] == (1, us(_ts(100)), us(_ts(100)), 0)
+    assert {(u, s) for (u, s) in got if u == 3} == {(3, 1), (3, 2), (3, 3)}
+    # exactly-at-gap boundary (31 > 30 min) starts a new session; a gap
+    # of exactly 1800s would NOT (strictly-greater contract)
+    df2 = spark.createDataFrame([(9, _ts(0)), (9, _ts(30))], "user_id int, ts timestamp")
+    got2 = sessionize(df2, "user_id", "ts", gap_s=1800).collect()
+    assert len(got2) == 1 and got2[0]["n_events"] == 2
