@@ -508,3 +508,45 @@ def stateful_span_novelty(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessions(
+    stream_df: DataFrame,
+    gap_secs: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark_secs: int = 1,
+) -> DataFrame:
+    """Streaming sessionization via Spark's NATIVE session windows —
+    the declarative twin of :func:`marker_spark.ops.temporal.sessionize`
+    (which owns the batch gaps-and-islands plan): events within
+    ``gap_secs`` of each other merge into one growing window; the
+    watermark finalizes (and evicts) a session once event time passes
+    its end, so state is bounded by the number of OPEN sessions.
+
+    Boundary contract difference vs the batch operator, inherent to
+    session windows: a gap of EXACTLY ``gap_secs`` starts a new session
+    here (windows span [start, last_event + gap)), while the batch
+    operator's strictly-greater rule keeps it in the same session.
+    Continuous (sub-second) event time makes exact-boundary gaps
+    measure-zero; the parity test runs on such data.
+
+    Returns (key, start_us, n_events) per finalized session in append
+    mode — start_us in exact epoch microseconds (the session-window END
+    is last_event + gap by definition, so only the start is comparable
+    to the batch operator).
+    """
+    src = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        src.withWatermark(ts_col, f"{watermark_secs} seconds")
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_secs} seconds").alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n_events",
+        )
+    )

@@ -530,3 +530,43 @@ def test_stateful_span_novelty_scores_reingested_docs_zero(spark, tmp_path):
     assert n_b == 0, "verbatim re-ingest must score zero novel grams"
     assert n_c == g_c, "fresh content must be all-novel"
     assert 0 < n_h < g_h, "half-copied doc must land strictly between"
+
+
+def test_streaming_sessions_match_batch(spark, stream_dir, tmp_path):
+    """Native session windows vs the batch gaps-and-islands operator:
+    every FINALIZED streaming session (append mode emits a session only
+    once the watermark passes its end) must agree exactly with the
+    batch sessionize row — same key, same start, same event count."""
+    from marker_spark.ops.temporal import sessionize
+    from marker_spark.streaming import streaming_sessions
+
+    src, pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    GAP = 4 * 3600  # ~mean per-type spacing, so sessions split often
+    q = (
+        streaming_sessions(stream, gap_secs=GAP, ts_col="ts", key_col="event_type")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_type"], r["start_us"]): r["n_events"]
+        for r in spark.sql("select * from sessions").collect()
+    }
+    batch = {
+        (r["event_type"], r["start_us"]): r["n_events"]
+        for r in sessionize(
+            spark.read.parquet(src), "event_type", "ts", gap_s=GAP
+        ).collect()
+    }
+    assert got, "no session finalized — watermark never advanced"
+    # append mode withholds sessions still open at end-of-input; every
+    # emitted session must match its batch twin exactly
+    for key, n in got.items():
+        assert batch.get(key) == n, (key, n, batch.get(key))
+    assert len(got) >= len(batch) * 0.5, (len(got), len(batch))
