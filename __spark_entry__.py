@@ -593,6 +593,40 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via time bucketization (the
+    non-equi join the brief names as a custom operator): each user's
+    error events land in the user's 1-day-gap CLICK sessions.  The
+    bucketized plan turns the inequality condition into an equi-join on
+    (day bucket, user) — O(|P|+|I|·overlap) shuffle instead of a
+    nested-loop filter; the DuckDB oracle runs the plain inequality
+    join, an independent implementation of the same semantics.
+    Sessions per user are disjoint, so each error matches <= 1."""
+    from marker_spark.ops.temporal import interval_join, sessionize
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev.where(F.col("event_type") == "click"), "user_id", "ts", gap_s=86400
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("err_us"),
+    )
+    joined = interval_join(
+        errors, sessions, "err_us", "start_us", "end_us",
+        bucket_s=86400, key_col="user_id",
+    )
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "err_us",
+        "start_us",
+        "end_us",
+    ).orderBy("event_id", "start_us")
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function coverage: top-2 orders per customer."""
     from pyspark.sql import Window
@@ -1772,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marker_membership_exact": q_marker_membership_exact,
         "asof_join": q_asof_join,
         "sessionization": q_sessionization,
+        "interval_join": q_interval_join,
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
         "bloom_ngram_membership": q_bloom_ngram_membership,
@@ -2970,6 +3005,39 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session
             ORDER BY n_events DESC, user_id, session
             LIMIT 20
+        """,
+        # Bucketized range join vs the plain inequality join DuckDB
+        # optimizes natively (IEJoin) — independent implementations.
+        "interval_join": """
+            WITH c AS (
+                SELECT user_id, epoch_us(ts) AS us FROM events
+                WHERE event_type = 'click'
+            ), g AS (
+                SELECT user_id, us,
+                       CASE WHEN us - LAG(us) OVER (
+                                PARTITION BY user_id ORDER BY us)
+                            > 86400 * CAST(1000000 AS BIGINT)
+                            THEN 1 ELSE 0 END AS is_new
+                FROM c
+            ), s AS (
+                SELECT user_id, us,
+                       SUM(is_new) OVER (PARTITION BY user_id ORDER BY us) + 1
+                           AS session
+                FROM g
+            ), sess AS (
+                SELECT user_id, session, MIN(us) AS start_us, MAX(us) AS end_us
+                FROM s GROUP BY user_id, session
+            ), err AS (
+                SELECT user_id, event_id, epoch_us(ts) AS err_us FROM events
+                WHERE event_type = 'error'
+            )
+            SELECT CAST(e.user_id AS BIGINT) AS user_id,
+                   CAST(e.event_id AS BIGINT) AS event_id,
+                   e.err_us, x.start_us, x.end_us
+            FROM err e JOIN sess x
+              ON e.user_id = x.user_id
+             AND e.err_us BETWEEN x.start_us AND x.end_us
+            ORDER BY event_id, start_us
         """,
         "sample_uniform": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang

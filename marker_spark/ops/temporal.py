@@ -128,3 +128,54 @@ def sessionize(
         F.max("__us").alias("end_us"),
         (F.max("__us") - F.min("__us")).alias("duration_us"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join (the classic range join Spark has no
+    equi-key for) via TIME BUCKETIZATION: each interval explodes to the
+    bucket ids it overlaps, each point maps to its single containing
+    bucket, and the non-equi condition becomes an equi-join on
+    (bucket [, key]) followed by an exact containment filter.
+
+    Timestamps are integer epoch microseconds (``point_ts_col`` /
+    ``start_col`` / ``end_col``); containment is the closed interval
+    ``start <= ts <= end``.  Each (point, interval) pair meets in
+    EXACTLY one bucket — the point's — so no post-join dedup is needed.
+
+    Scale shape: a naive plan is a broadcast-nested-loop or cartesian
+    filter, O(|P|·|I|).  Bucketization shuffles each point once and
+    each interval ceil(len/bucket)+1 times on small integer keys; pick
+    ``bucket_s`` near the typical interval length so the explode factor
+    stays O(1) while bucket-sized skew stays bounded.
+    """
+    us_per_bucket = bucket_s * 1_000_000
+    # integer `div`, not double `/`+cast: exact at any epoch magnitude
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_col} div {us_per_bucket}"),
+                F.expr(f"{end_col} div {us_per_bucket}"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket", F.expr(f"{point_ts_col} div {us_per_bucket}")
+    )
+    on = ["__bucket"] + ([key_col] if key_col else [])
+    return (
+        pt.join(iv, on)
+        .where(
+            (F.col(point_ts_col) >= F.col(start_col))
+            & (F.col(point_ts_col) <= F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -84,3 +84,41 @@ def test_sessionize_matches_bruteforce(spark):
     df2 = spark.createDataFrame([(9, _ts(0)), (9, _ts(30))], "user_id int, ts timestamp")
     got2 = sessionize(df2, "user_id", "ts", gap_s=1800).collect()
     assert len(got2) == 1 and got2[0]["n_events"] == 2
+
+
+def test_interval_join_matches_bruteforce(spark):
+    from marker_spark.ops.temporal import interval_join
+
+    US = 1_000_000
+    B = 10  # seconds per bucket
+    intervals = [
+        # (iv_id, key, start_us, end_us): spanning multiple buckets, zero-length,
+        # bucket-boundary-aligned, and overlapping intervals
+        (1, 1, 5 * US, 35 * US),
+        (2, 1, 20 * US, 20 * US),
+        (3, 1, 30 * US, 40 * US),
+        (4, 2, 0 * US, 9 * US),
+    ]
+    points = [
+        (100, 1, 5 * US), (101, 1, 20 * US), (102, 1, 36 * US),
+        (103, 1, 41 * US), (104, 2, 9 * US), (105, 2, 10 * US),
+    ]
+    iv = spark.createDataFrame(
+        intervals, "iv_id int, user_id int, start_us long, end_us long"
+    )
+    pt = spark.createDataFrame(points, "event_id int, user_id int, ts_us long")
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            pt, iv, "ts_us", "start_us", "end_us", bucket_s=B, key_col="user_id"
+        ).collect()
+    }
+    want = {
+        (eid, ivid)
+        for (eid, pk, t) in points
+        for (ivid, ik, s, e) in intervals
+        if pk == ik and s <= t <= e
+    }
+    assert got == want
+    assert (101, 1) in got and (101, 2) in got  # overlapping intervals both hit
+    assert (103, 1) not in got  # past the end
