@@ -122,3 +122,54 @@ def test_interval_join_matches_bruteforce(spark):
     assert got == want
     assert (101, 1) in got and (101, 2) in got  # overlapping intervals both hit
     assert (103, 1) not in got  # past the end
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _event_sets(draw):
+    n_keys = draw(st.integers(1, 3))
+    mk = lambda: sorted(  # noqa: E731
+        draw(st.lists(st.integers(0, 5000), min_size=0, max_size=12))
+    )
+    refs, probes = [], []
+    next_id = 0
+    for k in range(n_keys):
+        # unique ref timestamps per key: with duplicates the carried
+        # value is unspecified (any implementation may pick either)
+        for i, m in enumerate(sorted(set(mk()))):
+            refs.append((k, m, float(k * 100 + i)))
+        for m in mk():
+            probes.append((k, next_id, m))
+            next_id += 1
+    return refs, probes
+
+
+@settings(max_examples=10, deadline=None)
+@given(_event_sets())
+def test_asof_join_property(spark, data):
+    """Randomized as-of parity vs brute force, including duplicate
+    probe timestamps and ref/probe timestamp collisions."""
+    from marker_spark.ops.temporal import asof_join
+
+    refs, probes = data
+    if not probes:
+        return
+    rdf = spark.createDataFrame(
+        [(k, _ts(m), v) for (k, m, v) in refs] or [(99, _ts(0), 0.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    pdf = spark.createDataFrame(
+        [(k, pid, _ts(m)) for (k, pid, m) in probes],
+        "user_id int, event_id int, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(pdf, rdf, "user_id", "ts", ["value"]).collect()
+    }
+    for k, pid, m in probes:
+        cand = [(mm, v) for (kk, mm, v) in refs if kk == k and mm <= m]
+        want = max(cand)[1] if cand else None
+        assert got[pid] == want, (pid, got[pid], want)
