@@ -337,6 +337,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters as `dedup_clusters`, computed with the
+    O(log d)-round alternating large-star/small-star algorithm
+    (Kiveris et al., SoCC 2014) instead of diameter-round min-label
+    propagation — the scale path for high-diameter duplicate graphs.
+    Shares the recursive-CTE oracle: both must produce the identical
+    (doc, component-min) labeling."""
+    from marker_spark.ops.dedup import (
+        connected_components_twophase,
+        ngram_jaccard_pairs,
+    )
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents").where(F.size(words_col(F.col("text"))) >= 3)
+    pairs = ngram_jaccard_pairs(docs, shingle=3, threshold=0.5, id_col="doc_id")
+    comp = connected_components_twophase(pairs)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (the Lee et al. duplicated-span
     modality): maximal verbatim character spans >= 40 chars shared
@@ -1798,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_logstar": q_dedup_clusters_logstar,
         "duplicated_spans": q_duplicated_spans,
         "duplicated_token_spans": q_duplicated_token_spans,
         "span_removal": q_span_removal,
@@ -2714,6 +2737,42 @@ def oracle_sql() -> dict[str, str]:
         # Jaccard pair predicate; min labels compare as strings on both
         # sides (cast to BIGINT only at the end), matching Spark.
         "dedup_clusters": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+                FROM documents
+                WHERE CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+                FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT CAST(a AS BIGINT) AS doc_id,
+                   CAST(least(a, min(b)) AS BIGINT) AS component
+            FROM reach GROUP BY a
+            ORDER BY doc_id
+        """,
+        # same oracle: the two-phase CC must produce identical labels
+        "dedup_clusters_logstar": """
             WITH RECURSIVE w AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
                 FROM documents

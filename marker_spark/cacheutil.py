@@ -56,3 +56,36 @@ def release_all() -> int:
 
 def live_count() -> int:
     return len(_LIVE)
+
+
+class _LocalCheckpointHandle:
+    """Releasable storage handle for a ``localCheckpoint`` —
+    ``DataFrame.unpersist()`` does NOT free checkpoint RDD storage (the
+    persistence belongs to the materialized RDD, not the plan cache),
+    so this records the RDD ids the checkpoint created and unpersists
+    them through the context's persistent-RDD map."""
+
+    def __init__(self, sc, rdd_ids: list[int]) -> None:
+        self._sc = sc
+        self._ids = rdd_ids
+
+    def unpersist(self) -> None:
+        jmap = self._sc._jsc.getPersistentRDDs()
+        for rid in self._ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist()
+
+
+def local_checkpoint(df):
+    """``df.localCheckpoint()`` (eager; truncates lineage for iterative
+    algorithms whose per-round plans otherwise grow exponentially) with
+    DETERMINISTIC storage release: returns ``(checkpointed_df, handle)``
+    where ``handle.unpersist()`` frees the checkpoint storage — either
+    immediately when a later round supersedes it, or via
+    :func:`register` + :func:`release_all` for the final round."""
+    sc = df.sparkSession.sparkContext
+    before = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    out = df.localCheckpoint()
+    after = {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+    return out, _LocalCheckpointHandle(sc, sorted(after - before))

@@ -641,7 +641,7 @@ def connected_components(
     changed = None
     prev_persisted = labels  # the materialized handle of the previous round
     try:
-        for _ in range(max_iter):
+        for round_no in range(max_iter):
             nbr_min = (
                 edges.join(labels, edges.a == labels.id)
                 .groupBy(F.col("b").alias("id2"))
@@ -665,6 +665,22 @@ def connected_components(
                 raise
             prev_persisted.unpersist()  # labels itself may be a projection
             prev_persisted = new_labels
+            if changed and (round_no + 1) % 4 == 0:
+                # each round's plan references the previous round's ~2x,
+                # so past ~10 rounds the analyzer's tree copies grow
+                # exponentially and OOM the driver BEFORE the max_iter
+                # guard can fire (measured on a 48-node path).  Periodic
+                # localCheckpoint truncates the lineage; normal near-dup
+                # graphs (diameter 1-3) never reach it.  The tracked
+                # handle is registered so the session owner's
+                # release_all frees the checkpoint storage
+                # (DataFrame.unpersist cannot).
+                from ..cacheutil import local_checkpoint
+
+                truncated, ck = local_checkpoint(new_labels)
+                register(ck)
+                new_labels.unpersist()
+                prev_persisted = new_labels = truncated
             labels = new_labels.select("id", F.col("new_label").alias("label"))
             if changed == 0:
                 break
@@ -923,3 +939,118 @@ def remove_duplicated_spans(
         .withColumn("n_chars_after", F.length("text"))
     )
     return rebuilt
+
+
+def _cc_round_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrized (u, v) view of an edge DataFrame."""
+    return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def connected_components_twophase(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components in O(log d) rounds via the alternating
+    large-star / small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — the scale path
+    the plain min-label propagation (:func:`connected_components`)
+    documents for high-diameter graphs: label propagation needs
+    diameter-many rounds (a 10^6-node chain needs 10^6), the
+    alternation provably converges in O(log n) with the same
+    keyed-shuffle plan shape per round.
+
+    * large-star: every node connects its LARGER neighbors to the
+      minimum of its closed neighborhood.
+    * small-star: every edge oriented high->low; every node connects
+      its (smaller) neighbors and itself to their minimum.
+
+    Both steps preserve connectivity and never raise the minimum
+    reachable label; the fixpoint is a star per component rooted at
+    the component minimum.  Convergence is checked with a scalar
+    changed-edge count per round (driver decision, not driver data).
+
+    Returns (id, component) for every node appearing in ``pairs`` —
+    identical contract and output to :func:`connected_components`.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    register(edges)
+    # every input node, including ones isolated by u==v self-pairs
+    all_nodes = register(
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+        .persist()
+    )
+    cur = edges
+    prev_ck = None
+    for _ in range(max_rounds):
+        # -- large-star --
+        sym = _cc_round_edges(cur)
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star --
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        # localCheckpoint (eager) TRUNCATES THE LINEAGE: each round's
+        # L∘S derives from `cur` ~4x per step, so without truncation
+        # the logical plan grows exponentially in the round count and
+        # OOMs the driver analyzer around round 7 (measured).  The
+        # materialized rounds are tiny (edge set shrinks toward one
+        # star per component); superseded rounds' storage is released
+        # immediately via the tracked handle (DataFrame.unpersist can't
+        # free checkpoint storage — see cacheutil.local_checkpoint).
+        from ..cacheutil import local_checkpoint
+
+        small, ck = local_checkpoint(
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # changed = any edge appearing in exactly one of (cur, small)
+        changed = (
+            small.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(small).limit(1).count()
+        )
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        prev_ck = ck
+        cur = small
+        if changed == 0:
+            break
+    else:
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        raise RuntimeError(
+            f"two-phase CC did not converge within max_rounds={max_rounds}"
+        )
+    # the final round's checkpoint backs the returned labels: session
+    # owner releases it (recompute-on-reuse is safe for plain persists,
+    # but a checkpointed plan re-materializes from its own storage, so
+    # release only after consumption — release_all's contract)
+    register(prev_ck)
+    # fixpoint edges form stars (child -> component min); roots and
+    # u==v-only nodes label themselves
+    labels = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = all_nodes.join(
+        labels.select(F.col("id").alias("id2")),
+        F.col("id") == F.col("id2"),
+        "left_anti",
+    ).select("id", F.col("id").alias("component"))
+    return labels.union(roots)

@@ -372,3 +372,75 @@ def test_span_removal_preserves_null_text(spark):
     assert out[3]["n_chars_before"] is None and out[3]["n_chars_after"] is None
     assert spans.count() > 0  # the non-null pair did get excised
     assert out[2]["n_chars_after"] < out[2]["n_chars_before"]
+
+
+def _cc_sets(rows):
+    """Brute-force components of an edge list -> frozenset of frozensets."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent[find(a)] = find(b)
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), set()).add(n)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_twophase_cc_matches_label_propagation(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from marker_spark.ops.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1, max_size=30,
+    ))
+    def inner(edges):
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        tp = connected_components_twophase(df)
+        rows = {(r["id"], r["component"]) for r in tp.collect()}
+        # component label must be the component MINIMUM, same as the
+        # min-label operator's contract
+        want_sets = _cc_sets(edges)
+        want = {(n, min(g)) for g in want_sets for n in g}
+        assert rows == want, (sorted(rows), sorted(want))
+        lp = {
+            (r["id"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        assert rows == lp
+
+    inner()
+
+
+def test_twophase_cc_converges_in_log_rounds_on_a_path(spark):
+    """The reason the two-phase algorithm exists: a 48-node path has
+    diameter 47, so min-label propagation cannot finish in 12 rounds,
+    while large-star/small-star does (O(log n))."""
+    import pytest as _pytest
+
+    from marker_spark.ops.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    path = [(i, i + 1) for i in range(47)]
+    df = spark.createDataFrame(path, "id_a int, id_b int")
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_twophase(df, max_rounds=12).collect()
+    }
+    assert got == {(i, 0) for i in range(48)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=12)
