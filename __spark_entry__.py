@@ -591,6 +591,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click picks up the EARLIEST same-user
+    purchase at-or-after it (the reversed-sort twin of `asof_join`),
+    gated against DuckDB's native ASOF with the inequality flipped."""
+    from marker_spark.ops.temporal import asof_join
+
+    _utc(spark)
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, "user_id", "ts", ["value"], direction="forward"
+    )
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("click_us"),
+        F.round(F.coalesce("value_asof", F.lit(-1.0)), 6).alias("value_asof"),
+        F.coalesce(F.unix_micros(F.col("ts_asof").cast("timestamp")), F.lit(-1)).alias("purchase_us"),
+    ).orderBy("event_id")
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (gaps-and-islands over the event
     stream, 6h inactivity gap): one shuffle on user_id, two window
@@ -1828,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep_spans": q_corpus_prep_spans,
         "marker_membership_exact": q_marker_membership_exact,
         "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
         "sessionization": q_sessionization,
         "interval_join": q_interval_join,
         "window_top_orders": q_window_top_orders,
@@ -3037,6 +3064,23 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(p.ts), -1) AS purchase_us
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY event_id
+        """,
+        "asof_join_forward": """
+            WITH clicks AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'click'
+            ), purch AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT CAST(c.user_id AS BIGINT) AS user_id,
+                   CAST(c.event_id AS BIGINT) AS event_id,
+                   epoch_us(c.ts) AS click_us,
+                   ROUND(COALESCE(p.value, -1.0), 6) AS value_asof,
+                   COALESCE(epoch_us(p.ts), -1) AS purchase_us
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
             ORDER BY event_id
         """,
         "sessionization": """

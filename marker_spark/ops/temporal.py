@@ -38,16 +38,16 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """For each probe row, attach the reference row with the largest
-    ``ts <= probe.ts`` (backward, inclusive) for the same key.
+    """For each probe row, attach the nearest reference row for the
+    same key: ``direction='backward'`` picks the largest ref ``ts <=
+    probe.ts`` (inclusive), ``'forward'`` the smallest ref ``ts >=
+    probe.ts`` — the same plan with the sort reversed.
 
     Returns the probe rows plus ``<v>_asof`` for each value column and
-    ``<ts_col>_asof`` (all NULL when no reference precedes the probe).
-    Only ``direction='backward'`` is implemented — the forward variant
-    is the same plan with the sort reversed.
+    ``<ts_col>_asof`` (all NULL when no reference qualifies).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of join is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_vals = [f"{v}_asof" for v in value_cols]
     r = refs.select(
         F.col(key_col),
@@ -71,8 +71,10 @@ def asof_join(
         *[F.col(c) for c in probes.columns if c not in (key_col, ts_col)],
     )
     # reference rows sort BEFORE probes at equal ts (tag 0 < 1): the
-    # inclusive <= semantics DuckDB's ASOF JOIN uses
-    w = Window.partitionBy(key_col).orderBy(ts_col, "__tag").rowsBetween(
+    # inclusive <=/>= semantics DuckDB's ASOF JOIN uses; forward = the
+    # identical carry over the reversed timestamp order
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    w = Window.partitionBy(key_col).orderBy(ts_order, F.col("__tag").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     unioned = r.unionByName(p)

@@ -173,3 +173,57 @@ def test_asof_join_property(spark, data):
         cand = [(mm, v) for (kk, mm, v) in refs if kk == k and mm <= m]
         want = max(cand)[1] if cand else None
         assert got[pid] == want, (pid, got[pid], want)
+
+
+def test_asof_join_forward_matches_bruteforce(spark):
+    from marker_spark.ops.temporal import asof_join
+
+    refs = [(1, _ts(0), 10.0), (1, _ts(20), 11.0), (2, _ts(5), 20.0)]
+    probes = [(1, 100, _ts(0)), (1, 101, _ts(10)), (1, 102, _ts(25)), (2, 200, _ts(5))]
+    rdf = spark.createDataFrame(refs, "user_id int, ts timestamp, value double")
+    pdf = spark.createDataFrame(probes, "user_id int, event_id int, ts timestamp")
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(
+            pdf, rdf, "user_id", "ts", ["value"], direction="forward"
+        ).collect()
+    }
+    assert got == {100: 10.0, 101: 11.0, 102: None, 200: 20.0}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 12)),
+             min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)),
+             min_size=1, max_size=12),
+)
+def test_interval_join_property(spark, iv_rows, pt_rows):
+    """Randomized containment parity vs brute force at a bucket size
+    unrelated to the interval lengths."""
+    from marker_spark.ops.temporal import interval_join
+
+    US = 1_000_000
+    intervals = [
+        (i, k, s * US, (s + ln) * US) for i, (k, s, ln) in enumerate(iv_rows)
+    ]
+    points = [(j, k, t * US) for j, (k, t) in enumerate(pt_rows)]
+    if not intervals:
+        return
+    iv = spark.createDataFrame(
+        intervals, "iv_id int, user_id int, start_us long, end_us long"
+    )
+    pt = spark.createDataFrame(points, "event_id int, user_id int, ts_us long")
+    got = {
+        (r["event_id"], r["iv_id"])
+        for r in interval_join(
+            pt, iv, "ts_us", "start_us", "end_us", bucket_s=7, key_col="user_id"
+        ).collect()
+    }
+    want = {
+        (eid, ivid)
+        for (eid, pk, t) in points
+        for (ivid, ik, s, e) in intervals
+        if pk == ik and s <= t <= e
+    }
+    assert got == want
