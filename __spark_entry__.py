@@ -675,6 +675,34 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "start_us")
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the final pre-training data
+    stage: cut the deterministically-ordered token stream into
+    512-token training bins).  The Spark plan is the DISTRIBUTED prefix
+    sum — range partition on the order key, bounded per-partition
+    offsets, within-partition window — never a single-task global
+    window; the oracle replays the plain cumsum."""
+    from marker_spark.ops.pack import pack_sequences
+    from marker_spark.ops.text import words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "doc_id", F.size(words_col(F.col("text"))).alias("n_tok")
+    )
+    packed = pack_sequences(with_n, "n_tok", id_col="doc_id", budget=512)
+    return (
+        packed.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.col("first_bin").cast("long").alias("first_bin"),
+            F.col("last_bin").cast("long").alias("last_bin"),
+        )
+        .orderBy("start_tok", "doc_id")
+        .limit(50)
+    )
+
+
 def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function coverage: top-2 orders per customer."""
     from pyspark.sql import Window
@@ -1857,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "sessionization": q_sessionization,
         "interval_join": q_interval_join,
+        "sequence_packing": q_sequence_packing,
         "window_top_orders": q_window_top_orders,
         "set_ops": q_set_ops,
         "bloom_ngram_membership": q_bloom_ngram_membership,
@@ -3141,6 +3170,30 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = x.user_id
              AND e.err_us BETWEEN x.start_us AND x.end_us
             ORDER BY event_id, start_us
+        """,
+        "sequence_packing": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                           AS n_tok,
+                       md5(CAST(doc_id AS VARCHAR)) AS ord
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tok,
+                       SUM(n_tok) OVER (ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+                FROM d
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS first_bin,
+                   CAST(GREATEST(start_tok + n_tok - 1, start_tok) // 512 AS BIGINT)
+                       AS last_bin
+            FROM c
+            ORDER BY start_tok, doc_id
+            LIMIT 50
         """,
         "sample_uniform": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang

@@ -1,0 +1,88 @@
+"""Sequence packing — the concat-and-chunk operator that turns a
+deduplicated corpus into fixed-budget training sequences (the final
+stage of a pre-training data pipeline): documents are concatenated in
+a deterministic order and the global token stream is cut into
+``budget``-sized bins; a document may span two or more bins.
+
+The core is a GLOBAL prefix sum, which a naive
+``Window.orderBy(...)`` without ``partitionBy`` computes in a single
+task — the classic accidental serialization.  The scalable plan:
+
+1. ``repartitionByRange`` on the order key, so partition order equals
+   global order (persisted: the range boundaries are sampled, and the
+   offsets job and the output job must see the SAME partitioning);
+2. per-partition token totals — a bounded collect (one row per
+   partition, the distributed-prefix-sum handshake);
+3. each partition's global offset joins back (broadcast, #partitions
+   rows) and a WITHIN-partition window cumsum finishes the job.
+
+Every step is deterministic in the RESULT regardless of where the
+sampled range boundaries land, so the operator carries an exact SQL
+oracle (DuckDB runs the plain single-threaded cumsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..cacheutil import register
+
+
+def pack_sequences(
+    docs: DataFrame,
+    n_tok_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    order_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tok, start_tok, end_tok, first_bin, last_bin) for the
+    concat-and-chunk packing of ``docs`` into ``budget``-token bins.
+
+    ``order_col`` fixes the concatenation order (default: md5 of the
+    id — deterministic and shuffle-friendly); ``start_tok`` is the
+    0-based global offset of the doc's first token; bins are
+    ``offset div budget``.  Zero-token docs take the degenerate bin of
+    their start offset.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = (
+        F.col(order_col)
+        if order_col
+        else F.md5(F.col(id_col).cast("string"))
+    )
+    src = docs.select(F.col(id_col), F.col(n_tok_col).cast("long"), order.alias("__ord"))
+    n_parts = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    ranged = register(
+        src.repartitionByRange(n_parts, "__ord")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # pin the sampled range boundaries: the offsets job
+        # and the output job MUST observe the same partitioning
+    )
+    totals = (
+        ranged.groupBy("__pid").agg(F.sum(n_tok_col).alias("t")).collect()
+    )  # bounded: one row per partition
+    by_pid = {r["__pid"]: r["t"] or 0 for r in totals}
+    offsets, acc = [], 0
+    for pid in range(max(by_pid, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += by_pid.get(pid, 0)
+    off_df = src.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy("__ord", id_col)
+    start = (F.col("__off") + F.sum(n_tok_col).over(w) - F.col(n_tok_col)).alias(
+        "start_tok"
+    )
+    out = (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .select(id_col, n_tok_col, start)
+        .withColumn("end_tok", F.col("start_tok") + F.col(n_tok_col) - 1)
+        .withColumn("first_bin", F.expr(f"start_tok div {budget}"))
+        .withColumn(
+            "last_bin", F.expr(f"greatest(end_tok, start_tok) div {budget}")
+        )
+    )
+    return out
