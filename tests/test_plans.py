@@ -194,3 +194,15 @@ def test_lm_scoring_broadcasts_reference_counts(spark):
     plan = _plan(q)
     assert plan.count("BroadcastHashJoin") >= 2, plan[:1500]
     assert "SortMergeJoin" not in plan, "corpus-sided shuffle join crept in"
+
+
+def test_temporal_and_packing_windows_never_single_partition(spark):
+    """The accidental-serialization trap: a window (or prefix sum) with
+    no partition key plans an Exchange SinglePartition and runs the
+    whole corpus through one task.  Every temporal/packing query must
+    stay key- or range-partitioned."""
+    import __spark_entry__ as E
+
+    for name in ("asof_join", "sessionization", "interval_join", "sequence_packing"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "SinglePartition" not in plan, f"{name} serializes onto one task"
