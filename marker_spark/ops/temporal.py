@@ -49,6 +49,11 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_vals = [f"{v}_asof" for v in value_cols]
+    clash = (set(out_vals) | {f"{ts_col}_asof", "__tag"}) & set(probes.columns)
+    if clash:
+        raise ValueError(
+            f"probe columns collide with as-of output columns: {sorted(clash)}"
+        )
     r = refs.select(
         F.col(key_col),
         F.col(ts_col),
