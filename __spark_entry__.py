@@ -26,6 +26,23 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _md5_bottom_ids(docs: DataFrame, k: int) -> list:
+    """Deterministic md5-bottom-k doc ids — the benchmark/reference
+    sample rule shared by decontamination, corpus_prep_spans, and
+    lm_quality_perplexity.  ONE definition so the Spark side can never
+    drift from the oracles' ``ORDER BY md5(CAST(doc_id AS VARCHAR))
+    LIMIT k`` clause."""
+    return [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
+        )
+        .orderBy("__r")
+        .limit(k)
+        .collect()
+    ]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -506,15 +523,7 @@ def q_corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 4: decontamination — benchmark = md5-bottom-20 of the
     # ORIGINAL corpus (an external eval suite stand-in; its shingles
     # come from the original texts), training = cleaned minus benchmark
-    bench_ids = [
-        r["doc_id"]
-        for r in docs.select(
-            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
-        )
-        .orderBy("__r")
-        .limit(20)
-        .collect()
-    ]
+    bench_ids = _md5_bottom_ids(docs, 20)
     bench_grams = (
         docs.where(F.col("doc_id").isin(bench_ids))
         .withColumn("__w", words_col(F.col("text")))
@@ -686,8 +695,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.text import words_col
 
     docs = _read(spark, sf_dir, "documents")
+    # coalesce BEFORE the word split: size(words_col(NULL)) is NULL,
+    # which the window sum would skip while the oracle counts 0
     with_n = docs.select(
-        "doc_id", F.size(words_col(F.col("text"))).alias("n_tok")
+        "doc_id",
+        F.size(words_col(F.coalesce(F.col("text"), F.lit("")))).alias("n_tok"),
     )
     packed = pack_sequences(with_n, "n_tok", id_col="doc_id", budget=512)
     return (
@@ -1100,15 +1112,7 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.text import word_shingles_expr, words_col
 
     docs = _read(spark, sf_dir, "documents")
-    bench_ids = [
-        r["doc_id"]
-        for r in docs.select(
-            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
-        )
-        .orderBy("__r")
-        .limit(20)
-        .collect()
-    ]
+    bench_ids = _md5_bottom_ids(docs, 20)
     with_w = docs.withColumn("__w", words_col(F.col("text")))
     sh = lambda df: df.select(  # noqa: E731
         F.col("doc_id"),
@@ -1214,15 +1218,7 @@ def q_lm_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.text import lm_bigram_scores
 
     docs = _read(spark, sf_dir, "documents")
-    ref_ids = [
-        r["doc_id"]
-        for r in docs.select(
-            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__r")
-        )
-        .orderBy("__r")
-        .limit(100)
-        .collect()
-    ]
+    ref_ids = _md5_bottom_ids(docs, 100)
     scores = lm_bigram_scores(docs, docs.where(F.col("doc_id").isin(ref_ids)))
     return (
         scores.select(

@@ -8,8 +8,13 @@ cached until the caller CONSUMES the returned DataFrame, which the
 operator cannot observe — so operators register their persisted handles
 here and the session owner calls :func:`release_all` between queries
 (bench.py does; a service would hook its request boundary).  Releasing
-is always safe: an unpersisted plan that is collected again simply
-recomputes.
+a plain persisted handle is always safe: an unpersisted plan that is
+collected again simply recomputes.  The ONE exception is
+checkpoint-backed results (:func:`local_checkpoint` handles, e.g. the
+labels returned by connected components): their lineage is truncated
+at the checkpoint, so after release they cannot recompute — release
+only after the result has been consumed, which is exactly
+release_all's between-queries contract.
 """
 
 from __future__ import annotations

@@ -282,7 +282,11 @@ def ngram_jaccard_for_pairs(
         # front, and the Arrow kernel below reads by position
         .select("id_a", "id_b", "wh_a", "wh_b")
     )
-    id_type = df.schema[id_col].dataType.simpleString()
+    # output columns 0/1 come from the PAIRS side of the join — declare
+    # their actual types, not df's (a caller may carry ids at a wider
+    # integer type than the corpus id column)
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    id_type_b = pairs.schema["id_b"].dataType.simpleString()
 
     def batch_fn(batches):
         # mapInArrow over flat buffers (like _map_shingle_batches): the
@@ -337,7 +341,7 @@ def ngram_jaccard_for_pairs(
             )
 
     out = joined.mapInArrow(
-        batch_fn, schema=f"id_a {id_type}, id_b {id_type}, jaccard double"
+        batch_fn, schema=f"id_a {id_type}, id_b {id_type_b}, jaccard double"
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -640,6 +644,7 @@ def connected_components(
     labels.count()  # materialize so each round starts from a stable snapshot
     changed = None
     prev_persisted = labels  # the materialized handle of the previous round
+    last_ck = None  # newest lineage-truncation checkpoint's storage handle
     try:
         for round_no in range(max_iter):
             nbr_min = (
@@ -671,15 +676,19 @@ def connected_components(
                 # exponentially and OOM the driver BEFORE the max_iter
                 # guard can fire (measured on a 48-node path).  Periodic
                 # localCheckpoint truncates the lineage; normal near-dup
-                # graphs (diameter 1-3) never reach it.  The tracked
-                # handle is registered so the session owner's
-                # release_all frees the checkpoint storage
-                # (DataFrame.unpersist cannot).
+                # graphs (diameter 1-3) never reach it.  Only the NEWEST
+                # checkpoint's storage stays alive: once this round's
+                # checkpoint has (eagerly) materialized, every live plan
+                # derives from it, so the previous one frees immediately
+                # instead of piling ~max_iter/4 label-table copies up
+                # until release_all.
                 from ..cacheutil import local_checkpoint
 
                 truncated, ck = local_checkpoint(new_labels)
-                register(ck)
                 new_labels.unpersist()
+                if last_ck is not None:
+                    last_ck.unpersist()
+                last_ck = ck
                 prev_persisted = new_labels = truncated
             labels = new_labels.select("id", F.col("new_label").alias("label"))
             if changed == 0:
@@ -689,19 +698,25 @@ def connected_components(
         # registry yet — unpersist here or release_all() can never
         # reclaim it in a long-lived session
         prev_persisted.unpersist()
+        if last_ck is not None:
+            last_ck.unpersist()
         raise
     # only the FINAL round's labels outlive the loop (intermediate
     # rounds were unpersisted as soon as the next round materialized) —
     # registering every round would pile ~max_iter handles into the
     # session registry on high-diameter graphs
-    register(prev_persisted)
     if changed:
         prev_persisted.unpersist()
+        if last_ck is not None:
+            last_ck.unpersist()
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             f"rounds ({changed} labels still changing) — the graph has a "
             f"component with eccentricity > max_iter; raise max_iter"
         )
+    register(prev_persisted)
+    if last_ck is not None:
+        register(last_ck)  # the returned labels derive from it
     return labels.select("id", F.col("label").alias("component"))
 
 

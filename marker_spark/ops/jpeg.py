@@ -397,8 +397,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < n - 1:
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
-        while payload[i + 1] == 0xFF:  # optional fill bytes (B.1.1.2)
+        while i + 1 < n and payload[i + 1] == 0xFF:  # optional fill bytes (B.1.1.2)
             i += 1
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG stream")
         m = payload[i + 1]
         if m == 0xD9:
             break

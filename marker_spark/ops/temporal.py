@@ -44,54 +44,70 @@ def asof_join(
     probe.ts`` — the same plan with the sort reversed.
 
     Returns the probe rows plus ``<v>_asof`` for each value column and
-    ``<ts_col>_asof`` (all NULL when no reference qualifies).
+    ``<ts_col>_asof`` (all NULL when no reference qualifies; a matched
+    reference row's NULL value column stays NULL — the whole reference
+    row is carried ATOMICALLY as one struct, so columns from different
+    reference rows can never mix).  Among reference rows sharing an
+    identical (key, ts), the carried row is the one with the
+    lexicographically largest (values..., ts) — an explicit
+    deterministic tiebreak where the semantics are otherwise
+    unspecified.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_vals = [f"{v}_asof" for v in value_cols]
-    clash = (set(out_vals) | {f"{ts_col}_asof", "__tag"}) & set(probes.columns)
+    clash = (set(out_vals) | {f"{ts_col}_asof", "__tag", "__ref"}) & set(probes.columns)
     if clash:
         raise ValueError(
             f"probe columns collide with as-of output columns: {sorted(clash)}"
         )
-    r = refs.select(
+    # the ENTIRE matched reference row travels as one struct: carrying
+    # each output column independently with last(ignorenulls) back-fills
+    # a NULL value from an OLDER reference row, pairing it with the
+    # newer row's timestamp (reproduced; review finding r5)
+    ref_struct = F.struct(
+        *[F.col(v).alias(f"{v}_asof") for v in value_cols],
+        F.col(ts_col).alias(f"{ts_col}_asof"),
+    )
+    r = refs.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("__tag"),
-        *[F.col(v).alias(f"{v}_asof") for v in value_cols],
-        F.col(ts_col).alias(f"{ts_col}_asof"),
+        ref_struct.alias("__ref"),
         *[F.lit(None).cast(t.dataType.simpleString()).alias(c)
           for c, t in zip(probes.columns, probes.schema)
           if c not in (key_col, ts_col)],
+    )
+    null_ref = F.lit(None).cast(
+        r.schema["__ref"].dataType.simpleString()
     )
     p = probes.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(refs.schema[v].dataType.simpleString()).alias(f"{v}_asof")
-          for v in value_cols],
-        F.lit(None).cast(refs.schema[ts_col].dataType.simpleString()).alias(
-            f"{ts_col}_asof"
-        ),
+        null_ref.alias("__ref"),
         *[F.col(c) for c in probes.columns if c not in (key_col, ts_col)],
     )
     # reference rows sort BEFORE probes at equal ts (tag 0 < 1): the
     # inclusive <=/>= semantics DuckDB's ASOF JOIN uses; forward = the
-    # identical carry over the reversed timestamp order
+    # identical carry over the reversed timestamp order.  The struct
+    # itself is the final sort key: equal-(key, ts) reference
+    # duplicates resolve deterministically (largest struct wins —
+    # probes' NULL struct sorts first and cannot perturb ref order).
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    w = Window.partitionBy(key_col).orderBy(ts_order, F.col("__tag").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    unioned = r.unionByName(p)
-    carried = unioned.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__c_{c}")
-          for c in (*out_vals, f"{ts_col}_asof")],
+    w = Window.partitionBy(key_col).orderBy(
+        ts_order, F.col("__tag").asc(), F.col("__ref").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    carried = r.unionByName(p).select(
+        "*", F.last("__ref", ignorenulls=True).over(w).alias("__c")
     )
     probe_cols = [c for c in probes.columns]
+    # a NULL-ts probe has no defined position in time: no match (its
+    # sort position would otherwise differ between directions)
+    matched = F.when(F.col(ts_col).isNotNull(), F.col("__c"))
     return carried.where(F.col("__tag") == 1).select(
         *probe_cols,
-        *[F.col(f"__c_{c}").alias(c) for c in (*out_vals, f"{ts_col}_asof")],
+        *[matched[c].alias(c) for c in (*out_vals, f"{ts_col}_asof")],
     )
 
 

@@ -89,21 +89,32 @@ def collect_sketch_states(
     column reaches the pandas UDF as float64, where keys above 2^53
     would silently collide or miss the dict — string keys are exact at
     any magnitude and NULL stays None through both paths."""
-    total = sketch_table.agg(
-        F.sum(F.length(F.col(SKETCH_COL))).alias("b"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if total["b"] is not None and total["b"] > max_bytes:
-        raise ValueError(
-            f"sketch table holds {total['b']} serialized state bytes across "
-            f"{total['n']} groups, above the {max_bytes}-byte collect cap — "
-            "the per-group state dict would not be driver/broadcast-bounded. "
-            "Check the group columns (high-cardinality key?) or raise "
-            "max_bytes explicitly."
-        )
-    rows = sketch_table.select(
-        *[F.col(c).cast("string") for c in group_cols], SKETCH_COL
-    ).collect()
+    # persist around the guard + collect pair: the caller often hands
+    # in the UNPERSISTED build plan, and without this the guard's
+    # length aggregation would execute the whole two-phase sketch
+    # build once and the row collect would execute it AGAIN
+    was_cached = sketch_table.is_cached
+    if not was_cached:
+        sketch_table.persist()
+    try:
+        total = sketch_table.agg(
+            F.sum(F.length(F.col(SKETCH_COL))).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if total["b"] is not None and total["b"] > max_bytes:
+            raise ValueError(
+                f"sketch table holds {total['b']} serialized state bytes across "
+                f"{total['n']} groups, above the {max_bytes}-byte collect cap — "
+                "the per-group state dict would not be driver/broadcast-bounded. "
+                "Check the group columns (high-cardinality key?) or raise "
+                "max_bytes explicitly."
+            )
+        rows = sketch_table.select(
+            *[F.col(c).cast("string") for c in group_cols], SKETCH_COL
+        ).collect()
+    finally:
+        if not was_cached:
+            sketch_table.unpersist()
     k = len(group_cols)
     return {
         tuple(_norm_key(r[i]) for i in range(k)): bytes(r[k])

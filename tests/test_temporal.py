@@ -227,3 +227,30 @@ def test_interval_join_property(spark, iv_rows, pt_rows):
         if pk == ik and s <= t <= e
     }
     assert got == want
+
+
+def test_asof_join_carries_reference_rows_atomically(spark):
+    """Review-reproduced bug: carrying each output column independently
+    with last(ignorenulls) back-filled a NULL ref VALUE from an older
+    ref row while taking the newer row's timestamp — columns from two
+    different reference rows in one match.  The matched row must be
+    all-or-nothing."""
+    from marker_spark.ops.temporal import asof_join
+
+    refs = [(1, _ts(0), 5.0), (1, _ts(2), None)]
+    probes = [(1, 100, _ts(3))]
+    rdf = spark.createDataFrame(refs, "user_id int, ts timestamp, value double")
+    pdf = spark.createDataFrame(probes, "user_id int, event_id int, ts timestamp")
+    row = asof_join(pdf, rdf, "user_id", "ts", ["value"]).collect()[0]
+    # nearest ref is the ts=2 row whose value is NULL: value stays NULL
+    # and the timestamp is that row's — never 5.0 from the ts=0 row
+    assert row["ts_asof"] == _ts(2)
+    assert row["value_asof"] is None
+    # NULL-ts refs never match; NULL-ts probes never match
+    refs2 = [(1, None, 9.0)]
+    rdf2 = spark.createDataFrame(refs2, "user_id int, ts timestamp, value double")
+    row2 = asof_join(pdf, rdf2, "user_id", "ts", ["value"]).collect()[0]
+    assert row2["value_asof"] is None and row2["ts_asof"] is None
+    pdf2 = spark.createDataFrame([(1, 101, None)], "user_id int, event_id int, ts timestamp")
+    row3 = asof_join(pdf2, rdf, "user_id", "ts", ["value"]).collect()[0]
+    assert row3["value_asof"] is None and row3["ts_asof"] is None
