@@ -254,3 +254,37 @@ def test_asof_join_carries_reference_rows_atomically(spark):
     pdf2 = spark.createDataFrame([(1, 101, None)], "user_id int, event_id int, ts timestamp")
     row3 = asof_join(pdf2, rdf, "user_id", "ts", ["value"]).collect()[0]
     assert row3["value_asof"] is None and row3["ts_asof"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+                min_size=1, max_size=20))
+def test_sessionize_property(spark, rows):
+    """Randomized session parity vs a per-key Python scan (gap 300 s),
+    including duplicate timestamps within a key (zero gap: same
+    session under the strictly-greater rule)."""
+    from marker_spark.ops.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(k, _ts(m)) for (k, m) in rows], "user_id int, ts timestamp"
+    )
+    got = {
+        (r["user_id"], r["session"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(df, "user_id", "ts", gap_s=300).collect()
+    }
+
+    def us(m):
+        return int((_ts(m) - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+    want = {}
+    for k in {k for k, _ in rows}:
+        ms = sorted(m for kk, m in rows if kk == k)
+        sess, start, prev, n = 1, ms[0], ms[0], 0
+        for m in ms:
+            if (m - prev) * 60 > 300:  # minutes -> seconds vs gap
+                want[(k, sess)] = (n, us(start), us(prev))
+                sess, start, n = sess + 1, m, 0
+            n += 1
+            prev = m
+        want[(k, sess)] = (n, us(start), us(prev))
+    assert got == want
