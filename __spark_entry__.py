@@ -190,10 +190,23 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-level groupBy, NOT countDistinct(text) next to count(*): that
+    # plans an EXPAND doubling input rows pre-shuffle AND ships full
+    # document text through the exchange.  Level 1 groups on (source,
+    # digest) so the shuffle carries ~40 digest bytes per row; level 2
+    # folds to per-source counts.  The compound digest (md5 + xxhash64
+    # + length) keeps "distinct texts" honest under md5 collisions —
+    # same rationale as ops/dedup.exact_dedup_scalable.
     docs = _read(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct_texts"),
+    per_text = docs.groupBy(
+        "source",
+        F.md5("text").alias("__d1"),
+        F.xxhash64("text").alias("__d2"),
+        F.length("text").alias("__len"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return per_text.groupBy("source").agg(
+        F.sum("__n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
     )
 
 

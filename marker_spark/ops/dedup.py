@@ -192,16 +192,27 @@ def exact_dedup_scalable(
     """100 TB-shape exact dedup: the shuffle carries only a 128-bit
     digest + id, never the document text.
 
-    Phase 1 aggregates (md5(text) -> min id, dup_count); phase 2 joins
-    the representative ids back to recover full rows.  The join is on
-    the (small) representative set — broadcastable when the distinct
-    count fits, hash join otherwise; either way text bytes move at most
-    once (with their own row), not through a groupBy shuffle.
+    Phase 1 aggregates (md5(text), xxhash64(text), length(text) -> min
+    id, dup_count); phase 2 joins the representative ids back to
+    recover full rows.  The join is on the (small) representative set —
+    broadcastable when the distinct count fits, hash join otherwise;
+    either way text bytes move at most once (with their own row), not
+    through a groupBy shuffle.
+
+    The compound digest keeps the operator honestly "exact" under hash
+    collisions: real md5 collision pairs exist in scraped web corpora,
+    but a pair colliding under md5 AND xxhash64 AND byte length at once
+    has no known construction — distinct texts are never merged.
     """
     digest = F.md5(F.col(text_col))
     reps = (
-        df.select(digest.alias("__digest"), F.col(id_col))
-        .groupBy("__digest")
+        df.select(
+            digest.alias("__digest"),
+            F.xxhash64(F.col(text_col)).alias("__digest2"),
+            F.length(F.col(text_col)).alias("__len"),
+            F.col(id_col),
+        )
+        .groupBy("__digest", "__digest2", "__len")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, "dup_count")
     )

@@ -37,6 +37,7 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     direction: str = "backward",
+    dedup_ref_ts: bool = False,
 ) -> DataFrame:
     """For each probe row, attach the nearest reference row for the
     same key: ``direction='backward'`` picks the largest ref ``ts <=
@@ -51,7 +52,14 @@ def asof_join(
     identical (key, ts), the carried row is the one with the
     lexicographically largest (values..., ts) — an explicit
     deterministic tiebreak where the semantics are otherwise
-    unspecified.
+    unspecified.  Note that SQL oracles (e.g. DuckDB's native ASOF
+    JOIN) pick an ARBITRARY row among equal-timestamp references:
+    set ``dedup_ref_ts=True`` to pre-aggregate the references to one
+    row per (key, ts) with the same max-struct rule BEFORE the carry —
+    then apply the identical pre-aggregation on the oracle side and
+    both engines see unique timestamps.  Off by default: the extra
+    (key, ts) shuffle is wasted when reference timestamps are already
+    unique per key.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -69,7 +77,22 @@ def asof_join(
         *[F.col(v).alias(f"{v}_asof") for v in value_cols],
         F.col(ts_col).alias(f"{ts_col}_asof"),
     )
-    r = refs.where(F.col(ts_col).isNotNull()).select(
+    ref_rows = refs.where(F.col(ts_col).isNotNull())
+    if dedup_ref_ts:
+        # one reference row per (key, ts), chosen by the SAME max-struct
+        # rule the window tiebreak uses — the carry below then sees
+        # unique timestamps, matching an oracle that pre-aggregates the
+        # same way (see docstring)
+        ref_rows = (
+            ref_rows.groupBy(key_col, ts_col)
+            .agg(F.max(ref_struct).alias("__mx"))
+            .select(
+                key_col,
+                ts_col,
+                *[F.col("__mx")[f"{v}_asof"].alias(v) for v in value_cols],
+            )
+        )
+    r = ref_rows.select(
         F.col(key_col),
         F.col(ts_col),
         F.lit(0).alias("__tag"),
@@ -137,9 +160,13 @@ def sessionize(
             us - F.lag(us).over(w) > gap_s * 1_000_000, F.lit(1)
         ).otherwise(F.lit(0)).alias("__new"),
     )
-    w2 = Window.partitionBy(key_col).orderBy("__us").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # default RANGE frame (peer-inclusive), NOT rowsBetween: events tied
+    # on (key, ts) must share one cumulative sum even when the tie group
+    # contains the session-start marker — a ROWS frame would split the
+    # tie group by unspecified sort order between the two window sorts,
+    # while RANGE matches both the strictly-greater gap rule (a 0-gap
+    # tie can never open a session) and the oracle's default framing.
+    w2 = Window.partitionBy(key_col).orderBy("__us")
     with_session = gapped.select(
         key_col,
         "__us",
@@ -179,6 +206,15 @@ def interval_join(
     ``bucket_s`` near the typical interval length so the explode factor
     stays O(1) while bucket-sized skew stays bounded.
     """
+    join_keys = {key_col} if key_col else set()
+    shared = (set(points.columns) & set(intervals.columns)) - join_keys
+    if shared:
+        raise ValueError(
+            "points and intervals share non-key columns "
+            f"{sorted(shared)}; rename them before the join (an overlap "
+            "would only surface as an ambiguous-column error at a later "
+            "select, far from the cause)"
+        )
     us_per_bucket = bucket_s * 1_000_000
     # integer `div`, not double `/`+cast: exact at any epoch magnitude
     iv = intervals.withColumn(

@@ -184,6 +184,23 @@ def test_exact_dedup_exchange_carries_no_text(spark):
         assert "text" not in keyspec, keyspec
 
 
+def test_entry_exact_dedup_no_expand_no_text_exchange(spark):
+    """The DRIVER entry query (not just the library op) must use the
+    two-level groupBy: countDistinct(text)+count(*) in one agg plans an
+    EXPAND doubling rows pre-shuffle and ships full text bytes through
+    the exchange — a 100 TB scale-killer even while oracle-green."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_exact_dedup(spark, SF_DIR))
+    assert "Expand" not in plan, "countDistinct EXPAND crept back in"
+    keyspecs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert keyspecs, f"expected at least one shuffle\n{plan[:1500]}"
+    for keyspec in keyspecs:
+        assert not re.search(r"\btext#", keyspec), keyspec
+
+
 def test_lm_scoring_broadcasts_reference_counts(spark):
     """The bigram-LM scorer must stream the corpus through BROADCAST
     joins against the bounded reference count tables — a corpus-sided

@@ -256,6 +256,57 @@ def test_asof_join_carries_reference_rows_atomically(spark):
     assert row3["value_asof"] is None and row3["ts_asof"] is None
 
 
+def test_interval_join_rejects_shared_nonkey_columns(spark):
+    """A non-key column present on both sides would only surface as an
+    ambiguous-column error at a later select, far from the cause — the
+    join must raise up front (mirrors asof_join's collision guard)."""
+    import pytest
+
+    from marker_spark.ops.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 0, "x")], "k int, ts bigint, tag string")
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "y")], "k int, s bigint, e bigint, tag string"
+    )
+    with pytest.raises(ValueError, match="tag"):
+        interval_join(pts, ivs, "ts", "s", "e", bucket_s=1, key_col="k")
+
+
+def test_asof_join_dedup_ref_ts_matches_default_on_ties(spark):
+    """dedup_ref_ts=True pre-aggregates duplicate (key, ts) reference
+    rows with the SAME max-struct rule the window tiebreak applies, so
+    both paths must return identical matches — and the winner among an
+    equal-ts pair is the row with the larger value struct."""
+    from marker_spark.ops.temporal import asof_join
+
+    refs = [
+        (1, _ts(0), 1.0), (1, _ts(10), 7.0), (1, _ts(10), 3.0),  # tie at 10
+        (2, _ts(5), None), (2, _ts(5), 4.0),                     # NULL vs 4.0
+    ]
+    probes = [(1, 100, _ts(11)), (2, 200, _ts(6))]
+    rdf = spark.createDataFrame(refs, "user_id int, ts timestamp, value double")
+    pdf = spark.createDataFrame(probes, "user_id int, event_id int, ts timestamp")
+    for direction in ("backward", "forward"):
+        p = pdf if direction == "backward" else spark.createDataFrame(
+            [(1, 100, _ts(9)), (2, 200, _ts(4))],
+            "user_id int, event_id int, ts timestamp",
+        )
+        base = {
+            r["event_id"]: (r["value_asof"], r["ts_asof"])
+            for r in asof_join(p, rdf, "user_id", "ts", ["value"],
+                               direction=direction).collect()
+        }
+        dedup = {
+            r["event_id"]: (r["value_asof"], r["ts_asof"])
+            for r in asof_join(p, rdf, "user_id", "ts", ["value"],
+                               direction=direction, dedup_ref_ts=True).collect()
+        }
+        assert base == dedup, (direction, base, dedup)
+        # max-struct rule: 7.0 beats 3.0; 4.0 beats NULL (nulls sort first)
+        assert base[100] == (7.0, _ts(10)), (direction, base)
+        assert base[200] == (4.0, _ts(5)), (direction, base)
+
+
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
                 min_size=1, max_size=20))
