@@ -565,6 +565,103 @@ def q_corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BP_HEADER = (
+    "=== STANDARD LICENSE HEADER v2.1: redistribution and use of this "
+    "document are permitted under the common corpus terms. ===\n"
+)
+
+
+def q_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-DF boilerplate spans detected AND excised — the region the
+    pair path's ``max_df`` frequency cap exempts by construction.  The
+    fixture corpus has no >16-doc verbatim span (measured: max 24-gram
+    df is 5), so a license-header stand-in is deterministically
+    prepended to every doc_id % 3 == 0 (the pii_redaction augmentation
+    pattern), giving the header grams df ≈ n_docs/3 >> 16.  The value
+    hash covers the cleaned text byte-for-byte plus per-doc span
+    stats: the header must be detected in, and excised from, EVERY
+    carrying doc — there is no canonical keeper for boilerplate.
+
+    Scale shape: hot grams are few DISTINCT strings (bounded top-k,
+    broadcast); no pair join touches them (marker_spark/ops/dedup.py
+    ``boilerplate_spans``)."""
+    from marker_spark.cacheutil import register
+    from marker_spark.ops.dedup import boilerplate_spans, remove_duplicated_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = register(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(_BP_HEADER), F.coalesce(F.col("text"), F.lit(""))),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ).persist()
+    )
+    spans = register(
+        boilerplate_spans(aug, k=24, min_len=40, max_df=16).persist()
+    )
+    cleaned = remove_duplicated_spans(
+        aug,
+        spans.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("start").alias("start_b"),
+            "span_len",
+        ),
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("span_chars"),
+    )
+    return (
+        cleaned.join(stats, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("span_chars").cast("long").alias("span_chars"),
+            F.col("n_chars_before").cast("long").alias("n_chars_before"),
+            F.col("n_chars_after").cast("long").alias("n_chars_after"),
+            "text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_media_metadata_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First driver-certifiable multimodal row: container-metadata
+    extraction over REAL MP3 frame streams / MP4 box trees whose
+    parameters are pure index arithmetic (no RNG), so a SQL engine can
+    compute the expected parse output from formulas alone.  The hash
+    gate certifies that the distributed frame-walk/box-walk of real
+    binary payloads recovers exactly the formula-defined metadata.
+    Durations are emitted as integer milliseconds and NULL numerics as
+    -1 (cross-engine NULL doubles are not hash-comparable)."""
+    from marker_spark.ops.multimodal import (
+        probe_media_meta,
+        synth_container_assets_formula,
+    )
+
+    assets = synth_container_assets_formula(spark, n=24)
+    meta = probe_media_meta(assets)
+    return meta.select(
+        "asset_id",
+        "container",
+        F.coalesce(F.col("n_frames").cast("long"), F.lit(-1)).alias("n_frames"),
+        F.coalesce(F.col("bitrate_kbps").cast("long"), F.lit(-1)).alias(
+            "bitrate_kbps"
+        ),
+        F.round(F.col("duration_s") * 1000).cast("long").alias("duration_ms"),
+        F.coalesce(F.col("n_video_tracks").cast("long"), F.lit(-1)).alias(
+            "n_video_tracks"
+        ),
+        F.coalesce(F.col("n_audio_tracks").cast("long"), F.lit(-1)).alias(
+            "n_audio_tracks"
+        ),
+    ).orderBy("asset_id")
+
+
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact oracle of the Bloom time-range lookup: which early-window
     markers reappear in the late window (semi-join form)."""
@@ -1883,15 +1980,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_logstar": q_dedup_clusters_logstar,
         "duplicated_spans": q_duplicated_spans,
         "duplicated_token_spans": q_duplicated_token_spans,
         "span_removal": q_span_removal,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_spans": q_corpus_prep_spans,
+        "boilerplate_excision": q_boilerplate_excision,
+        "media_metadata_exact": q_media_metadata_exact,
         "marker_membership_exact": q_marker_membership_exact,
         "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
         "sessionization": q_sessionization,
         "interval_join": q_interval_join,
         "sequence_packing": q_sequence_packing,
@@ -1926,6 +2023,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned_tokens": q_bpe_learned_tokens,
         # -- tail: rows-only with an exact-oracle sibling above, or
         #    multimodal plumbing gated by local parity tests --
+        # oracle RETIRED round 6 to free driver-window slots for
+        # boilerplate_excision/media_metadata_exact: logstar shares
+        # dedup_clusters' oracle (identical output contract, unit-test
+        # parity pinned), forward as-of is the backward kernel with the
+        # sort reversed (property-tested vs a per-key Python scan)
+        "dedup_clusters_logstar": q_dedup_clusters_logstar,
+        "asof_join_forward": q_asof_join_forward,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dup": q_simhash_near_dup,
         "winnowing_dups": q_winnowing_dups,
@@ -2836,42 +2940,6 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY a
             ORDER BY doc_id
         """,
-        # same oracle: the two-phase CC must produce identical labels
-        "dedup_clusters_logstar": """
-            WITH RECURSIVE w AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-                FROM documents
-                WHERE CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
-            ), sh AS (
-                SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
-                FROM w, unnest(range(1, len(words) - 1)) AS t(i)
-            ), sizes AS (
-                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ), pairs AS (
-                SELECT id_a, id_b
-                FROM inter
-                JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-                WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
-            ), edges AS (
-                SELECT id_a AS a, id_b AS b FROM pairs
-                UNION
-                SELECT id_b AS a, id_a AS b FROM pairs
-            ), reach(a, b) AS (
-                SELECT a, b FROM edges
-                UNION
-                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-            )
-            SELECT CAST(a AS BIGINT) AS doc_id,
-                   CAST(least(a, min(b)) AS BIGINT) AS component
-            FROM reach GROUP BY a
-            ORDER BY doc_id
-        """,
         # Full-pipeline oracle: quality formula == with_text_stats, dedup
         # window == min-id per text, sample rank == md5 bottom-k.
         "corpus_prep": """
@@ -3052,6 +3120,114 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars_before - length(text) DESC, doc_id
             LIMIT 20
         """,
+        # High-DF boilerplate: same augmentation (header prepended to
+        # doc_id % 3 == 0), same >max_df gram rule, same island merge
+        # and complement rebuild — full independent SQL replay of
+        # detection AND excision, hash-gated on the cleaned text.
+        "boilerplate_excision": """
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '=== STANDARD LICENSE HEADER v2.1: redistribution and use of this document are permitted under the common corpus terms. ===' || chr(10) || coalesce(text, '')
+                            ELSE text END AS text
+                FROM documents
+            ), grams AS (
+                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+                       substring(d.text, CAST(t.i AS INT), 24) AS g
+                FROM aug d
+                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
+                     THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
+            ), hot AS (
+                SELECT g FROM (
+                    SELECT g, COUNT(DISTINCT doc_id) AS nd
+                    FROM grams GROUP BY g
+                    HAVING COUNT(DISTINCT doc_id) > 16
+                    ORDER BY nd DESC, g LIMIT 100000
+                )
+            ), occ AS (
+                SELECT doc_id, pos, pos + 23 AS e
+                FROM grams WHERE g IN (SELECT g FROM hot)
+            ), ord0 AS (
+                SELECT doc_id, pos, e,
+                       MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_max
+                FROM occ
+            ), isl AS (
+                SELECT doc_id, pos, e,
+                       SUM(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM ord0
+            ), sp AS (
+                SELECT doc_id, MIN(pos) AS s, MAX(e) AS e,
+                       MAX(e) - MIN(pos) + 1 AS span_len
+                FROM isl GROUP BY doc_id, island
+                HAVING MAX(e) - MIN(pos) + 1 >= 40
+            ), segs AS (
+                SELECT doc_id,
+                       COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s) + 1,
+                                1) AS seg_start,
+                       s - 1 AS seg_end
+                FROM sp
+                UNION ALL
+                SELECT doc_id, MAX(e) + 1, NULL FROM sp GROUP BY doc_id
+            ), rebuilt AS (
+                SELECT a.doc_id, length(a.text) AS n_chars_before,
+                       string_agg(
+                           CASE WHEN COALESCE(seg_end, length(a.text)) >= seg_start
+                                THEN substring(a.text, CAST(seg_start AS INT),
+                                     CAST(COALESCE(seg_end, length(a.text))
+                                          - seg_start + 1 AS INT))
+                                ELSE '' END,
+                           '' ORDER BY seg_start) AS text
+                FROM aug a JOIN segs ON segs.doc_id = a.doc_id
+                GROUP BY a.doc_id, a.text
+            ), stats AS (
+                SELECT doc_id, count(*) AS n_spans, SUM(span_len) AS span_chars
+                FROM sp GROUP BY doc_id
+            )
+            SELECT CAST(r.doc_id AS BIGINT) AS doc_id,
+                   CAST(n_spans AS BIGINT) AS n_spans,
+                   CAST(span_chars AS BIGINT) AS span_chars,
+                   CAST(n_chars_before AS BIGINT) AS n_chars_before,
+                   CAST(length(r.text) AS BIGINT) AS n_chars_after,
+                   r.text AS text
+            FROM rebuilt r JOIN stats ON stats.doc_id = r.doc_id
+            ORDER BY doc_id
+        """,
+        # Container metadata from formula-synthesized real payloads:
+        # the SQL side computes the EXPECTED parse output from the same
+        # index arithmetic the synth uses (no RNG anywhere); durations
+        # as integer ms, NULL numerics as -1 (cross-engine NULL rule).
+        "media_metadata_exact": """
+            WITH idx AS (
+                SELECT unnest(generate_series(0, 23)) AS i
+            ), p AS (
+                SELECT i, printf('media-%06d', i) AS asset_id,
+                       CASE WHEN i % 2 = 0 THEN 'mp3' ELSE 'mp4' END AS container,
+                       CASE WHEN i % 2 = 0 THEN 5 + (i * 7) % 35 END AS nf,
+                       CASE WHEN i % 2 = 0 THEN 1 + (i * 5) % 13 END AS br_idx,
+                       CASE WHEN i % 2 = 1 THEN 1 + (i * 37) % 599 END AS dur_s
+                FROM idx
+            )
+            SELECT asset_id, container,
+                   CAST(coalesce(nf, -1) AS BIGINT) AS n_frames,
+                   CAST(coalesce(list_extract(
+                       [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                       br_idx + 1), -1) AS BIGINT) AS bitrate_kbps,
+                   CASE WHEN container = 'mp3'
+                        THEN CAST(round(round(nf * 1152.0 / 44100, 6) * 1000)
+                                  AS BIGINT)
+                        ELSE CAST(dur_s * 1000 AS BIGINT)
+                   END AS duration_ms,
+                   CAST(CASE WHEN container = 'mp4' THEN 1 ELSE -1 END
+                        AS BIGINT) AS n_video_tracks,
+                   CAST(CASE WHEN container = 'mp4'
+                             THEN CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END
+                             ELSE -1 END AS BIGINT) AS n_audio_tracks
+            FROM p ORDER BY asset_id
+        """,
         "window_top_orders": """
             SELECT o_custkey, o_orderkey,
                    round(o_totalprice, 4) AS totalprice, rn
@@ -3102,23 +3278,6 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(epoch_us(p.ts), -1) AS purchase_us
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
-            ORDER BY event_id
-        """,
-        "asof_join_forward": """
-            WITH clicks AS (
-                SELECT user_id, event_id, ts FROM events
-                WHERE event_type = 'click'
-            ), purch AS (
-                SELECT user_id, ts, value FROM events
-                WHERE event_type = 'purchase'
-            )
-            SELECT CAST(c.user_id AS BIGINT) AS user_id,
-                   CAST(c.event_id AS BIGINT) AS event_id,
-                   epoch_us(c.ts) AS click_us,
-                   ROUND(COALESCE(p.value, -1.0), 6) AS value_asof,
-                   COALESCE(epoch_us(p.ts), -1) AS purchase_us
-            FROM clicks c ASOF LEFT JOIN purch p
-              ON c.user_id = p.user_id AND c.ts <= p.ts
             ORDER BY event_id
         """,
         "sessionization": """

@@ -866,6 +866,97 @@ def _spans_from_grams(
     )
 
 
+def boilerplate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+    min_len: int = 40,
+    max_df: int = 16,
+    max_hot_grams: int = 100_000,
+) -> DataFrame:
+    """High-document-frequency boilerplate detection — the complement
+    of :func:`duplicated_spans`' frequency cap.  The pair path bounds
+    its self-join by dropping grams seen in more than ``max_df`` docs,
+    which makes the MOST duplicated content in a real crawl (license
+    headers, nav chrome) invisible to it by construction.  This
+    operator covers exactly that exempt region: character ranges of
+    each doc covered by k-grams whose document frequency EXCEEDS
+    ``max_df``, merged into maximal contiguous islands of length >=
+    ``min_len``.
+
+    Returns (doc_id, start, span_len) with 1-based char positions —
+    one row per maximal boilerplate island per doc.  Unlike the pair
+    path there is no canonical keeper: boilerplate is reported (and,
+    composed with :func:`remove_duplicated_spans`, excised) from EVERY
+    doc; feed it as the b-side::
+
+        remove_duplicated_spans(docs, spans.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("start").alias("start_b"), "span_len"))
+
+    Scale shape (the reference's bound-the-structure-don't-drop-hot-
+    keys discipline, markercache.cpp:22-30): high-DF grams are FEW
+    DISTINCT strings by definition — the hot table is bounded by
+    ``max_hot_grams`` (deterministic top-k by (df desc, gram)) and
+    broadcast into an occurrence join against the gram table, so no
+    pair join ever touches a hot key.  O(corpus chars) gram rows
+    shuffle once for the DF count and once for the per-doc island
+    window; the quadratic region the cap exists to avoid is never
+    entered.
+    """
+    from pyspark.sql import Window
+
+    gram_expr = F.when(
+        F.length(text_col) >= k,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k} + 1),"
+            f" i -> substring({text_col}, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
+    grams = register(grams.persist())  # DF count + occurrence join both consume it
+    # two-level agg (no countDistinct EXPAND); deterministic bound on
+    # the broadcast side via top-k (df desc, gram) — never silently
+    # unbounded even on a pathological corpus
+    hot = (
+        grams.groupBy("g", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") > max_df)
+        .orderBy(F.desc("nd"), "g")
+        .limit(max_hot_grams)
+        .select("g")
+    )
+    occ = (
+        grams.join(F.broadcast(hot), "g")
+        .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
+    )
+    # gaps-and-islands over [pos, pos+k-1] cover intervals: positions
+    # are unique per doc, so both window orders are deterministic;
+    # adjacency (pos == prev_e + 1) merges — the union range is still
+    # contiguous boilerplate-covered text
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        occ.withColumn(
+            "ni",
+            (F.col("pos") > F.coalesce(prev_max, F.lit(-(1 << 40))) + 1).cast("int"),
+        )
+        .withColumn("island", F.sum("ni").over(w_ord))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("e") - F.min("pos") + 1).alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("doc_id", "start", "span_len")
+    )
+
+
 def remove_duplicated_spans(
     docs: DataFrame,
     spans: DataFrame,

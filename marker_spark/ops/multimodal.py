@@ -608,6 +608,37 @@ def synth_container_assets(spark, n: int = 24, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
 
 
+def synth_container_assets_formula(spark, n: int = 24) -> DataFrame:
+    """Index-arithmetic twin of :func:`synth_container_assets`: every
+    synthesis parameter is a pure function of the asset index — no RNG
+    — so an external SQL engine can compute the expected parse output
+    from formulas alone.  This is what makes the container-metadata
+    path exactly oracle-gateable: the payloads are still REAL MP3
+    frame streams / MP4 box trees, and the hash gate proves the
+    distributed walkers recover the formula-defined metadata."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            nf = 5 + (i * 7) % 35
+            br_idx = 1 + (i * 5) % 13
+            payload = encode_minimal_mp3(n_frames=nf, bitrate_idx=br_idx)
+            rows.append(
+                (f"media-{i:06d}", "audio", payload,
+                 {"width": None, "height": None, "sample_rate": 44100,
+                  "n_frames": nf})
+            )
+        else:
+            dur = float(1 + (i * 37) % 599)
+            tracks = ["vide"] + (["soun"] if i % 4 == 1 else [])
+            payload = encode_minimal_mp4(dur, tracks)
+            rows.append(
+                (f"media-{i:06d}", "video", payload,
+                 {"width": None, "height": None, "sample_rate": None,
+                  "n_frames": None})
+            )
+    return spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+
+
 def probe_media_meta(df: DataFrame) -> DataFrame:
     """Distributed container-metadata extraction (no decode): each row's
     payload is dispatched on magic to the MP3/MP4 walkers; unknown

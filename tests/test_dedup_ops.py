@@ -298,6 +298,81 @@ def test_duplicated_spans_hot_gram_cap(spark):
     assert duplicated_spans(docs, k=24, min_len=40, max_df=4).count() == 0
 
 
+def test_boilerplate_spans_covers_the_high_df_exemption(spark):
+    """The complement of the hot-gram cap: a span shared by MORE than
+    max_df docs is invisible to duplicated_spans (previous test) and
+    must be exactly what boilerplate_spans reports — and composing with
+    remove_duplicated_spans must excise it from EVERY doc (no canonical
+    keeper for boilerplate)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from marker_spark.ops.dedup import (
+        boilerplate_spans,
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    boiler = "this exact boilerplate sentence appears in every single document. "
+    texts = [boiler + f"unique tail number {i} with nothing shared" for i in range(10)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10)), "text": texts})
+    )
+    assert duplicated_spans(docs, k=24, min_len=40, max_df=4).count() == 0
+    spans = boilerplate_spans(docs, k=24, min_len=40, max_df=4).collect()
+    assert len(spans) == 10
+    for r in spans:
+        assert r["start"] == 1
+        # covered chars = positions 1..len(boiler): the last hot gram
+        # starts at len(boiler) - 24 + 1 only if the NEXT 24 chars stay
+        # shared; tails differ, so coverage ends where grams stop being
+        # common to >max_df docs — at least the pure-boiler prefix
+        assert r["span_len"] >= 40
+    span_lens = {r["span_len"] for r in spans}
+    assert len(span_lens) == 1, "identical boilerplate must yield identical spans"
+    cleaned = remove_duplicated_spans(
+        docs,
+        boilerplate_spans(docs, k=24, min_len=40, max_df=4).select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("start").alias("start_b"),
+            "span_len",
+        ),
+    ).collect()
+    assert len(cleaned) == 10
+    for r in cleaned:
+        # the shared region extends past the boiler sentence through
+        # "unique tail number " (all docs share it up to the digit):
+        # everything before the per-doc digit is excised everywhere
+        assert r["text"] == f"{r['doc_id']} with nothing shared", r["text"][:60]
+        assert r["n_chars_after"] < r["n_chars_before"]
+
+
+def test_boilerplate_spans_merges_adjacent_islands(spark):
+    """Two distinct hot substrings abutting in one doc are ONE
+    contiguous boilerplate-covered range — adjacency (pos == prev_e+1)
+    must merge; a genuine gap must split."""
+    import pandas as pd
+
+    from marker_spark.ops.dedup import boilerplate_spans
+
+    a = "A" * 30 + "b" * 10  # hot block 1 (40 chars)
+    b = "C" * 30 + "d" * 10  # hot block 2 (40 chars)
+    # 5 docs with a+b adjacent; one doc with a gap between them
+    texts = [a + b] * 5 + [a + "=GAP-123456789ABCDEF-GAP=" + b]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(6)), "text": texts})
+    )
+    got = {
+        (r["doc_id"], r["start"], r["span_len"])
+        for r in boilerplate_spans(docs, k=8, min_len=10, max_df=3).collect()
+    }
+    for d in range(5):
+        assert (d, 1, 80) in got, sorted(got)
+    gap_doc = sorted((s, l) for (d, s, l) in got if d == 5)
+    assert len(gap_doc) == 2 and gap_doc[0][0] == 1, gap_doc
+
+
 def test_remove_duplicated_spans_surgery(spark):
     """Removal keeps the canonical (lowest-id) occurrence, cuts every
     b-side occurrence — including multiple occurrences in one doc —
