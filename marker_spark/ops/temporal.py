@@ -38,6 +38,7 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
     dedup_ref_ts: bool = False,
+    slice_s: int | None = None,
 ) -> DataFrame:
     """For each probe row, attach the nearest reference row for the
     same key: ``direction='backward'`` picks the largest ref ``ts <=
@@ -52,7 +53,20 @@ def asof_join(
     identical (key, ts), the carried row is the one with the
     lexicographically largest (values..., ts) — an explicit
     deterministic tiebreak where the semantics are otherwise
-    unspecified.  Note that SQL oracles (e.g. DuckDB's native ASOF
+    unspecified.
+
+    ``slice_s`` is the hot-key defense: the default plan partitions
+    the window by key alone, so one bot user at 10^12 events is one
+    straggling sort partition.  With ``slice_s`` set (seconds per time
+    slice), the carry runs per (key, slice) — splitting a hot key's
+    sort across its time range — and a second, per-(key, slice)-sized
+    pass carries each slice's last reference across slice boundaries
+    (the standard two-pass fix): within-slice carry wins when present,
+    else the nearest earlier (later, for forward) slice's carry-out.
+    Results are identical to the unsalted plan (property-tested);
+    ``ts_col`` must be timestamp-typed or integer epoch MICROseconds.
+
+    Note that SQL oracles (e.g. DuckDB's native ASOF
     JOIN) pick an ARBITRARY row among equal-timestamp references:
     set ``dedup_ref_ts=True`` to pre-aggregate the references to one
     row per (key, ts) with the same max-struct rule BEFORE the carry —
@@ -64,7 +78,10 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_vals = [f"{v}_asof" for v in value_cols]
-    clash = (set(out_vals) | {f"{ts_col}_asof", "__tag", "__ref"}) & set(probes.columns)
+    clash = (
+        set(out_vals)
+        | {f"{ts_col}_asof", "__tag", "__ref", "__c", "__slice", "__out", "__cin"}
+    ) & set(probes.columns)
     if clash:
         raise ValueError(
             f"probe columns collide with as-of output columns: {sorted(clash)}"
@@ -118,12 +135,62 @@ def asof_join(
     # duplicates resolve deterministically (largest struct wins —
     # probes' NULL struct sorts first and cannot perturb ref order).
     ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
-    w = Window.partitionBy(key_col).orderBy(
-        ts_order, F.col("__tag").asc(), F.col("__ref").asc_nulls_first()
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    carried = r.unionByName(p).select(
-        "*", F.last("__ref", ignorenulls=True).over(w).alias("__c")
-    )
+    order_cols = (ts_order, F.col("__tag").asc(), F.col("__ref").asc_nulls_first())
+    u = r.unionByName(p)
+    if slice_s is None:
+        w = Window.partitionBy(key_col).orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        carried = u.select(
+            "*", F.last("__ref", ignorenulls=True).over(w).alias("__c")
+        )
+    else:
+        ts_type = dict(zip(u.columns, [f.dataType for f in u.schema]))[ts_col]
+        us = (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            if ts_type.typeName().startswith("timestamp")
+            else F.col(ts_col).cast("long")
+        )
+        u = u.withColumn("__slice", F.floor(us / F.lit(slice_s * 1_000_000)))
+        ws = Window.partitionBy(key_col, "__slice").orderBy(*order_cols)
+        # one sorted pass per (key, slice) yields BOTH the within-slice
+        # carry and the slice's carry-out (its final reference row)
+        carried = u.select(
+            "*",
+            F.last("__ref", ignorenulls=True)
+            .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__c"),
+            F.last("__ref", ignorenulls=True)
+            .over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            .alias("__out"),
+        )
+        # cross-slice carry on the per-(key, slice) summary — bounded
+        # by distinct (key, slice) pairs, tiny next to the event table
+        slice_order = (
+            F.col("__slice").asc()
+            if direction == "backward"
+            else F.col("__slice").desc()
+        )
+        boundary = carried.groupBy(key_col, "__slice").agg(
+            F.max("__out").alias("__out")
+        )
+        wb = Window.partitionBy(key_col).orderBy(slice_order).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        carry_in = boundary.select(
+            key_col,
+            "__slice",
+            F.last("__out", ignorenulls=True).over(wb).alias("__cin"),
+        )
+        # left join: a NULL-ts probe has a NULL slice and must survive
+        # to the gated no-match output, not be dropped by the equi-join
+        carried = (
+            carried.join(carry_in, [key_col, "__slice"], "left")
+            .withColumn("__c", F.coalesce("__c", "__cin"))
+            .drop("__slice", "__out", "__cin")
+        )
     probe_cols = [c for c in probes.columns]
     # a NULL-ts probe has no defined position in time: no match (its
     # sort position would otherwise differ between directions)

@@ -256,6 +256,65 @@ def test_asof_join_carries_reference_rows_atomically(spark):
     assert row3["value_asof"] is None and row3["ts_asof"] is None
 
 
+@settings(max_examples=6, deadline=None)
+@given(_event_sets())
+def test_asof_join_sliced_matches_unsalted(spark, data):
+    """The slice_s hot-key salt must be a pure plan change: for both
+    directions, salted output == unsalted output on randomized events
+    whose timestamps straddle many slice boundaries (slice 120 s vs
+    minute-scale events), including NULL-ts probes and empty slices."""
+    from marker_spark.ops.temporal import asof_join
+
+    refs, probes = data
+    if not probes:
+        return
+    rdf = spark.createDataFrame(
+        [(k, _ts(m), v) for (k, m, v) in refs] or [(99, _ts(0), 0.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    rows = [(k, pid, _ts(m)) for (k, pid, m) in probes]
+    rows.append((1, 10_000, None))  # NULL-ts probe must survive the salt path
+    pdf = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    for direction in ("backward", "forward"):
+        base = {
+            r["event_id"]: (r["value_asof"], r["ts_asof"])
+            for r in asof_join(pdf, rdf, "user_id", "ts", ["value"],
+                               direction=direction).collect()
+        }
+        sliced = {
+            r["event_id"]: (r["value_asof"], r["ts_asof"])
+            for r in asof_join(pdf, rdf, "user_id", "ts", ["value"],
+                               direction=direction, slice_s=120).collect()
+        }
+        assert base == sliced, (direction,
+                                {k: (base[k], sliced[k])
+                                 for k in base if base[k] != sliced.get(k)})
+
+
+def test_asof_join_sliced_splits_hot_keys_in_plan(spark):
+    """The point of slice_s: the window exchange must partition on
+    (key, slice), not key alone — one bot user must not become one
+    straggling sort partition."""
+    import re
+
+    from marker_spark.ops.temporal import asof_join
+
+    rdf = spark.createDataFrame(
+        [(1, _ts(i), float(i)) for i in range(8)],
+        "user_id int, ts timestamp, value double",
+    )
+    pdf = spark.createDataFrame(
+        [(1, i, _ts(i)) for i in range(8)],
+        "user_id int, event_id int, ts timestamp",
+    )
+    df = asof_join(pdf, rdf, "user_id", "ts", ["value"], slice_s=60)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__slice" in s and "user_id" in s for s in specs), specs
+
+
 def test_interval_join_rejects_shared_nonkey_columns(spark):
     """A non-key column present on both sides would only surface as an
     ambiguous-column error at a later select, far from the cause — the
