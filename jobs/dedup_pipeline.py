@@ -13,7 +13,11 @@ operator from marker_spark.ops:
   4. span excision    — optional (--span-k > 0): duplicated substring
                         spans across the surviving docs are cut out of
                         the higher-id copy (Lee et al.-style;
-                        ops/dedup.duplicated_spans + remove_*)
+                        ops/dedup.duplicated_spans + remove_*); with
+                        --boilerplate, spans shared by MORE than
+                        span-max-df docs (exempt from the pair path by
+                        its frequency cap) are excised from every doc
+                        (ops/dedup.boilerplate_spans)
   5. write the clean corpus + one JSON report line
 
 Usage:
@@ -46,6 +50,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="char k-gram size for duplicated-span excision; 0 disables")
     ap.add_argument("--span-min-len", type=int, default=50)
     ap.add_argument("--span-max-df", type=int, default=16)
+    ap.add_argument("--boilerplate", action="store_true",
+                    help="also excise spans shared by MORE than span-max-df "
+                         "docs (the high-DF region the pair path exempts)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -102,9 +109,14 @@ def main(argv: list[str] | None = None) -> None:
     #    repeated substrings that survive document-level dedup (shared
     #    boilerplate, quoted passages) are cut out of the higher-id copy
     n_spans = 0
+    n_boiler = 0
     if args.span_k > 0:
         from marker_spark.cacheutil import register
-        from marker_spark.ops.dedup import duplicated_spans, remove_duplicated_spans
+        from marker_spark.ops.dedup import (
+            boilerplate_spans,
+            duplicated_spans,
+            remove_duplicated_spans,
+        )
 
         spans = register(
             duplicated_spans(
@@ -113,9 +125,32 @@ def main(argv: list[str] | None = None) -> None:
             ).persist()
         )
         n_spans = spans.count()
-        if n_spans:
+        removal = spans.select(
+            F.col("doc_b"), F.col("start_b"), F.col("span_len")
+        )
+        if args.boilerplate:
+            # the pair path's max_df cap exempts spans shared by MORE
+            # than max_df docs — the most duplicated content in a real
+            # crawl; the high-DF path reports them per-doc (no canonical
+            # keeper) and they union into the same removal pass
+            boiler = register(
+                boilerplate_spans(
+                    clean, text_col=txt, id_col=idc,
+                    k=args.span_k, min_len=args.span_min_len,
+                    max_df=args.span_max_df,
+                ).persist()
+            )
+            n_boiler = boiler.count()
+            removal = removal.unionByName(
+                boiler.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("start").alias("start_b"),
+                    "span_len",
+                )
+            )
+        if n_spans or n_boiler:
             cleaned_text = remove_duplicated_spans(
-                clean, spans, text_col=txt, id_col=idc
+                clean, removal, text_col=txt, id_col=idc
             ).select(
                 F.col("doc_id").alias(idc),
                 F.col("text").alias(txt),
@@ -135,6 +170,7 @@ def main(argv: list[str] | None = None) -> None:
         "after_near_dedup": n_out,
         "near_dup_pairs_verified": verified.count(),
         "duplicated_spans_excised": n_spans,
+        "boilerplate_spans_excised": n_boiler,
         "output": args.output,
         "secs": round(time.time() - t0, 2),
     }))

@@ -60,3 +60,38 @@ def test_dedup_pipeline_with_span_excision(spark, tmp_path, capsys):
     ).collect()[0][0]
     clean_len = clean.agg(F.sum(F.length("text"))).collect()[0][0]
     assert clean_len < orig_len
+
+
+def test_dedup_pipeline_with_boilerplate_excision(spark, tmp_path, capsys):
+    """--boilerplate adds the high-DF path: a header shared by more
+    docs than span-max-df (invisible to the pair path by construction)
+    must be excised from EVERY carrying doc."""
+    from jobs.dedup_pipeline import main
+
+    hdr = ("=== COMMON NAV CHROME: home | products | about | contact"
+           " | careers | legal ===\n")
+    src = str(tmp_path / "boiler_in")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit(hdr), "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "clean_boiler")
+    main([
+        "--input", src,
+        "--output", out,
+        "--min-quality", "0.0",
+        "--jaccard", "0.99",
+        "--span-k", "24",
+        "--span-min-len", "40",
+        "--span-max-df", "8",
+        "--boilerplate",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["boilerplate_spans_excised"] > 0
+    clean = spark.read.parquet(out)
+    # not one survivor still carries the header
+    assert clean.where(F.col("text").contains("COMMON NAV CHROME")).count() == 0
+    assert clean.count() == report["after_near_dedup"]
