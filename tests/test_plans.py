@@ -201,6 +201,27 @@ def test_entry_exact_dedup_no_expand_no_text_exchange(spark):
         assert not re.search(r"\btext#", keyspec), keyspec
 
 
+def test_boilerplate_hot_grams_broadcast(spark):
+    """boilerplate_spans' scale contract: the bounded hot-gram table
+    BROADCASTS into the occurrence join — a corpus-sided shuffle join
+    on the gram key would re-create the hot-key exchange the operator
+    exists to avoid."""
+    import re
+
+    from marker_spark.ops.dedup import boilerplate_spans
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(boilerplate_spans(docs, k=24, min_len=40, max_df=16))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, "gram join degraded to shuffle"
+    # no exchange may partition on the gram string itself (the window
+    # and aggregation shuffles key on doc_id / g-for-DF-count only
+    # upstream of the broadcast — the occurrence side must never
+    # hash-exchange on g)
+    for keyspec in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "pos#" not in keyspec or "g#" not in keyspec, keyspec
+
+
 def test_lm_scoring_broadcasts_reference_counts(spark):
     """The bigram-LM scorer must stream the corpus through BROADCAST
     joins against the bounded reference count tables — a corpus-sided
