@@ -662,6 +662,28 @@ def q_media_metadata_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-level deterministic shuffle + balanced shard layout
+    (ops/pack.shard_assignments): per-shard doc counts (within 1 of
+    each other by construction), position ranges, and an id checksum.
+    Rows-only tail entry; the exact DuckDB permutation parity is
+    pinned by tests/test_pack.py."""
+    from marker_spark.ops.pack import shard_assignments
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        shard_assignments(docs, n_shards=16, seed=42)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact oracle of the Bloom time-range lookup: which early-window
     markers reappear in the late window (semi-join form)."""
@@ -2037,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "media_metadata": q_media_metadata,
+        "shard_layout": q_shard_layout,
     }
 
 

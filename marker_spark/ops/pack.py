@@ -1,7 +1,8 @@
-"""Sequence packing — the concat-and-chunk operator that turns a
-deduplicated corpus into fixed-budget training sequences (the final
-stage of a pre-training data pipeline): documents are concatenated in
-a deterministic order and the global token stream is cut into
+"""Final-stage corpus layout operators: sequence packing (concat-and-
+chunk into fixed token budgets) and seeded deterministic shuffling /
+balanced shard assignment — the two layout passes a pre-training data
+pipeline runs after cleaning.  Documents are concatenated in a
+deterministic order and the global token stream is cut into
 ``budget``-sized bins; a document may span two or more bins.
 
 The core is a GLOBAL prefix sum, which a naive
@@ -86,3 +87,58 @@ def pack_sequences(
         )
     )
     return out
+
+
+def shard_assignments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded deterministic global shuffle + balanced shard layout —
+    the epoch-level permutation a training pipeline applies to the
+    whole corpus before writing shard files.  Returns (id, shard, pos):
+    ``shard`` sizes differ by at most 1 (round-robin over the global
+    rank, unlike hash-mod sharding whose multinomial sizes drift by
+    O(sqrt(n/shards))), ``pos`` is the 0-based position within the
+    shard, and the permutation is a pure function of (seed, id) — the
+    same corpus shuffles identically on any engine or cluster layout.
+
+    The global rank is the same distributed prefix sum as
+    :func:`pack_sequences` (repartitionByRange on the md5 sort key +
+    bounded per-partition counts + within-partition row_number), never
+    a single-partition window.  The sort key md5(seed ':' id) is
+    engine-independent (lowercase hex in both Spark and DuckDB), so
+    the operator carries an exact SQL oracle.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    order = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    src = docs.select(F.col(id_col), order.alias("__ord"))
+    n_parts = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    ranged = register(
+        src.repartitionByRange(n_parts, "__ord")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # pin the sampled range boundaries (see pack_sequences)
+    )
+    totals = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("t")).collect()
+    by_pid = {r["__pid"]: r["t"] for r in totals}
+    offsets, acc = [], 0
+    for pid in range(max(by_pid, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += by_pid.get(pid, 0)
+    off_df = src.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy("__ord", id_col)
+    rank = (F.col("__off") + F.row_number().over(w) - 1).alias("__rank")
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .select(id_col, rank)
+        .select(
+            id_col,
+            F.expr(f"__rank % {n_shards}").alias("shard"),
+            F.expr(f"__rank div {n_shards}").alias("pos"),
+        )
+    )

@@ -47,3 +47,61 @@ def test_packing_rejects_nonpositive_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id int, n_tok int")
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "n_tok", budget=0)
+
+
+def test_shard_assignments_exact_oracle_and_balance(spark):
+    """shard_assignments vs an independent DuckDB replay of the same
+    permutation (row_number over md5(seed ':' id)): identical
+    (shard, pos) for every doc, shard sizes within 1 of each other,
+    partition-count invariant, and deterministic across seeds."""
+    import duckdb
+
+    from marker_spark.ops.pack import shard_assignments
+
+    rows = [(i,) for i in range(257)]  # deliberately not divisible by 8
+    df = spark.createDataFrame(rows, "doc_id int")
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute("""
+            SELECT doc_id,
+                   (rank - 1) % 8 AS shard,
+                   (rank - 1) // 8 AS pos
+            FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                ) AS rank
+                FROM (SELECT unnest(generate_series(0, 256)) AS doc_id)
+            )
+        """).fetchall()
+    }
+    for n_parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shard_assignments(
+                df, n_shards=8, seed=42, num_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
+    sizes = {}
+    for s, _ in got.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    # a different seed is a different permutation
+    got7 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assignments(df, n_shards=8, seed=7).collect()
+    }
+    assert got7 != want
+
+
+def test_shard_assignments_never_single_partition(spark):
+    """The global rank must come from the distributed prefix sum, not
+    an accidental Window-without-partitionBy serialization."""
+    from marker_spark.ops.pack import shard_assignments
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id int")
+    plan = shard_assignments(df, n_shards=4)._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
