@@ -138,3 +138,59 @@ def test_removal_matches_python_surgery(spark, docs):
     }
     release_all()
     assert got == _reference_removal(docs, span_rows)
+
+
+def _reference_boilerplate(
+    texts: dict[int, str], k: int, min_len: int, max_df: int
+) -> set[tuple[int, int, int]]:
+    """(doc_id, start, span_len) islands of chars covered by k-grams
+    whose document frequency exceeds max_df — straight dict-of-sets
+    counting, no Spark concepts anywhere."""
+    from collections import defaultdict
+
+    df_docs: dict[str, set[int]] = defaultdict(set)
+    for d, t in texts.items():
+        for i in range(len(t) - k + 1):
+            df_docs[t[i : i + k]].add(d)
+    hot = {g for g, s in df_docs.items() if len(s) > max_df}
+    out = set()
+    for d, t in texts.items():
+        spans: list[list[int]] = []
+        for pos in range(len(t) - k + 1):
+            if t[pos : pos + k] not in hot:
+                continue
+            s, e = pos + 1, pos + k  # 1-based inclusive char range
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        for s, e in spans:
+            if e - s + 1 >= min_len:
+                out.add((d, s, e - s + 1))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=30),
+        min_size=4,
+        max_size=14,
+    )
+)
+def test_boilerplate_spans_match_counting_reference(spark, texts_list):
+    """Randomized high-DF parity: a 2-letter alphabet makes shared
+    k-grams (and within-doc repeats) common, exercising the DF count,
+    the hot cutoff boundary, island adjacency merges, and the min_len
+    filter against a brute-force dict-of-sets reference."""
+    from marker_spark.ops.dedup import boilerplate_spans
+
+    texts = dict(enumerate(texts_list))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r["doc_id"], r["start"], r["span_len"])
+        for r in boilerplate_spans(df, k=4, min_len=6, max_df=2).collect()
+    }
+    assert got == _reference_boilerplate(texts, k=4, min_len=6, max_df=2)
