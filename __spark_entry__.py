@@ -206,7 +206,11 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("__n"))
     return per_text.groupBy("source").agg(
         F.sum("__n").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_distinct_texts"),
+        # count(__d1), not count(*): NULL texts form a (NULL, seed,
+        # NULL) digest group that count(DISTINCT text) — the oracle and
+        # the old countDistinct plan — does NOT count; count skips the
+        # NULL digest, preserving SQL DISTINCT's NULL semantics
+        F.count("__d1").alias("n_distinct_texts"),
     )
 
 

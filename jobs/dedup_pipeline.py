@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="also excise spans shared by MORE than span-max-df "
                          "docs (the high-DF region the pair path exempts)")
     args = ap.parse_args(argv)
+    if args.boilerplate and args.span_k <= 0:
+        ap.error("--boilerplate requires --span-k > 0 (it shares the "
+                 "span-excision stage's gram size)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -114,14 +117,22 @@ def main(argv: list[str] | None = None) -> None:
         from marker_spark.cacheutil import register
         from marker_spark.ops.dedup import (
             boilerplate_spans,
+            char_grams,
             duplicated_spans,
             remove_duplicated_spans,
         )
 
+        # ONE corpus-sized gram explode serves both span paths: the
+        # pair path consumes df <= max_df grams, the boilerplate path
+        # df > max_df — complementary filters over the same table
+        shared_grams = register(
+            char_grams(clean, text_col=txt, id_col=idc, k=args.span_k).persist()
+        ) if args.boilerplate else None
         spans = register(
             duplicated_spans(
                 clean, text_col=txt, id_col=idc,
                 k=args.span_k, min_len=args.span_min_len, max_df=args.span_max_df,
+                grams=shared_grams,
             ).persist()
         )
         n_spans = spans.count()
@@ -138,6 +149,7 @@ def main(argv: list[str] | None = None) -> None:
                     clean, text_col=txt, id_col=idc,
                     k=args.span_k, min_len=args.span_min_len,
                     max_df=args.span_max_df,
+                    grams=shared_grams,
                 ).persist()
             )
             n_boiler = boiler.count()

@@ -748,6 +748,30 @@ def _spread_for_explode(df: DataFrame) -> DataFrame:
     return df
 
 
+def char_grams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 24,
+) -> DataFrame:
+    """(doc_id, pos, g) character k-gram table — the shared front end
+    of :func:`duplicated_spans` and :func:`boilerplate_spans`.  When a
+    pipeline runs BOTH (the ``--span-k --boilerplate`` job path), build
+    this once, ``register(grams.persist())``, and hand it to each via
+    their ``grams=`` parameter: the corpus-sized explode and everything
+    upstream of it then runs once instead of twice."""
+    gram_expr = F.when(
+        F.length(text_col) >= k,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k} + 1),"
+            f" i -> substring({text_col}, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return _spread_for_explode(docs).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
+    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
@@ -756,6 +780,7 @@ def duplicated_spans(
     min_len: int = 40,
     max_df: int = 16,
     max_occ: int = 64,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level exact dedup (Lee et al.-style duplicated-span
     detection): maximal character spans of length >= min_len shared
@@ -785,17 +810,10 @@ def duplicated_spans(
     The filtered gram table is persisted (registered for release):
     the self-join must not recompute the explode+md5 pass per side.
     """
-    gram_expr = F.when(
-        F.length(text_col) >= k,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {k} + 1),"
-            f" i -> substring({text_col}, i, {k}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = _spread_for_explode(docs).select(
-        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
-    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
-    return _spans_from_grams(grams, k, min_len, max_df, max_occ)
+    owns = grams is None
+    if owns:
+        grams = char_grams(docs, text_col, id_col, k)
+    return _spans_from_grams(grams, k, min_len, max_df, max_occ, manage_persist=owns)
 
 
 def duplicated_token_spans(
@@ -831,18 +849,27 @@ def duplicated_token_spans(
 
 
 def _spans_from_grams(
-    grams: DataFrame, k: int, min_len: int, max_df: int, max_occ: int
+    grams: DataFrame,
+    k: int,
+    min_len: int,
+    max_df: int,
+    max_occ: int,
+    manage_persist: bool = True,
 ) -> DataFrame:
     """(doc_id, pos, g) gram rows -> maximal shared spans: frequency
     cap, pair join on the gram, diagonal-run collapse.  Shared by the
-    char- and word-granularity front ends."""
-    grams = register(
-        # both the frequency filter and the surviving-gram join consume
-        # this; persisting runs the explode once (locally: memory+disk;
-        # at corpus scale the same role is a materialized intermediate
-        # table — or recompute, the gram pass is CPU-cheap)
-        grams.persist()
-    )
+    char- and word-granularity front ends.  ``manage_persist=False``
+    means the caller already persisted/registered the gram table (the
+    shared-gram job path) and owns its lifetime."""
+    if manage_persist:
+        grams = register(
+            # both the frequency filter and the surviving-gram join
+            # consume this; persisting runs the explode once (locally:
+            # memory+disk; at corpus scale the same role is a
+            # materialized intermediate table — or recompute, the gram
+            # pass is CPU-cheap)
+            grams.persist()
+        )
     # two-level agg instead of countDistinct-alongside-count: the
     # latter plans an EXPAND that doubles the gram rows pre-shuffle
     keep = (
@@ -893,6 +920,7 @@ def boilerplate_spans(
     min_len: int = 40,
     max_df: int = 16,
     max_hot_grams: int = 100_000,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """High-document-frequency boilerplate detection — the complement
     of :func:`duplicated_spans`' frequency cap.  The pair path bounds
@@ -926,17 +954,11 @@ def boilerplate_spans(
     """
     from pyspark.sql import Window
 
-    gram_expr = F.when(
-        F.length(text_col) >= k,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {k} + 1),"
-            f" i -> substring({text_col}, i, {k}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = _spread_for_explode(docs).select(
-        F.col(id_col).alias("doc_id"), F.posexplode(gram_expr).alias("idx", "g")
-    ).select("doc_id", (F.col("idx") + 1).alias("pos"), "g")
-    grams = register(grams.persist())  # DF count + occurrence join both consume it
+    if grams is None:
+        grams = register(
+            # DF count + occurrence join both consume it
+            char_grams(docs, text_col, id_col, k).persist()
+        )
     # two-level agg (no countDistinct EXPAND); deterministic bound on
     # the broadcast side via top-k (df desc, gram) — never silently
     # unbounded even on a pathological corpus

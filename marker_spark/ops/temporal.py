@@ -151,30 +151,47 @@ def asof_join(
             if ts_type.typeName().startswith("timestamp")
             else F.col(ts_col).cast("long")
         )
-        u = u.withColumn("__slice", F.floor(us / F.lit(slice_s * 1_000_000)))
+        u = u.withColumn("__us", us).withColumn(
+            "__slice", F.floor(F.col("__us") / F.lit(slice_s * 1_000_000))
+        )
         ws = Window.partitionBy(key_col, "__slice").orderBy(*order_cols)
-        # one sorted pass per (key, slice) yields BOTH the within-slice
-        # carry and the slice's carry-out (its final reference row)
         carried = u.select(
             "*",
             F.last("__ref", ignorenulls=True)
             .over(ws.rowsBetween(Window.unboundedPreceding, 0))
             .alias("__c"),
-            F.last("__ref", ignorenulls=True)
-            .over(
-                ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            )
-            .alias("__out"),
         )
-        # cross-slice carry on the per-(key, slice) summary — bounded
-        # by distinct (key, slice) pairs, tiny next to the event table
+        # each slice's carry-out (its final reference in carry order)
+        # is derived WITHOUT a second full-table sort+window: among the
+        # slice's refs it is the max of (us, ref) for backward, and the
+        # min-us / max-ref-on-ties for forward — i.e. max of (-us, ref)
+        # (a plain map-side-combinable groupBy over the pre-window
+        # subtree; an earlier draft computed it as a second
+        # unboundedFollowing window over the full table, re-running the
+        # big sort — review finding r6)
+        sgn = F.lit(1) if direction == "backward" else F.lit(-1)
+        ref_bound = (
+            u.where(F.col("__tag") == 0)
+            .groupBy(key_col, "__slice")
+            .agg(
+                F.max(
+                    F.struct(
+                        (F.col("__us") * sgn).alias("o"),
+                        F.col("__ref").alias("r"),
+                    )
+                ).alias("__mx")
+            )
+            .select(key_col, "__slice", F.col("__mx")["r"].alias("__out"))
+        )
+        # every (key, slice) present on either side gets a carry-in row:
+        # probe-only slices must inherit from the nearest earlier
+        # (later, forward) reference-bearing slice
+        slices = u.select(key_col, "__slice").distinct()
+        boundary = slices.join(ref_bound, [key_col, "__slice"], "left")
         slice_order = (
             F.col("__slice").asc()
             if direction == "backward"
             else F.col("__slice").desc()
-        )
-        boundary = carried.groupBy(key_col, "__slice").agg(
-            F.max("__out").alias("__out")
         )
         wb = Window.partitionBy(key_col).orderBy(slice_order).rowsBetween(
             Window.unboundedPreceding, -1
@@ -189,7 +206,7 @@ def asof_join(
         carried = (
             carried.join(carry_in, [key_col, "__slice"], "left")
             .withColumn("__c", F.coalesce("__c", "__cin"))
-            .drop("__slice", "__out", "__cin")
+            .drop("__slice", "__us", "__cin")
         )
     probe_cols = [c for c in probes.columns]
     # a NULL-ts probe has no defined position in time: no match (its

@@ -346,6 +346,9 @@ def test_boilerplate_spans_covers_the_high_df_exemption(spark):
         # everything before the per-doc digit is excised everywhere
         assert r["text"] == f"{r['doc_id']} with nothing shared", r["text"][:60]
         assert r["n_chars_after"] < r["n_chars_before"]
+    from marker_spark.cacheutil import release_all
+
+    release_all()  # each boilerplate_spans call registered a gram table
 
 
 def test_boilerplate_spans_merges_adjacent_islands(spark):
@@ -371,6 +374,9 @@ def test_boilerplate_spans_merges_adjacent_islands(spark):
         assert (d, 1, 80) in got, sorted(got)
     gap_doc = sorted((s, l) for (d, s, l) in got if d == 5)
     assert len(gap_doc) == 2 and gap_doc[0][0] == 1, gap_doc
+    from marker_spark.cacheutil import release_all
+
+    release_all()
 
 
 def test_remove_duplicated_spans_surgery(spark):

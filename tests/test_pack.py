@@ -93,6 +93,9 @@ def test_shard_assignments_exact_oracle_and_balance(spark):
         for r in shard_assignments(df, n_shards=8, seed=7).collect()
     }
     assert got7 != want
+    from marker_spark.cacheutil import release_all
+
+    release_all()  # each call registered a range-partitioned persist
 
 
 def test_shard_assignments_never_single_partition(spark):
@@ -105,3 +108,6 @@ def test_shard_assignments_never_single_partition(spark):
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SinglePartition" not in plan
+    from marker_spark.cacheutil import release_all
+
+    release_all()

@@ -183,6 +183,7 @@ def test_boilerplate_spans_match_counting_reference(spark, texts_list):
     k-grams (and within-doc repeats) common, exercising the DF count,
     the hot cutoff boundary, island adjacency merges, and the min_len
     filter against a brute-force dict-of-sets reference."""
+    from marker_spark.cacheutil import release_all
     from marker_spark.ops.dedup import boilerplate_spans
 
     texts = dict(enumerate(texts_list))
@@ -193,4 +194,5 @@ def test_boilerplate_spans_match_counting_reference(spark, texts_list):
         (r["doc_id"], r["start"], r["span_len"])
         for r in boilerplate_spans(df, k=4, min_len=6, max_df=2).collect()
     }
+    release_all()  # boilerplate_spans registers a persisted gram table
     assert got == _reference_boilerplate(texts, k=4, min_len=6, max_df=2)
