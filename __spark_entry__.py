@@ -688,6 +688,31 @@ def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mixing (ops/sample.weighted_interleave): three
+    sources at 2:1:1 weights interleaved by stride scheduling; reports
+    each source's count in the first-40 training prefix (proportions
+    within 1 of 20/10/10 by construction while supply lasts — the
+    smallest fixture has 25 docs per source) plus its first doc id.
+    Rows-only tail entry; exact DuckDB permutation parity is pinned by
+    tests/test_sample.py."""
+    from marker_spark.ops.sample import weighted_interleave
+
+    docs = _read(spark, sf_dir, "documents")
+    mixed = weighted_interleave(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}, salt="s42"
+    )
+    prefix = mixed.orderBy("mix_vt", "source", "doc_id").limit(40)
+    return (
+        prefix.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_prefix"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_marker_membership_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact oracle of the Bloom time-range lookup: which early-window
     markers reappear in the late window (semi-join form)."""
@@ -2064,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode": q_multimodal_real_decode,
         "media_metadata": q_media_metadata,
         "shard_layout": q_shard_layout,
+        "curriculum_mix": q_curriculum_mix,
     }
 
 

@@ -56,3 +56,43 @@ def stratified_bottom_k(
         .where(F.col("__rn") <= k_per_group)
         .drop("__rn")
     )
+
+
+def weighted_interleave(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "s42",
+) -> DataFrame:
+    """Deterministic curriculum mixing — interleave sources into one
+    stream whose every prefix holds each source in (close to) its
+    configured proportion, via STRIDE SCHEDULING: the i-th doc of
+    source s (i = 1-based md5-rank within s) gets virtual time
+    i / weight_s, and the stream is ordered by (vt, source, rank).  A
+    length-L prefix then contains floor/ceil(weight_s * L) docs of s —
+    the property round-robin gives for equal weights, generalized.
+
+    Sources absent from ``weights`` are dropped (weight 0).  Returns
+    the input columns plus ``mix_vt`` (double); consume a bounded
+    training prefix with ``orderBy('mix_vt', group_col).limit(n)`` —
+    a TakeOrdered, no global sort or single-partition window.  The
+    per-source rank is the same md5 order as :func:`bottom_k_sample`,
+    so the mix is engine-independent and resume-stable, and i/w is one
+    IEEE division of exact integers — bit-identical in any engine.
+    """
+    bad = {g: w for g, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive, got {bad}")
+    from pyspark.sql import Window
+
+    wts = F.create_map(
+        *[x for g, w in sorted(weights.items()) for x in (F.lit(g), F.lit(float(w)))]
+    )
+    w_rank = Window.partitionBy(group_col).orderBy(_rank_col(id_col, salt))
+    return (
+        df.where(F.col(group_col).isin(list(weights)))
+        .withColumn("__i", F.row_number().over(w_rank))
+        .withColumn("mix_vt", F.col("__i") / wts[F.col(group_col)])
+        .drop("__i")
+    )

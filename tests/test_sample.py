@@ -40,3 +40,67 @@ def test_bottom_k_plan_is_take_ordered(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = bottom_k_sample(docs, 10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition heaps, no full sort
+
+
+def test_weighted_interleave_prefix_proportions_and_engine_parity(spark):
+    """Stride-scheduled mixing: every prefix of the stream holds each
+    source within 1 doc of its configured proportion, and the full
+    ordering replays exactly in DuckDB (same md5 ranks, same i/w
+    virtual times)."""
+    import duckdb
+
+    from marker_spark.ops.sample import weighted_interleave
+
+    # supply matches the weights (240:120:120 for .5:.25:.25): the
+    # prefix-proportion property holds only while every source still
+    # has docs left — a mismatched corpus degrades gracefully but is
+    # not what this asserts
+    rows = [
+        (f"{s}-{i}", s)
+        for s, n in (("web", 240), ("code", 120), ("math", 120))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    weights = {"web": 0.5, "code": 0.25, "math": 0.25}
+    mixed = weighted_interleave(df, weights, salt="s42")
+    stream = [
+        (r["doc_id"], r["source"])
+        for r in mixed.orderBy("mix_vt", "source", "doc_id").collect()
+    ]
+    assert len(stream) == 480
+    for L in (4, 40, 100, 240, 480):
+        prefix = stream[:L]
+        for s, w in weights.items():
+            cnt = sum(1 for _, g in prefix if g == s)
+            assert abs(cnt - w * L) <= 1, (L, s, cnt, w * L)
+    con = duckdb.connect()
+    want = con.execute("""
+        WITH docs AS (
+            SELECT s || '-' || CAST(i AS VARCHAR) AS doc_id, s AS source
+            FROM (VALUES ('web', 240), ('code', 120), ('math', 120)) AS t(s, n),
+                 unnest(generate_series(0, n - 1)) AS u(i)
+        ), ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5(doc_id || '|s42')) AS i
+            FROM docs
+        )
+        SELECT doc_id, source FROM ranked
+        ORDER BY i / (CASE source WHEN 'web' THEN 0.5 ELSE 0.25 END),
+                 source, doc_id
+    """).fetchall()
+    assert stream == [tuple(r) for r in want]
+
+
+def test_weighted_interleave_drops_unlisted_and_rejects_bad_weights(spark):
+    import pytest
+
+    from marker_spark.ops.sample import weighted_interleave
+
+    df = spark.createDataFrame(
+        [("a", "web"), ("b", "spam")], "doc_id string, source string"
+    )
+    got = weighted_interleave(df, {"web": 1.0}).collect()
+    assert [r["source"] for r in got] == ["web"]
+    with pytest.raises(ValueError, match="positive"):
+        weighted_interleave(df, {"web": 0.0})
