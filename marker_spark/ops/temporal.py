@@ -223,6 +223,7 @@ def sessionize(
     key_col: str,
     ts_col: str,
     gap_s: int = 1800,
+    slice_s: int | None = None,
 ) -> DataFrame:
     """Gap-based sessions per key: a new session starts when the
     in-key gap since the previous event exceeds ``gap_s`` seconds.
@@ -231,31 +232,112 @@ def sessionize(
     within the key), ``n_events``, ``start_us``/``end_us`` (exact
     epoch microseconds — integers survive any engine's float/timezone
     formatting), ``duration_us``.
+
+    ``slice_s`` is the hot-key defense (same idea as
+    :func:`asof_join`'s): the default plan sorts each key in one
+    window partition, so one bot key at 10^12 events is one straggling
+    task.  With ``slice_s`` set (seconds per time slice; pick it >>
+    ``gap_s``), local sessions are computed per (key, slice) and a
+    second pass over the BOUNDED per-(key, slice) summary stitches
+    sessions across slice boundaries (a slice's first local session
+    merges into the previous slice's last session when the boundary
+    gap is within ``gap_s``) and renumbers globally via a prefix sum
+    of sessions-started-per-slice.  Output is identical to the
+    unsalted plan (property-tested, ties and NULL timestamps
+    included).
     """
     # parquet may surface TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
     # (cast interprets NTZ in the session TZ — pin it to UTC, as the
     # driver contract and tests/conftest.py both do)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(key_col).orderBy(ts_col)
-    gapped = df.select(
-        F.col(key_col),
-        us.alias("__us"),
-        F.when(
-            us - F.lag(us).over(w) > gap_s * 1_000_000, F.lit(1)
-        ).otherwise(F.lit(0)).alias("__new"),
-    )
-    # default RANGE frame (peer-inclusive), NOT rowsBetween: events tied
-    # on (key, ts) must share one cumulative sum even when the tie group
-    # contains the session-start marker — a ROWS frame would split the
-    # tie group by unspecified sort order between the two window sorts,
-    # while RANGE matches both the strictly-greater gap rule (a 0-gap
-    # tie can never open a session) and the oracle's default framing.
-    w2 = Window.partitionBy(key_col).orderBy("__us")
-    with_session = gapped.select(
-        key_col,
-        "__us",
-        (F.sum("__new").over(w2) + 1).alias("session"),
-    )
+    gap_us = gap_s * 1_000_000
+    if slice_s is None:
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        gapped = df.select(
+            F.col(key_col),
+            us.alias("__us"),
+            F.when(
+                us - F.lag(us).over(w) > gap_us, F.lit(1)
+            ).otherwise(F.lit(0)).alias("__new"),
+        )
+        # default RANGE frame (peer-inclusive), NOT rowsBetween: events
+        # tied on (key, ts) must share one cumulative sum even when the
+        # tie group contains the session-start marker — a ROWS frame
+        # would split the tie group by unspecified sort order between
+        # the two window sorts, while RANGE matches both the
+        # strictly-greater gap rule (a 0-gap tie can never open a
+        # session) and the oracle's default framing.
+        w2 = Window.partitionBy(key_col).orderBy("__us")
+        with_session = gapped.select(
+            key_col,
+            "__us",
+            (F.sum("__new").over(w2) + 1).alias("session"),
+        )
+    else:
+        # NULL-ts events get a sentinel slice that sorts before every
+        # real one — reproducing the unsalted plan's nulls-first order
+        # (they fold into the key's first session, since their gaps are
+        # NULL and NULL > gap_us is false)
+        sentinel = -(1 << 62)
+        ev = df.select(
+            F.col(key_col),
+            us.alias("__us"),
+            F.coalesce(
+                F.floor(us / F.lit(slice_s * 1_000_000)), F.lit(sentinel)
+            ).alias("__slice"),
+        )
+        wl = Window.partitionBy(key_col, "__slice").orderBy("__us")
+        gapped = ev.select(
+            key_col,
+            "__slice",
+            "__us",
+            F.when(
+                F.col("__us") - F.lag("__us").over(wl) > gap_us, F.lit(1)
+            ).otherwise(F.lit(0)).alias("__new"),
+        )
+        local = gapped.select(
+            key_col,
+            "__slice",
+            "__us",
+            # 0-based local session; RANGE frame so tied timestamps
+            # share the cumulative sum (same rationale as unsalted)
+            F.sum("__new").over(wl).alias("__l"),
+        )
+        summary = local.groupBy(key_col, "__slice").agg(
+            F.min("__us").alias("__first"),
+            F.max("__us").alias("__last"),
+            F.max("__l").alias("__nloc"),  # local sessions beyond the first
+        )
+        ws = Window.partitionBy(key_col).orderBy("__slice")
+        # the boundary opens a new session iff this is the key's first
+        # slice or the cross-boundary gap strictly exceeds gap_us; a
+        # NULL gap (all-NULL-us neighbor) merges, matching nulls-first
+        bnew = F.when(F.row_number().over(ws) == 1, F.lit(1)).otherwise(
+            F.when(
+                F.col("__first") - F.lag("__last").over(ws) > gap_us, F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        wcum = ws.rowsBetween(Window.unboundedPreceding, -1)
+        base = (
+            summary.withColumn("__bnew", bnew)
+            .withColumn(
+                "__cum",
+                F.coalesce(
+                    F.sum(F.col("__bnew") + F.col("__nloc")).over(wcum), F.lit(0)
+                ),
+            )
+            # global ordinal of (slice, local l) = cum-started-before
+            # + bnew + l: l=0 continues the previous session when
+            # bnew=0, else opens ordinal cum+1
+            .select(
+                key_col, "__slice", (F.col("__cum") + F.col("__bnew")).alias("__base")
+            )
+        )
+        with_session = local.join(base, [key_col, "__slice"]).select(
+            key_col,
+            "__us",
+            (F.col("__base") + F.col("__l")).alias("session"),
+        )
     return with_session.groupBy(key_col, "session").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("__us").alias("start_us"),

@@ -368,6 +368,54 @@ def test_asof_join_dedup_ref_ts_matches_default_on_ties(spark):
 
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+                min_size=1, max_size=24))
+def test_sessionize_sliced_matches_unsalted(spark, rows):
+    """The slice_s hot-key salt must be a pure plan change: salted
+    sessionization (slice 600 s vs minute-scale events spanning many
+    slices, gap 300 s) returns the identical session table, including
+    duplicate timestamps, cross-boundary session merges, and NULL-ts
+    events (which fold into the key's first session, nulls-first)."""
+    from marker_spark.ops.temporal import sessionize
+
+    data = [(k, _ts(m)) for (k, m) in rows] + [(0, None), (1, None)]
+    df = spark.createDataFrame(data, "user_id int, ts timestamp")
+
+    def run(**kw):
+        return {
+            (r["user_id"], r["session"]):
+                (r["n_events"], r["start_us"], r["end_us"], r["duration_us"])
+            for r in sessionize(df, "user_id", "ts", gap_s=300, **kw).collect()
+        }
+
+    base = run()
+    sliced = run(slice_s=600)
+    assert base == sliced, {k: (base.get(k), sliced.get(k))
+                            for k in set(base) | set(sliced)
+                            if base.get(k) != sliced.get(k)}
+
+
+def test_sessionize_sliced_splits_hot_keys_in_plan(spark):
+    """With slice_s, the per-event window exchanges must partition on
+    (key, slice) — the whole point of the salt."""
+    import re
+
+    from marker_spark.ops.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, _ts(i)) for i in range(50)], "user_id int, ts timestamp"
+    )
+    out = sessionize(df, "user_id", "ts", gap_s=300, slice_s=600)
+    plan = out._jdf.queryExecution().explainString(
+        out._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    specs = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__slice" in s and "user_id" in s for s in specs), specs
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2000)),
                 min_size=1, max_size=20))
 def test_sessionize_property(spark, rows):
     """Randomized session parity vs a per-key Python scan (gap 300 s),
