@@ -80,7 +80,8 @@ def asof_join(
     out_vals = [f"{v}_asof" for v in value_cols]
     clash = (
         set(out_vals)
-        | {f"{ts_col}_asof", "__tag", "__ref", "__c", "__slice", "__out", "__cin"}
+        | {f"{ts_col}_asof", "__tag", "__ref", "__c", "__slice", "__us",
+           "__out", "__cin"}
     ) & set(probes.columns)
     if clash:
         raise ValueError(
@@ -303,10 +304,14 @@ def sessionize(
             # share the cumulative sum (same rationale as unsalted)
             F.sum("__new").over(wl).alias("__l"),
         )
-        summary = local.groupBy(key_col, "__slice").agg(
+        # summary derives from GAPPED (pre-cumsum): sum(__new) per
+        # slice equals max(__l) but skips re-running the event-scale
+        # cumulative-sum window in the summary branch of the plan —
+        # same pre-window-subtree rule as asof_join's carry-out
+        summary = gapped.groupBy(key_col, "__slice").agg(
             F.min("__us").alias("__first"),
             F.max("__us").alias("__last"),
-            F.max("__l").alias("__nloc"),  # local sessions beyond the first
+            F.sum("__new").alias("__nloc"),  # local sessions beyond the first
         )
         ws = Window.partitionBy(key_col).orderBy("__slice")
         # the boundary opens a new session iff this is the key's first

@@ -340,15 +340,16 @@ def test_boilerplate_spans_covers_the_high_df_exemption(spark):
         ),
     ).collect()
     assert len(cleaned) == 10
+    from marker_spark.cacheutil import release_all
+
+    release_all()  # BEFORE the asserts: a failing assertion must not
+    # leak the registered gram persists into the session-scoped fixture
     for r in cleaned:
         # the shared region extends past the boiler sentence through
         # "unique tail number " (all docs share it up to the digit):
         # everything before the per-doc digit is excised everywhere
         assert r["text"] == f"{r['doc_id']} with nothing shared", r["text"][:60]
         assert r["n_chars_after"] < r["n_chars_before"]
-    from marker_spark.cacheutil import release_all
-
-    release_all()  # each boilerplate_spans call registered a gram table
 
 
 def test_boilerplate_spans_merges_adjacent_islands(spark):
@@ -370,13 +371,13 @@ def test_boilerplate_spans_merges_adjacent_islands(spark):
         (r["doc_id"], r["start"], r["span_len"])
         for r in boilerplate_spans(docs, k=8, min_len=10, max_df=3).collect()
     }
+    from marker_spark.cacheutil import release_all
+
+    release_all()  # before the asserts (failure must not leak persists)
     for d in range(5):
         assert (d, 1, 80) in got, sorted(got)
     gap_doc = sorted((s, l) for (d, s, l) in got if d == 5)
     assert len(gap_doc) == 2 and gap_doc[0][0] == 1, gap_doc
-    from marker_spark.cacheutil import release_all
-
-    release_all()
 
 
 def test_remove_duplicated_spans_surgery(spark):

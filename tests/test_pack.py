@@ -92,10 +92,10 @@ def test_shard_assignments_exact_oracle_and_balance(spark):
         r["doc_id"]: (r["shard"], r["pos"])
         for r in shard_assignments(df, n_shards=8, seed=7).collect()
     }
-    assert got7 != want
     from marker_spark.cacheutil import release_all
 
-    release_all()  # each call registered a range-partitioned persist
+    release_all()  # before the assert (failure must not leak persists)
+    assert got7 != want
 
 
 def test_shard_assignments_never_single_partition(spark):
@@ -107,7 +107,7 @@ def test_shard_assignments_never_single_partition(spark):
     plan = shard_assignments(df, n_shards=4)._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
-    assert "SinglePartition" not in plan
     from marker_spark.cacheutil import release_all
 
     release_all()
+    assert "SinglePartition" not in plan
