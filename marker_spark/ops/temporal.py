@@ -63,7 +63,9 @@ def asof_join(
     pass carries each slice's last reference across slice boundaries
     (the standard two-pass fix): within-slice carry wins when present,
     else the nearest earlier (later, for forward) slice's carry-out.
-    Results are identical to the unsalted plan (property-tested);
+    Results are identical to the unsalted plan (property-tested,
+    NULL keys and NULL timestamps included — the stitch joins are
+    null-safe on the key);
     ``ts_col`` must be timestamp-typed or integer epoch MICROseconds.
 
     Note that SQL oracles (e.g. DuckDB's native ASOF
@@ -81,7 +83,7 @@ def asof_join(
     clash = (
         set(out_vals)
         | {f"{ts_col}_asof", "__tag", "__ref", "__c", "__slice", "__us",
-           "__out", "__cin"}
+           "__out", "__cin", "__k2", "__s2", "__k3", "__s3"}
     ) & set(probes.columns)
     if clash:
         raise ValueError(
@@ -186,9 +188,23 @@ def asof_join(
         )
         # every (key, slice) present on either side gets a carry-in row:
         # probe-only slices must inherit from the nearest earlier
-        # (later, forward) reference-bearing slice
+        # (later, forward) reference-bearing slice.  Both joins below
+        # are NULL-SAFE on the key: a name-based equi-join silently
+        # drops NULL-key rows, while the unsalted window plan treats
+        # NULL as a real group (review finding r6 — the salted plan
+        # lost cross-slice matches for NULL-key probes).
         slices = u.select(key_col, "__slice").distinct()
-        boundary = slices.join(ref_bound, [key_col, "__slice"], "left")
+        rb = ref_bound.select(
+            F.col(key_col).alias("__k3"),
+            F.col("__slice").alias("__s3"),
+            "__out",
+        )
+        boundary = slices.join(
+            rb,
+            F.col(key_col).eqNullSafe(F.col("__k3"))
+            & F.col("__slice").eqNullSafe(F.col("__s3")),
+            "left",
+        ).drop("__k3", "__s3")
         slice_order = (
             F.col("__slice").asc()
             if direction == "backward"
@@ -198,16 +214,23 @@ def asof_join(
             Window.unboundedPreceding, -1
         )
         carry_in = boundary.select(
-            key_col,
-            "__slice",
+            F.col(key_col).alias("__k2"),
+            F.col("__slice").alias("__s2"),
             F.last("__out", ignorenulls=True).over(wb).alias("__cin"),
         )
-        # left join: a NULL-ts probe has a NULL slice and must survive
-        # to the gated no-match output, not be dropped by the equi-join
+        # left join (NULL-ts probes have a NULL slice and must survive
+        # to the gated no-match output) and NULL-SAFE on the key (a
+        # NULL-key probe must still inherit NULL-key carry-outs — the
+        # unsalted plan sessions NULL keys like any other group)
         carried = (
-            carried.join(carry_in, [key_col, "__slice"], "left")
+            carried.join(
+                carry_in,
+                F.col(key_col).eqNullSafe(F.col("__k2"))
+                & F.col("__slice").eqNullSafe(F.col("__s2")),
+                "left",
+            )
             .withColumn("__c", F.coalesce("__c", "__cin"))
-            .drop("__slice", "__us", "__cin")
+            .drop("__slice", "__us", "__cin", "__k2", "__s2")
         )
     probe_cols = [c for c in probes.columns]
     # a NULL-ts probe has no defined position in time: no match (its
@@ -244,8 +267,8 @@ def sessionize(
     merges into the previous slice's last session when the boundary
     gap is within ``gap_s``) and renumbers globally via a prefix sum
     of sessions-started-per-slice.  Output is identical to the
-    unsalted plan (property-tested, ties and NULL timestamps
-    included).
+    unsalted plan (property-tested; ties, NULL timestamps, and NULL
+    keys included — the stitch join is null-safe on the key).
     """
     # parquet may surface TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
     # (cast interprets NTZ in the session TZ — pin it to UTC, as the
@@ -335,10 +358,20 @@ def sessionize(
             # + bnew + l: l=0 continues the previous session when
             # bnew=0, else opens ordinal cum+1
             .select(
-                key_col, "__slice", (F.col("__cum") + F.col("__bnew")).alias("__base")
+                F.col(key_col).alias("__k2"),
+                F.col("__slice").alias("__s2"),
+                (F.col("__cum") + F.col("__bnew")).alias("__base"),
             )
         )
-        with_session = local.join(base, [key_col, "__slice"]).select(
+        # NULL-SAFE stitch join on the key: the unsalted window plan
+        # sessions NULL keys as a real group, so a name-based inner
+        # equi-join here would silently drop every NULL-key event
+        # (review finding r6)
+        with_session = local.join(
+            base,
+            F.col(key_col).eqNullSafe(F.col("__k2"))
+            & (F.col("__slice") == F.col("__s2")),
+        ).select(
             key_col,
             "__us",
             (F.col("__base") + F.col("__l")).alias("session"),

@@ -130,17 +130,22 @@ from hypothesis import strategies as st
 
 @st.composite
 def _event_sets(draw):
-    n_keys = draw(st.integers(1, 3))
+    # NULL is a real key: both the unsalted window plan and the sliced
+    # salt must treat it as its own group (the r6 null-unsafe stitch
+    # joins silently dropped it — keep it in the generated region)
+    keys: list[int | None] = list(range(draw(st.integers(1, 3))))
+    if draw(st.booleans()):
+        keys.append(None)
     mk = lambda: sorted(  # noqa: E731
         draw(st.lists(st.integers(0, 5000), min_size=0, max_size=12))
     )
     refs, probes = [], []
     next_id = 0
-    for k in range(n_keys):
+    for k in keys:
         # unique ref timestamps per key: with duplicates the carried
         # value is unspecified (any implementation may pick either)
         for i, m in enumerate(sorted(set(mk()))):
-            refs.append((k, m, float(k * 100 + i)))
+            refs.append((k, m, float((900 if k is None else k * 100) + i)))
         for m in mk():
             probes.append((k, next_id, m))
             next_id += 1
@@ -291,7 +296,48 @@ def test_asof_join_sliced_matches_unsalted(spark, data):
                                  for k in base if base[k] != sliced.get(k)})
 
 
-def test_asof_join_sliced_splits_hot_keys_in_plan(spark):
+def test_sliced_plans_keep_null_keys(spark):
+    """Deterministic pin of the r6 review repro: NULL is a real group
+    in the unsalted plans, and every stitch join in the sliced plans
+    must be null-safe on the key.  (a) asof_join: a NULL-key probe in a
+    LATER slice than the only NULL-key reference must still match
+    cross-slice.  (b) sessionize: NULL-key events must emit the same
+    sessions salted as unsalted."""
+    from marker_spark.ops.temporal import asof_join, sessionize
+
+    # (a) ref at t=0 (slice 0), probe at t=5min (slice 2 at 120 s)
+    rdf = spark.createDataFrame(
+        [(None, _ts(0), 1.0)], "user_id int, ts timestamp, value double"
+    )
+    pdf = spark.createDataFrame(
+        [(None, 100, _ts(5))], "user_id int, event_id int, ts timestamp"
+    )
+    for direction in ("backward", "forward"):
+        p = pdf if direction == "backward" else spark.createDataFrame(
+            [(None, 100, _ts(-5))], "user_id int, event_id int, ts timestamp"
+        )
+        for kw in ({}, {"slice_s": 120}):
+            row = asof_join(
+                p, rdf, "user_id", "ts", ["value"], direction=direction, **kw
+            ).collect()[0]
+            assert (row["value_asof"], row["ts_asof"]) == (1.0, _ts(0)), (
+                direction, kw, row,
+            )
+    # (b) two NULL-key sessions (gap 40 min > 30), straddling slices
+    sdf = spark.createDataFrame(
+        [(None, _ts(0)), (None, _ts(5)), (None, _ts(45)), (None, _ts(46))],
+        "user_id int, ts timestamp",
+    )
+
+    def sess(**kw):
+        return {
+            (r["user_id"], r["session"]): (r["n_events"], r["start_us"], r["end_us"])
+            for r in sessionize(sdf, "user_id", "ts", gap_s=1800, **kw).collect()
+        }
+
+    base = sess()
+    assert len(base) == 2 and all(k is None for (k, _) in base)
+    assert sess(slice_s=600) == base
     """The point of slice_s: the window exchange must partition on
     (key, slice), not key alone — one bot user must not become one
     straggling sort partition."""
@@ -373,11 +419,19 @@ def test_sessionize_sliced_matches_unsalted(spark, rows):
     """The slice_s hot-key salt must be a pure plan change: salted
     sessionization (slice 600 s vs minute-scale events spanning many
     slices, gap 300 s) returns the identical session table, including
-    duplicate timestamps, cross-boundary session merges, and NULL-ts
-    events (which fold into the key's first session, nulls-first)."""
+    duplicate timestamps, cross-boundary session merges, NULL-ts
+    events (which fold into the key's first session, nulls-first), and
+    NULL-KEY events — a real group in the unsalted window plan that a
+    null-unsafe stitch join silently drops (review finding r6); the
+    fixed NULL-key rows span slices 1500 s apart so the cross-slice
+    stitch itself runs for the NULL key."""
     from marker_spark.ops.temporal import sessionize
 
-    data = [(k, _ts(m)) for (k, m) in rows] + [(0, None), (1, None)]
+    data = [(k, _ts(m)) for (k, m) in rows] + [
+        (0, None), (1, None),
+        (None, _ts(2)), (None, _ts(3)), (None, _ts(9)), (None, _ts(11)),
+        (None, _ts(28)), (None, None),
+    ]
     df = spark.createDataFrame(data, "user_id int, ts timestamp")
 
     def run(**kw):
