@@ -530,12 +530,12 @@ def q_corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text")
         .persist()
     )
-    # stages 2+3: span detection on the FILTERED corpus, then excision
+    # stages 2+3: span detection on the FILTERED corpus, then excision;
+    # source rides the removal via carry_cols instead of a second
+    # corpus-wide join back onto the cleaned table
     spans = duplicated_spans(kept, k=24, min_len=40, max_df=16, max_occ=64)
     cleaned = register(
-        remove_duplicated_spans(kept, spans)
-        .join(kept.select("doc_id", "source"), "doc_id")
-        .persist()
+        remove_duplicated_spans(kept, spans, carry_cols=("source",)).persist()
     )
     # stage 4: decontamination — benchmark = md5-bottom-20 of the
     # ORIGINAL corpus (an external eval suite stand-in; its shingles

@@ -1003,6 +1003,7 @@ def remove_duplicated_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cut duplicated spans OUT of the corpus (the removal half of
     Lee et al.'s substring dedup): each span keeps its doc_a occurrence
@@ -1020,7 +1021,19 @@ def remove_duplicated_spans(
        without relying on collect_list ordering.
 
     Returns the full corpus with ``text`` rewritten (untouched docs
-    pass through) plus n_chars_before/n_chars_after.
+    pass through) plus n_chars_before/n_chars_after.  ``carry_cols``
+    names per-doc scalar columns of ``docs`` (e.g. ``("source",)``) to
+    carry into the output — cheaper than a corpus-wide join back onto
+    the result (they ride the rebuild groupBy as extra keys, exact
+    because they are constant per doc).
+
+    Scale shape: only AFFECTED docs (those carrying at least one span)
+    enter the segment join + rebuild aggregation; the untouched rest —
+    the overwhelming majority of a mostly-clean corpus — take a
+    map-only anti-join passthrough.  An earlier draft shuffled the
+    ENTIRE corpus text through the collect_list rebuild, paying a
+    corpus-sized exchange to reassemble documents that were never cut
+    (review follow-up r7).
     """
     from pyspark.sql import Window
 
@@ -1037,11 +1050,19 @@ def remove_duplicated_spans(
     prev_max = F.max("e").over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1)
     )
-    islands = (
-        iv.withColumn("new_island", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("int"))
+    islands = register(
+        # three consumers (segments, affected-semi, untouched-anti):
+        # without a persist each one re-runs the whole upstream span
+        # subtree — for duplicated_spans that is the gram pair join and
+        # both windows, three times over.  O(spans) rows, tiny relative
+        # to the corpus.
+        iv.withColumn(
+            "new_island", (F.col("s") > F.coalesce(prev_max, F.lit(-1))).cast("int")
+        )
         .withColumn("island", F.sum("new_island").over(w_ord))
         .groupBy("__id", "island")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .persist()
     )
     # complement segments: [prev_e+1, s-1] before each island, and the
     # tail [last_e+1, len] appended at rebuild time via the doc join
@@ -1055,28 +1076,28 @@ def remove_duplicated_spans(
     kept = seg.select("__id", "seg_start", "seg_end").unionByName(
         tail.select("__id", "seg_start", F.lit(None).cast("long").alias("seg_end"))
     )
-    docs_k = docs.join(kept, docs[id_col] == kept["__id"], "left")
+    affected = islands.select("__id").distinct()
+    docs_aff = docs.join(affected, docs[id_col] == affected["__id"], "left_semi")
     seg_end_eff = F.coalesce(F.col("seg_end"), F.length(text_col).cast("long"))
     part = F.when(
-        F.col("seg_start").isNull(),  # untouched doc
-        F.col(text_col),
-    ).otherwise(
-        F.when(
-            seg_end_eff >= F.col("seg_start"),
-            F.expr(
-                f"substring({text_col}, cast(seg_start as int), "
-                f"cast(coalesce(seg_end, length({text_col})) - seg_start + 1 as int))"
-            ),
-        ).otherwise(F.lit(""))
-    )
+        seg_end_eff >= F.col("seg_start"),
+        F.expr(
+            f"substring({text_col}, cast(seg_start as int), "
+            f"cast(coalesce(seg_end, length({text_col})) - seg_start + 1 as int))"
+        ),
+    ).otherwise(F.lit(""))
+    carried = [F.col(c) for c in carry_cols]
     rebuilt = (
-        docs_k.select(
+        # inner join: every affected doc has at least one segment row
+        docs_aff.join(kept, docs_aff[id_col] == kept["__id"])
+        .select(
             F.col(id_col).alias("doc_id"),
             F.length(text_col).alias("n_chars_before"),
-            F.coalesce(F.col("seg_start"), F.lit(1)).alias("seg_start"),
+            F.col("seg_start"),
             part.alias("part"),
+            *carried,
         )
-        .groupBy("doc_id", "n_chars_before")
+        .groupBy("doc_id", "n_chars_before", *carry_cols)
         .agg(
             F.concat_ws(
                 "",
@@ -1086,17 +1107,22 @@ def remove_duplicated_spans(
                 ),
             ).alias("text")
         )
-        # a NULL-text doc has no grams, hence no spans: it is always
-        # untouched and must come back NULL, not '' (concat_ws skips
-        # nulls).  n_chars_before is NULL exactly for those docs.
-        .withColumn(
-            "text",
-            F.when(F.col("n_chars_before").isNull(), F.lit(None).cast("string"))
-            .otherwise(F.col("text")),
-        )
         .withColumn("n_chars_after", F.length("text"))
+        .select("doc_id", "n_chars_before", "text", "n_chars_after", *carry_cols)
     )
-    return rebuilt
+    # untouched docs (incl. every NULL-text doc — no grams, no spans)
+    # pass through map-only: length() keeps NULL for NULL text, so the
+    # NULL-text contract (text stays NULL, not '') holds for free
+    untouched = docs.join(
+        affected, docs[id_col] == affected["__id"], "left_anti"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars_before"),
+        F.col(text_col).alias("text"),
+        F.length(text_col).alias("n_chars_after"),
+        *carried,
+    )
+    return rebuilt.unionByName(untouched)
 
 
 def _cc_round_edges(edges: DataFrame) -> DataFrame:
