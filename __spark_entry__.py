@@ -670,8 +670,9 @@ def q_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-level deterministic shuffle + balanced shard layout
     (ops/pack.shard_assignments): per-shard doc counts (within 1 of
     each other by construction), position ranges, and an id checksum.
-    Rows-only tail entry; the exact DuckDB permutation parity is
-    pinned by tests/test_pack.py."""
+    Exact oracle: DuckDB replays the identical md5('42:'||id) global
+    rank and round-robin layout; per-doc (shard, pos) parity is
+    additionally pinned by tests/test_pack.py."""
     from marker_spark.ops.pack import shard_assignments
 
     docs = _read(spark, sf_dir, "documents")
@@ -694,8 +695,9 @@ def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source's count in the first-40 training prefix (proportions
     within 1 of 20/10/10 by construction while supply lasts — the
     smallest fixture has 25 docs per source) plus its first doc id.
-    Rows-only tail entry; exact DuckDB permutation parity is pinned by
-    tests/test_sample.py."""
+    Exact oracle: DuckDB replays the same md5 per-source ranks and
+    IEEE-double i/w virtual times; full-stream ordering parity is
+    additionally pinned by tests/test_sample.py."""
     from marker_spark.ops.sample import weighted_interleave
 
     docs = _read(spark, sf_dir, "documents")
@@ -707,7 +709,7 @@ def q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_in_prefix"),
-            F.min("doc_id").alias("min_doc_id"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
         )
         .orderBy("source")
     )
@@ -2032,7 +2034,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "duplicated_spans": q_duplicated_spans,
-        "duplicated_token_spans": q_duplicated_token_spans,
         "span_removal": q_span_removal,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_spans": q_corpus_prep_spans,
@@ -2060,7 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "lm_quality_perplexity": q_lm_quality_perplexity,
         "sample_uniform": q_sample_uniform,
-        "sample_stratified": q_sample_stratified,
+        "shard_layout": q_shard_layout,
+        "curriculum_mix": q_curriculum_mix,
         "sketch_table_probe": q_sketch_table_probe,
         "cache_timerange_lookup": q_cache_timerange_lookup,
         # -- rows-only entries (sketch estimates / hash-dependent) --
@@ -2081,6 +2083,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sort reversed (property-tested vs a per-key Python scan)
         "dedup_clusters_logstar": q_dedup_clusters_logstar,
         "asof_join_forward": q_asof_join_forward,
+        # oracle RETIRED round 7 to free driver-window slots for
+        # shard_layout/curriculum_mix: token spans are the word-unit
+        # sibling of green duplicated_spans (same diagonal-run kernel),
+        # stratified sampling the per-group sibling of green
+        # sample_uniform — both retired SQL oracles still run verbatim
+        # in tests/test_retired_oracles.py
+        "duplicated_token_spans": q_duplicated_token_spans,
+        "sample_stratified": q_sample_stratified,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dup": q_simhash_near_dup,
         "winnowing_dups": q_winnowing_dups,
@@ -2840,48 +2850,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_shared DESC, id_a, id_b
             LIMIT 20
         """,
-        # Word-shingle variant of the span oracle: same island trick,
-        # gram = 6-word shingle string (regexp_split + inclusive array
-        # slice), positions are word indices.
-        "duplicated_token_spans": """
-            WITH w AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-                FROM documents WHERE trim(coalesce(text, '')) <> ''
-            ), grams AS (
-                SELECT doc_id, CAST(t.i AS INT) AS pos,
-                       array_to_string(
-                           words[CAST(t.i AS INT):CAST(t.i AS INT) + 5], ' ') AS g
-                FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 6
-                     THEN generate_series(1, len(words) - 5) ELSE [] END) AS t(i)
-            ), keep AS (
-                SELECT g FROM grams GROUP BY g
-                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
-            ), fg AS (
-                SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
-            ), pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.pos AS pos_a, a.pos - b.pos AS diag
-                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
-            ), islands AS (
-                SELECT doc_a, doc_b, diag, pos_a,
-                       pos_a - ROW_NUMBER() OVER (
-                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-                FROM pairs
-            ), spans AS (
-                SELECT doc_a, doc_b, MIN(pos_a) AS start_a,
-                       MIN(pos_a) - diag AS start_b,
-                       COUNT(*) + 5 AS span_words
-                FROM islands GROUP BY doc_a, doc_b, diag, grp
-            )
-            SELECT CAST(doc_a AS BIGINT) AS doc_a,
-                   CAST(doc_b AS BIGINT) AS doc_b,
-                   CAST(start_a AS BIGINT) AS start_a,
-                   CAST(start_b AS BIGINT) AS start_b,
-                   CAST(span_words AS BIGINT) AS span_words
-            FROM spans WHERE span_words >= 10
-            ORDER BY span_words DESC, doc_a, doc_b, start_a, start_b
-            LIMIT 20
-        """,
         # Same span set as duplicated_spans (no limit), then the same
         # island-merge / complement-segment / ordered-concat rebuild;
         # the hash covers the full cleaned text strings.
@@ -3422,15 +3390,53 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's42'))
             LIMIT 50
         """,
-        "sample_stratified": """
-            SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+        # Independent replay of the seeded epoch permutation: DuckDB
+        # computes the identical md5('42:'||id) global rank (same
+        # tiebreak), so the round-robin shard/pos layout is byte-equal;
+        # tests/test_pack.py additionally pins per-doc (shard, pos)
+        # parity and partition-count invariance.
+        "shard_layout": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (
+                           ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+                       ) - 1 AS rank
+                FROM documents
+            )
+            SELECT CAST(rank % 16 AS BIGINT) AS shard,
+                   COUNT(*) AS n_docs,
+                   CAST(MIN(rank // 16) AS BIGINT) AS min_pos,
+                   CAST(MAX(rank // 16) AS BIGINT) AS max_pos,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM ranked
+            GROUP BY rank % 16
+            ORDER BY shard
+        """,
+        # Stride-schedule replay: same per-source md5 rank, same
+        # IEEE-double i/w virtual time (CAST to DOUBLE — DuckDB's
+        # int/decimal division is decimal arithmetic otherwise), same
+        # (vt, source, doc_id) prefix order.
+        "curriculum_mix": """
+            WITH ranked AS (
                 SELECT doc_id, source,
-                       row_number() OVER (
+                       ROW_NUMBER() OVER (
                            PARTITION BY source
                            ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's42'))
-                       ) AS rn
+                       ) AS i
                 FROM documents
-            ) WHERE rn <= 3
+                WHERE source IN ('src0', 'src1', 'src2')
+            ), prefix AS (
+                SELECT doc_id, source
+                FROM ranked
+                ORDER BY CAST(i AS DOUBLE) / (CASE source WHEN 'src0'
+                             THEN CAST(0.5 AS DOUBLE)
+                             ELSE CAST(0.25 AS DOUBLE) END),
+                         source, doc_id
+                LIMIT 40
+            )
+            SELECT source, COUNT(*) AS n_in_prefix,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+            FROM prefix GROUP BY source ORDER BY source
         """,
         # Same md5-based shingle-min construction; md5 agrees between
         # Spark and DuckDB so the fingerprint hex strings are identical.
