@@ -638,7 +638,13 @@ def main() -> None:
             bucketed_state.update(secs=bsecs_, tps=btps_)
         return bsecs_
 
-    timed_trials(_one_bucketed, min_trials=2, max_trials=4)
+    # min 3 trials for the same reason as the headline build: this is
+    # the north-rule production-shape number, it runs LAST in the sweep
+    # (storage/worker state varies), and warm same-code trials at ~0%
+    # steal span ~1.6x on this host (round-7 re-measure: 8.7-13.7 s at
+    # 400k docs) — two trials are a coin flip between a good and a bad
+    # window that steal certification cannot see.
+    timed_trials(_one_bucketed, min_trials=3, max_trials=6)
     bsecs, btps = bucketed_state["secs"], bucketed_state["tps"]
     timings["sketch_build_bucketed"] = round(bsecs, 3)
 
