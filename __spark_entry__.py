@@ -318,6 +318,111 @@ def _embedding_lsh_oracle_sql(dim: int = _LSH_DEDUP_DIM) -> str:
     """
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_SEED = 7
+_SEMDEDUP_THRESHOLD = 0.95
+_SEMDEDUP_CLONE_MOD = 7
+_SEMDEDUP_CLONE_OFFSET = 100000
+
+
+def _semdedup_centroid_matrix(dim: int = _LSH_DEDUP_DIM):
+    """Seeded unit-vector centroids for the driver query: the SemDeDup
+    RULE is centroid-agnostic (any partition of the space gives a valid
+    semantic-dedup pass), and data-independent centroids are what lets
+    one static oracle replay the assignment as literals at EVERY sf —
+    the same reason the LSH oracle bakes plane literals.  Production
+    runs pass kmeans_centroids() output instead (unit-tested against a
+    numpy replica in tests/test_dedup_ops.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(_SEMDEDUP_SEED)
+    c = rng.standard_normal((_SEMDEDUP_K, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup over the embeddings
+    table: coarse-quantizer cells + the paper's upper-triangular rule
+    (drop a vector iff a LOWER-id cluster-mate has cosine >= 0.95).
+    The fixture vectors are near-orthogonal (best natural cosine ~0.33)
+    so positives are injected deterministically: every 7th vector gets
+    an exact clone at vec_id + 100000 — the pii_redaction/boilerplate
+    augmentation pattern — and the query must flag exactly the clones.
+
+    EXACTLY oracle-able end to end: seeded centroid literals replay the
+    argmax-of-rounded-dots assignment in DuckDB (first-index ties via
+    list_position), the blocked cosine join replays via
+    list_cosine_similarity, and the -1.0 sentinel keeps the no-dup rows
+    hash-comparable (cross-engine NULL doubles are not)."""
+    from marker_spark.ops.dedup import semdedup_flags
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    assert dim == _LSH_DEDUP_DIM, (
+        f"embeddings dim {dim} != {_LSH_DEDUP_DIM}; regenerate the "
+        f"semdedup oracle via _semdedup_oracle_sql(dim)"
+    )
+    base = emb.select("vec_id", "embedding").unionByName(
+        emb.where(F.col("vec_id") % _SEMDEDUP_CLONE_MOD == 0).select(
+            (F.col("vec_id") + _SEMDEDUP_CLONE_OFFSET).alias("vec_id"),
+            "embedding",
+        )
+    )
+    flags = semdedup_flags(
+        base, _semdedup_centroid_matrix(dim), threshold=_SEMDEDUP_THRESHOLD
+    )
+    return flags.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("is_dup").cast("long").alias("is_dup"),
+        F.col("max_lower_cos"),
+    ).orderBy("vec_id")
+
+
+def _semdedup_oracle_sql(dim: int = _LSH_DEDUP_DIM) -> str:
+    """Generate the DuckDB oracle: same clone injection, same centroid
+    literals, argmax of round-6 dots with first-index ties, blocked
+    upper-triangular cosine rule."""
+    cents = _semdedup_centroid_matrix(dim)
+    dot_terms = ", ".join(
+        f"round(coalesce(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in cents[j])}]), 0.0), 6)"
+        for j in range(len(cents))
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + {_SEMDEDUP_CLONE_OFFSET}, embedding
+            FROM embeddings WHERE vec_id % {_SEMDEDUP_CLONE_MOD} = 0
+        ), dotted AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   [{dot_terms}] AS dots
+            FROM base
+        ), cells AS (
+            SELECT vec_id, v,
+                   list_position(dots, list_aggregate(dots, 'max')) - 1 AS cell
+            FROM dotted
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ), dropped AS (
+            SELECT id_b AS vec_id, round(max(cosine), 6) AS mlc
+            FROM pairs WHERE cosine >= {_SEMDEDUP_THRESHOLD}
+            GROUP BY id_b
+        )
+        SELECT CAST(c.vec_id AS BIGINT) AS vec_id,
+               CAST(c.cell AS BIGINT) AS cell,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_dup,
+               coalesce(d.mlc, -1.0) AS max_lower_cos
+        FROM cells c LEFT JOIN dropped d USING (vec_id)
+        ORDER BY vec_id
+    """
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per source by summed TF-IDF — pure
     Catalyst (explode, two aggs, vocabulary join, window top-k) with an
@@ -2034,7 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "duplicated_spans": q_duplicated_spans,
-        "span_removal": q_span_removal,
+        "semdedup": q_semdedup,
         "corpus_prep": q_corpus_prep,
         "corpus_prep_spans": q_corpus_prep_spans,
         "boilerplate_excision": q_boilerplate_excision,
@@ -2091,6 +2196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in tests/test_retired_oracles.py
         "duplicated_token_spans": q_duplicated_token_spans,
         "sample_stratified": q_sample_stratified,
+        # oracle RETIRED round 7 (late) to free a slot for semdedup:
+        # span_removal is subsumed by TWO green composed excision
+        # queries (corpus_prep_spans, boilerplate_excision) that run
+        # the same remove_duplicated_spans surgery under byte-exact
+        # text hashes — its full SQL runs verbatim in
+        # tests/test_retired_oracles.py
+        "span_removal": q_span_removal,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_dup": q_simhash_near_dup,
         "winnowing_dups": q_winnowing_dups,
@@ -2098,8 +2210,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "media_metadata": q_media_metadata,
-        "shard_layout": q_shard_layout,
-        "curriculum_mix": q_curriculum_mix,
     }
 
 
@@ -2853,76 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         # Same span set as duplicated_spans (no limit), then the same
         # island-merge / complement-segment / ordered-concat rebuild;
         # the hash covers the full cleaned text strings.
-        "span_removal": """
-            WITH grams AS (
-                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
-                       substring(d.text, CAST(t.i AS INT), 24) AS g
-                FROM documents d
-                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
-                     THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
-            ), keep AS (
-                SELECT g FROM grams GROUP BY g
-                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
-            ), fg AS (
-                SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
-            ), pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.pos AS pos_a, a.pos - b.pos AS diag
-                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
-            ), islands0 AS (
-                SELECT doc_a, doc_b, diag, pos_a,
-                       pos_a - ROW_NUMBER() OVER (
-                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-                FROM pairs
-            ), spans AS (
-                SELECT doc_a, doc_b, MIN(pos_a) - diag AS start_b,
-                       COUNT(*) + 23 AS span_len
-                FROM islands0 GROUP BY doc_a, doc_b, diag, grp
-                HAVING COUNT(*) + 23 >= 40
-            ), iv0 AS (
-                SELECT doc_b AS id, start_b AS s,
-                       MAX(start_b + span_len - 1) AS e
-                FROM spans GROUP BY doc_b, start_b
-            ), ord0 AS (
-                SELECT id, s, e, MAX(e) OVER (PARTITION BY id ORDER BY s
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-                FROM iv0
-            ), isl AS (
-                SELECT id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max
-                                          THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY id ORDER BY s) AS island
-                FROM ord0
-            ), merged AS (
-                SELECT id, island, MIN(s) AS s, MAX(e) AS e
-                FROM isl GROUP BY id, island
-            ), segs AS (
-                SELECT id,
-                       COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s) + 1, 1)
-                           AS seg_start,
-                       s - 1 AS seg_end
-                FROM merged
-                UNION ALL
-                SELECT id, MAX(e) + 1, NULL FROM merged GROUP BY id
-            ), rebuilt AS (
-                SELECT d.doc_id, length(d.text) AS n_chars_before,
-                       string_agg(
-                           CASE WHEN COALESCE(seg_end, length(d.text)) >= seg_start
-                                THEN substring(d.text, CAST(seg_start AS INT),
-                                     CAST(COALESCE(seg_end, length(d.text))
-                                          - seg_start + 1 AS INT))
-                                ELSE '' END,
-                           '' ORDER BY seg_start) AS text
-                FROM documents d JOIN segs ON segs.id = d.doc_id
-                GROUP BY d.doc_id, length(d.text)
-            )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(n_chars_before AS BIGINT) AS n_chars_before,
-                   CAST(length(text) AS BIGINT) AS n_chars_after,
-                   text
-            FROM rebuilt
-            ORDER BY n_chars_before - length(text) DESC, doc_id
-            LIMIT 20
-        """,
+        "semdedup": _semdedup_oracle_sql(),
         # Components via recursive transitive closure over the same exact
         # Jaccard pair predicate; min labels compare as strings on both
         # sides (cast to BIGINT only at the end), matching Spark.

@@ -10,6 +10,11 @@ operator from marker_spark.ops:
                         buckets) -> exact-Jaccard verify on candidates
                         only -> drop the higher-id doc of each verified
                         pair (ops/dedup.*)
+  3b. semantic dedup  — optional (--embeddings <parquet>): SemDeDup
+                        (Abbas et al. 2023) over an embeddings sidecar
+                        — k-means cells + drop any doc whose vector has
+                        a lower-id cosine-duplicate cluster-mate
+                        (ops/dedup.semdedup_flags)
   4. span excision    — optional (--span-k > 0): duplicated substring
                         spans across the surviving docs are cut out of
                         the higher-id copy (Lee et al.-style;
@@ -53,6 +58,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--boilerplate", action="store_true",
                     help="also excise spans shared by MORE than span-max-df "
                          "docs (the high-DF region the pair path exempts)")
+    ap.add_argument("--embeddings", default=None,
+                    help="optional embeddings sidecar parquet enabling the "
+                         "SemDeDup semantic-dedup stage (arXiv:2303.09540)")
+    ap.add_argument("--emb-id-col", default="doc_id")
+    ap.add_argument("--emb-vec-col", default="embedding")
+    ap.add_argument("--semdedup-cells", type=int, default=16,
+                    help="k-means cells; the paper's recipe grows this with "
+                         "the corpus to keep cluster size (the quadratic "
+                         "bound) ~constant")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95)
     args = ap.parse_args(argv)
     if args.boilerplate and args.span_k <= 0:
         ap.error("--boilerplate requires --span-k > 0 (it shares the "
@@ -107,6 +122,31 @@ def main(argv: list[str] | None = None) -> None:
     # pairs from the FULL candidate set, verified exactly; drop id_b side
     drop = verified.select(F.col("id_b").alias(idc)).distinct()
     clean = exact.join(drop, idc, "left_anti").drop("dup_count")
+
+    # 3b. optional SemDeDup semantic dedup (Abbas et al. 2023): an
+    #     embeddings sidecar table, k-means cells trained on a bounded
+    #     sample, and the paper's upper-triangular rule — drop any doc
+    #     whose vector has a lower-id semantic duplicate in its cell.
+    #     Docs without a vector pass through untouched (left_anti on
+    #     the flagged ids).
+    n_semdup = 0
+    if args.embeddings:
+        from marker_spark.ops.dedup import semdedup_flags
+        from marker_spark.ops.similarity import kmeans_centroids
+
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col(args.emb_id_col).alias(idc),
+            F.col(args.emb_vec_col).alias("embedding"),
+        )
+        # only surviving docs' vectors participate in clustering/pairs
+        emb = emb.join(clean.select(idc), idc, "left_semi")
+        cents = kmeans_centroids(emb, n_cells=args.semdedup_cells)
+        flagged = semdedup_flags(
+            emb, cents, id_col=idc, threshold=args.semdedup_threshold
+        )
+        sem_drop = flagged.where(F.col("is_dup") == 1).select(idc)
+        n_semdup = sem_drop.count()
+        clean = clean.join(sem_drop, idc, "left_anti")
 
     # 4. optional duplicated-span excision over the surviving docs:
     #    repeated substrings that survive document-level dedup (shared
@@ -183,6 +223,7 @@ def main(argv: list[str] | None = None) -> None:
         "near_dup_pairs_verified": verified.count(),
         "duplicated_spans_excised": n_spans,
         "boilerplate_spans_excised": n_boiler,
+        "semantic_dups_dropped": n_semdup,
         "output": args.output,
         "secs": round(time.time() - t0, 2),
     }))

@@ -612,6 +612,107 @@ def embedding_near_dup_pairs(
     )
 
 
+def assign_cells_expr(
+    df: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cell: int`` — index of the max-dot-product centroid,
+    computed ENTIRELY in Catalyst expressions (zip_with/aggregate dot
+    against centroid literals, argmax via array_position-of-array_max).
+
+    Centroids must be L2-normalized so argmax dot == argmax cosine
+    (the probe vector then needs no normalization at all).  Dots are
+    rounded to 6 decimals before the argmax and ties take the FIRST
+    index — both rules replay verbatim in SQL engines (DuckDB:
+    ``list_position(arr, list_aggregate(arr, 'max'))``), which makes
+    the assignment cross-engine deterministic the same way the cosine
+    oracles are.  NULL/missing vectors dot to 0 everywhere and land in
+    the first cell.
+
+    This is the oracle-stable sibling of :func:`similarity.ivf_assign`
+    (Arrow numpy matmul) — same contract; use that one in hot loops
+    where k is large, this one when the assignment must be replayed
+    by a second engine.  Cost is k aggregate expressions per row
+    (whole-stage-codegen'd, no Python)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dots = []
+    for j in range(len(cents)):
+        lit = F.array(*[F.lit(float(x)) for x in cents[j]])
+        d = F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dots.append(F.round(F.coalesce(d, F.lit(0.0)), 6))
+    arr = F.array(*dots)
+    cell = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    return df.withColumn("cell", cell)
+
+
+def semdedup_flags(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup:
+    cluster the embedding space with a coarse quantizer, then within
+    each cluster drop every vector whose cosine to some LOWER-ID
+    cluster-mate reaches ``threshold`` — the public reference
+    implementation's upper-triangular rule (a point survives iff no
+    earlier point in its cluster is a semantic duplicate of it).
+
+    Returns one row per input vector:
+    ``(id_col, cell int, is_dup int, max_lower_cos double)`` where
+    ``max_lower_cos`` is the best cosine to a lower-id cluster-mate at
+    or above threshold, ``-1.0`` when none (sentinel, not NULL —
+    cross-engine NULL doubles are not hash-comparable).
+
+    ``centroids`` come from :func:`similarity.kmeans_centroids` in
+    production (trained on a bounded sample, as the paper does) or any
+    deterministic unit-vector set when the run must be replayable by a
+    SQL oracle — the rule itself is centroid-agnostic.
+
+    Scale shape: the quadratic term is bounded by CLUSTER size, and the
+    paper's own recipe keeps cluster size ~constant by growing
+    ``n_clusters`` with the corpus (50k clusters for LAION-440M) — the
+    knob IS the bound, exactly like the LSH band / hyperplane-bucket
+    blocking elsewhere in this module.  The celled table is persisted
+    (registered with cacheutil) because the self-join would otherwise
+    re-evaluate the k-dot assignment on both sides; the join shuffles
+    (id, vector, cell) keyed by the small-int cell."""
+    celled = register(
+        assign_cells_expr(
+            df.select(id_col, vec_col), centroids, vec_col=vec_col
+        ).persist()
+    )
+    pairs = embedding_near_dup_pairs(
+        celled,
+        vec_col=vec_col,
+        id_col=id_col,
+        block_col="cell",
+        threshold=threshold,
+    )
+    dropped = pairs.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max("cosine").alias("__mlc")
+    )
+    return (
+        celled.select(id_col, "cell")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.when(F.col("__mlc").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_dup"),
+            F.round(F.coalesce(F.col("__mlc"), F.lit(-1.0)), 6).alias(
+                "max_lower_cos"
+            ),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

@@ -526,3 +526,69 @@ def test_twophase_cc_converges_in_log_rounds_on_a_path(spark):
     assert got == {(i, 0) for i in range(48)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=12)
+
+
+def test_semdedup_flags_matches_numpy_replica(spark):
+    """semdedup_flags (SemDeDup upper-triangular rule over k-means
+    cells) must agree row-for-row with a naive numpy replica of the
+    published algorithm: argmax-of-rounded-dots assignment (first max
+    on ties), then drop any vector whose round-6 cosine to a LOWER-id
+    cluster-mate reaches the threshold."""
+    import numpy as np
+    import pandas as pd
+
+    from marker_spark.ops.dedup import semdedup_flags
+    from marker_spark.ops.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    # 3 tight clusters around orthogonal-ish anchors + planted dups
+    anchors = rng.standard_normal((3, 16))
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+    rows = []
+    vecs = {}
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            v = anchors[c] + rng.standard_normal(16) * 0.15
+            vecs[vid] = v
+            rows.append((vid, v.astype(np.float32).tolist()))
+            vid += 1
+    # planted near-dups of ids 0, 21, 42 (one per cluster)
+    for src in (0, 21, 42):
+        v = vecs[src] + rng.standard_normal(16) * 0.003
+        vecs[vid] = v
+        rows.append((vid, v.astype(np.float32).tolist()))
+        vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(df, n_cells=3, seed=5)
+    got = {
+        r["vec_id"]: (r["cell"], r["is_dup"], r["max_lower_cos"])
+        for r in semdedup_flags(df, cents, threshold=0.995).collect()
+    }
+
+    # ---- numpy replica (float32 round-trip like the Spark column) ----
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i].astype(np.float32).astype(np.float64) for i in ids])
+    dots = np.round(mat @ np.asarray(cents).T, 6)
+    cell = np.argmax(dots, axis=1)  # first max on ties, same rule
+    want = {}
+    for pos, i in enumerate(ids):
+        best = -1.0
+        for qos, j in enumerate(ids):
+            if j >= i or cell[qos] != cell[pos]:
+                continue
+            a, b = mat[pos], mat[qos]
+            cos = round(
+                float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+            )
+            if cos >= 0.995:
+                best = max(best, cos)
+        want[i] = (int(cell[pos]), int(best > 0), round(best, 6))
+    assert got == want
+    # the planted dups (higher id than their source) must be flagged
+    assert all(got[i][1] == 1 for i in (60, 61, 62)), got
+    # and the bulk must survive
+    assert sum(v[1] for v in got.values()) == 3, got

@@ -95,3 +95,51 @@ def test_dedup_pipeline_with_boilerplate_excision(spark, tmp_path, capsys):
     # not one survivor still carries the header
     assert clean.where(F.col("text").contains("COMMON NAV CHROME")).count() == 0
     assert clean.count() == report["after_near_dedup"]
+
+
+def test_dedup_pipeline_with_semdedup(spark, tmp_path, capsys):
+    """--embeddings enables the SemDeDup stage: docs whose vector has a
+    lower-id semantic duplicate in its k-means cell are dropped.  The
+    sidecar here assigns every doc the class vector of doc_id % 10
+    (identical within a class, near-orthogonal across), so at most one
+    doc per class can survive."""
+    import numpy as np
+    import pandas as pd
+
+    from jobs.dedup_pipeline import main
+
+    rng = np.random.default_rng(23)
+    classes = rng.standard_normal((10, 16)).astype(np.float32)
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    emb_path = str(tmp_path / "embeddings.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "embedding": [classes[int(i) % 10].tolist() for i in doc_ids],
+        }
+    ).to_parquet(emb_path)
+
+    out = str(tmp_path / "clean_sem")
+    main([
+        "--input", f"{SF_DIR}/documents.parquet",
+        "--output", out,
+        "--min-quality", "0.0",
+        "--jaccard", "0.99",
+        "--embeddings", emb_path,
+        "--semdedup-cells", "4",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["semantic_dups_dropped"] > 0
+    clean = spark.read.parquet(out)
+    survivors = [r["doc_id"] for r in clean.select("doc_id").collect()]
+    assert clean.count() == report["after_near_dedup"]
+    # identical vectors always share a cell -> at most one survivor per
+    # embedding class
+    per_class: dict[int, list] = {}
+    for i in survivors:
+        per_class.setdefault(int(i) % 10, []).append(i)
+    assert all(len(v) == 1 for v in per_class.values()), per_class

@@ -76,9 +76,86 @@ _SAMPLE_STRATIFIED = """
     ) WHERE rn <= 3
 """
 
+
+# retired round 7 (late, slot freed for the new semdedup oracle):
+# the removal surgery is subsumed by TWO driver-green composed
+# excision queries (corpus_prep_spans, boilerplate_excision) whose
+# value hashes cover the same cleaned text byte-for-byte
+_SPAN_REMOVAL = """
+            WITH grams AS (
+                SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+                       substring(d.text, CAST(t.i AS INT), 24) AS g
+                FROM documents d
+                CROSS JOIN UNNEST(CASE WHEN length(d.text) >= 24
+                     THEN generate_series(1, length(d.text) - 23) ELSE [] END) AS t(i)
+            ), keep AS (
+                SELECT g FROM grams GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 16 AND COUNT(*) <= 64
+            ), fg AS (
+                SELECT * FROM grams WHERE g IN (SELECT g FROM keep)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pos_a, a.pos - b.pos AS diag
+                FROM fg a JOIN fg b USING (g) WHERE a.doc_id < b.doc_id
+            ), islands0 AS (
+                SELECT doc_a, doc_b, diag, pos_a,
+                       pos_a - ROW_NUMBER() OVER (
+                           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+                FROM pairs
+            ), spans AS (
+                SELECT doc_a, doc_b, MIN(pos_a) - diag AS start_b,
+                       COUNT(*) + 23 AS span_len
+                FROM islands0 GROUP BY doc_a, doc_b, diag, grp
+                HAVING COUNT(*) + 23 >= 40
+            ), iv0 AS (
+                SELECT doc_b AS id, start_b AS s,
+                       MAX(start_b + span_len - 1) AS e
+                FROM spans GROUP BY doc_b, start_b
+            ), ord0 AS (
+                SELECT id, s, e, MAX(e) OVER (PARTITION BY id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM iv0
+            ), isl AS (
+                SELECT id, s, e, SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                          THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY s) AS island
+                FROM ord0
+            ), merged AS (
+                SELECT id, island, MIN(s) AS s, MAX(e) AS e
+                FROM isl GROUP BY id, island
+            ), segs AS (
+                SELECT id,
+                       COALESCE(LAG(e) OVER (PARTITION BY id ORDER BY s) + 1, 1)
+                           AS seg_start,
+                       s - 1 AS seg_end
+                FROM merged
+                UNION ALL
+                SELECT id, MAX(e) + 1, NULL FROM merged GROUP BY id
+            ), rebuilt AS (
+                SELECT d.doc_id, length(d.text) AS n_chars_before,
+                       string_agg(
+                           CASE WHEN COALESCE(seg_end, length(d.text)) >= seg_start
+                                THEN substring(d.text, CAST(seg_start AS INT),
+                                     CAST(COALESCE(seg_end, length(d.text))
+                                          - seg_start + 1 AS INT))
+                                ELSE '' END,
+                           '' ORDER BY seg_start) AS text
+                FROM documents d JOIN segs ON segs.id = d.doc_id
+                GROUP BY d.doc_id, length(d.text)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars_before AS BIGINT) AS n_chars_before,
+                   CAST(length(text) AS BIGINT) AS n_chars_after,
+                   text
+            FROM rebuilt
+            ORDER BY n_chars_before - length(text) DESC, doc_id
+            LIMIT 20
+        """
+
 RETIRED = {
     "duplicated_token_spans": _DUPLICATED_TOKEN_SPANS,
     "sample_stratified": _SAMPLE_STRATIFIED,
+    "span_removal": _SPAN_REMOVAL,
 }
 
 
