@@ -8,12 +8,30 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import timed_trials  # noqa: E402
+from bench import timed_trials, wait_for_healthy_window  # noqa: E402
 
 
 def _seq(values):
     it = iter(values)
     return lambda: next(it)
+
+
+def _probe(par, steal=0.0, load=0.5):
+    return {"scalar_sec": 0.9, "parallel8_sec": par, "steal_pct": steal,
+            "load1": load}
+
+
+class _Clock:
+    """Deterministic monotonic clock advanced by the injected sleep."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+    def sleep(self, s):
+        self.t += s
 
 
 def test_stops_at_min_trials_when_best_is_clean():
@@ -54,3 +72,49 @@ def test_unmeasurable_steal_counts_as_clean():
         times, min_trials=2, max_trials=5, steal_probe=lambda: None
     )
     assert (best, st, n) == (1.5, None, 2)
+
+
+def test_window_gate_passes_immediately_when_healthy():
+    clk = _Clock()
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=600, probe=_seq([_probe(0.4)]), sleep=clk.sleep, clock=clk
+    )
+    assert healthy and len(hist) == 1 and clk.t == 0.0
+
+
+def test_window_gate_waits_out_a_degraded_parallel_leg():
+    # clean steal + healthy scalar but parallel leg out of envelope —
+    # exactly the 2026-08-17 state timed_trials' steal retry cannot see
+    clk = _Clock()
+    probes = _seq([_probe(2.2), _probe(0.9), _probe(0.45)])
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=600, interval_s=60, probe=probes, sleep=clk.sleep, clock=clk
+    )
+    assert healthy and len(hist) == 3 and clk.t == 120.0
+
+
+def test_window_gate_gives_up_at_the_deadline_and_says_so():
+    clk = _Clock()
+    probes = _seq([_probe(2.2)] * 20)
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=150, interval_s=60, probe=probes, sleep=clk.sleep, clock=clk
+    )
+    # 0s, 60s, 120s probes are degraded; 150s deadline reached mid-wait
+    assert not healthy and len(hist) == 4 and clk.t == 150.0
+
+
+def test_window_gate_flags_steal_and_load_too():
+    clk = _Clock()
+    probes = _seq([_probe(0.4, steal=5.0), _probe(0.4, load=7.0), _probe(0.4)])
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=600, interval_s=60, probe=probes, sleep=clk.sleep, clock=clk
+    )
+    assert healthy and len(hist) == 3
+
+
+def test_window_gate_zero_budget_probes_once_and_returns():
+    clk = _Clock()
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=0.0, probe=_seq([_probe(2.2)]), sleep=clk.sleep, clock=clk
+    )
+    assert not healthy and len(hist) == 1 and clk.t == 0.0
