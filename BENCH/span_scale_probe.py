@@ -57,8 +57,14 @@ def _doc_text(i: int) -> str:
     return text
 
 
+# bump when _HEADER/_passage/_doc_text change: the cache below is keyed
+# on (formula version, n_docs) — without the version a formula edit
+# would silently re-measure the OLD corpus from /tmp
+_FORMULA_V = 1
+
+
 def build_corpus(n_docs: int) -> str:
-    path = f"/tmp/marker_span_probe_n{n_docs}.parquet"
+    path = f"/tmp/marker_span_probe_v{_FORMULA_V}_n{n_docs}.parquet"
     if os.path.exists(path):
         return path
     import pyarrow as pa
@@ -122,8 +128,12 @@ def main() -> None:
                 F.sum("n_chars_after").alias("chars_after"),
             ).collect()[0]
             dt = time.monotonic() - t0
-            results["n_dup_spans"] = results.get("n_dup_spans") or dup.count()
-            results["n_bp_spans"] = results.get("n_bp_spans") or bp.count()
+            # `not in`, not falsy-or: a legitimate 0 count must not
+            # trigger a full span-subtree recompute every trial
+            if "n_dup_spans" not in results:
+                results["n_dup_spans"] = dup.count()
+            if "n_bp_spans" not in results:
+                results["n_bp_spans"] = bp.count()
             results["chars_after"] = int(agg["chars_after"])
             release_all()
             return dt

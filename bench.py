@@ -574,13 +574,14 @@ def main() -> None:
     load1_at_start = _load1()
     # bounded gate on the probe: don't START a sweep in a window the
     # artifact itself would flag (MARKER_BENCH_NO_WAIT=1 disables)
-    window_wait_max = (
-        0.0 if os.environ.get("MARKER_BENCH_NO_WAIT") else
-        float(os.environ.get("MARKER_BENCH_WINDOW_WAIT_S", "600"))
-    )
-    window_healthy, window_probes = wait_for_healthy_window(
-        max_wait_s=window_wait_max
-    )
+    if os.environ.get("MARKER_BENCH_NO_WAIT"):
+        # truly skip: no probe at all (a probe is ~10s cold — first-touch
+        # warmup + fork pool — which is exactly what NO_WAIT opts out of)
+        window_healthy, window_probes = None, []
+    else:
+        window_healthy, window_probes = wait_for_healthy_window(
+            max_wait_s=float(os.environ.get("MARKER_BENCH_WINDOW_WAIT_S", "600"))
+        )
     spark = build_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -720,7 +721,7 @@ def main() -> None:
                 "load1_at_start": load1_at_start,
                 "window_wait_healthy": window_healthy,
                 "window_wait_probes": len(window_probes),
-                "window_wait_first_probe": window_probes[0],
+                "window_wait_first_probe": window_probes[0] if window_probes else None,
                 "probe_before": probe_before,
                 "probe_after": probe_after,
                 "sweep_steal_pct": None if sweep_steal is None else round(sweep_steal, 2),

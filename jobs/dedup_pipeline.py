@@ -144,7 +144,14 @@ def main(argv: list[str] | None = None) -> None:
         flagged = semdedup_flags(
             emb, cents, id_col=idc, threshold=args.semdedup_threshold
         )
-        sem_drop = flagged.where(F.col("is_dup") == 1).select(idc)
+        from marker_spark.cacheutil import register
+
+        # persist: the anti-joined `clean` feeds every later action
+        # (span counts, removal, final write) — without this each one
+        # re-runs the O(cluster-size^2) blocked cosine pair join
+        sem_drop = register(
+            flagged.where(F.col("is_dup") == 1).select(idc).persist()
+        )
         n_semdup = sem_drop.count()
         clean = clean.join(sem_drop, idc, "left_anti")
 

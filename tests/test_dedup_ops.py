@@ -570,9 +570,20 @@ def test_semdedup_flags_matches_numpy_replica(spark):
     }
 
     # ---- numpy replica (float32 round-trip like the Spark column) ----
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # Spark F.round = BigDecimal.valueOf(double).setScale(6,
+        # HALF_UP): HALF_UP over the SHORTEST-decimal repr of the
+        # double (= Python repr). np.round/round are half-even over
+        # the binary value — a tie at the 7th place would diverge.
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP))
+
     ids = sorted(vecs)
     mat = np.stack([vecs[i].astype(np.float32).astype(np.float64) for i in ids])
-    dots = np.round(mat @ np.asarray(cents).T, 6)
+    raw = mat @ np.asarray(cents).T
+    dots = np.vectorize(r6)(raw)
     cell = np.argmax(dots, axis=1)  # first max on ties, same rule
     want = {}
     for pos, i in enumerate(ids):
@@ -581,12 +592,10 @@ def test_semdedup_flags_matches_numpy_replica(spark):
             if j >= i or cell[qos] != cell[pos]:
                 continue
             a, b = mat[pos], mat[qos]
-            cos = round(
-                float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
-            )
+            cos = r6(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))))
             if cos >= 0.995:
                 best = max(best, cos)
-        want[i] = (int(cell[pos]), int(best > 0), round(best, 6))
+        want[i] = (int(cell[pos]), int(best > 0), r6(best))
     assert got == want
     # the planted dups (higher id than their source) must be flagged
     assert all(got[i][1] == 1 for i in (60, 61, 62)), got

@@ -338,6 +338,9 @@ def test_sliced_plans_keep_null_keys(spark):
     base = sess()
     assert len(base) == 2 and all(k is None for (k, _) in base)
     assert sess(slice_s=600) == base
+
+
+def test_asof_join_sliced_splits_hot_keys_in_plan(spark):
     """The point of slice_s: the window exchange must partition on
     (key, slice), not key alone — one bot user must not become one
     straggling sort partition."""
