@@ -21,6 +21,7 @@ from bench import (  # noqa: E402
     sketch_build_bucketed_throughput,
     sketch_build_partitioned_throughput,
     sketch_build_throughput,
+    wait_for_healthy_window,
 )
 
 
@@ -34,7 +35,22 @@ def main() -> None:
         "partitioned": sketch_build_partitioned_throughput,
     }.get(variant, sketch_build_throughput)
     _tokseq_parquet(n_docs)  # materialize outside timing
+    import os
+
+    # same bounded probe gate as bench.py, PER LEG: an efficiency ratio
+    # across two host states is meaningless, so each leg waits (bounded)
+    # for the healthy envelope before its session starts
+    gate_s = (
+        0.0 if os.environ.get("MARKER_BENCH_NO_WAIT") else
+        float(os.environ.get("MARKER_BENCH_WINDOW_WAIT_S", "300"))
+    )
     for cpus in cpu_list:
+        if gate_s > 0:
+            healthy, probes = wait_for_healthy_window(max_wait_s=gate_s)
+            print(json.dumps({
+                "cpus": int(cpus), "gate_healthy": healthy,
+                "gate_probes": len(probes), "gate_last": probes[-1],
+            }), flush=True)
         spark = build_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).count()  # warm JVM + python workers

@@ -171,6 +171,7 @@ def calibration_probe(workers: int = 8) -> dict:
 def wait_for_healthy_window(
     max_wait_s: float = 600.0,
     parallel_ceiling_s: float = 0.65,
+    scalar_ceiling_s: float = 2.0,
     steal_ceiling_pct: float = 1.0,
     load_ceiling: float = 2.0,
     interval_s: float = 60.0,
@@ -204,6 +205,9 @@ def wait_for_healthy_window(
         history.append(p)
         healthy = (
             (p.get("parallel8_sec") or 0.0) <= parallel_ceiling_s
+            # the scalar leg too: observed scalar 6.5s with a clean
+            # parallel leg when another process co-ran during the probe
+            and (p.get("scalar_sec") or 0.0) <= scalar_ceiling_s
             and (p.get("steal_pct") is None or p["steal_pct"] <= steal_ceiling_pct)
             and (p.get("load1") is None or p["load1"] <= load_ceiling)
         )

@@ -112,6 +112,19 @@ def test_window_gate_flags_steal_and_load_too():
     assert healthy and len(hist) == 3
 
 
+def test_window_gate_flags_a_slow_scalar_leg():
+    # observed live: scalar 6.5s (co-running process) with a clean
+    # parallel leg — the gate must not call that window healthy
+    clk = _Clock()
+    slow = {"scalar_sec": 6.5, "parallel8_sec": 0.45, "steal_pct": 0.0,
+            "load1": 1.0}
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=600, interval_s=60,
+        probe=_seq([slow, _probe(0.4)]), sleep=clk.sleep, clock=clk
+    )
+    assert healthy and len(hist) == 2
+
+
 def test_window_gate_zero_budget_probes_once_and_returns():
     clk = _Clock()
     healthy, hist = wait_for_healthy_window(
