@@ -357,7 +357,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.dedup import semdedup_flags
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    row = emb.select("embedding").head()
+    assert row is not None and row[0] is not None, (
+        "embeddings table is empty or its first vector is NULL — "
+        "cannot probe the embedding dim for the semdedup oracle"
+    )
+    dim = len(row[0])
     assert dim == _LSH_DEDUP_DIM, (
         f"embeddings dim {dim} != {_LSH_DEDUP_DIM}; regenerate the "
         f"semdedup oracle via _semdedup_oracle_sql(dim)"

@@ -150,15 +150,26 @@ def calibration_probe(workers: int = 8) -> dict:
     # warmup doesn't pre-fault the arena the timed pass uses
     _probe_kernel(32 * 1024 * 1024)
     s0 = _steal_ticks()
-    t0 = time.monotonic()
-    _probe_kernel(32 * 1024 * 1024)
-    scalar = time.monotonic() - t0
-    with mp.get_context("fork").Pool(workers) as pool:
-        # first map warms each worker's arena; the second is the timing
-        pool.map(_probe_kernel, [8 * 1024 * 1024] * workers)
+    # each leg is MIN-OF-2 timed passes: inside a process with a live
+    # Spark JVM, a single scalar pass intermittently stalls 2-4x
+    # (fault/THP-compaction hiccups — measured r8: pass pairs like
+    # 0.860/2.123 and 1.855/0.908 seconds apart, adjacent probes
+    # clean) and would false-flag a healthy bracket.  Real host
+    # degradation (memory-bandwidth contention, rounds 4-7) inflates
+    # EVERY pass for minutes, so the min keeps full detection power.
+    scalar = float("inf")
+    for _ in range(2):
         t0 = time.monotonic()
+        _probe_kernel(32 * 1024 * 1024)
+        scalar = min(scalar, time.monotonic() - t0)
+    with mp.get_context("fork").Pool(workers) as pool:
+        # first map warms each worker's arena; the next two are timings
         pool.map(_probe_kernel, [8 * 1024 * 1024] * workers)
-        par = time.monotonic() - t0
+        par = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            pool.map(_probe_kernel, [8 * 1024 * 1024] * workers)
+            par = min(par, time.monotonic() - t0)
     st = _steal_pct(s0, _steal_ticks())
     return {
         "scalar_sec": round(scalar, 3),
@@ -166,6 +177,33 @@ def calibration_probe(workers: int = 8) -> dict:
         "steal_pct": None if st is None else round(st, 2),
         "load1": _load1(),
     }
+
+
+def probe_is_healthy(
+    p: dict | None,
+    parallel_ceiling_s: float = 0.65,
+    scalar_ceiling_s: float = 2.0,
+    steal_ceiling_pct: float = 1.0,
+    load_ceiling: float = 2.0,
+) -> bool:
+    """One predicate for every gate/bracket so the artifact's
+    window_healthy verdict and the pre-run wait agree exactly.
+
+    A missing/None probe TIMING is NOT healthy (a probe leg that failed
+    to produce a number cannot certify a window — round-7 advice);
+    steal/load stay None-tolerant because they are genuinely
+    unmeasurable off-Linux, not a probe failure."""
+    if p is None:
+        return False
+    par, sca = p.get("parallel8_sec"), p.get("scalar_sec")
+    return (
+        par is not None
+        and par <= parallel_ceiling_s
+        and sca is not None
+        and sca <= scalar_ceiling_s
+        and (p.get("steal_pct") is None or p["steal_pct"] <= steal_ceiling_pct)
+        and (p.get("load1") is None or p["load1"] <= load_ceiling)
+    )
 
 
 def wait_for_healthy_window(
@@ -203,17 +241,129 @@ def wait_for_healthy_window(
     while True:
         p = probe()
         history.append(p)
-        healthy = (
-            (p.get("parallel8_sec") or 0.0) <= parallel_ceiling_s
-            # the scalar leg too: observed scalar 6.5s with a clean
-            # parallel leg when another process co-ran during the probe
-            and (p.get("scalar_sec") or 0.0) <= scalar_ceiling_s
-            and (p.get("steal_pct") is None or p["steal_pct"] <= steal_ceiling_pct)
-            and (p.get("load1") is None or p["load1"] <= load_ceiling)
+        # scalar leg checked too: observed scalar 6.5s with a clean
+        # parallel leg when another process co-ran during the probe
+        healthy = probe_is_healthy(
+            p,
+            parallel_ceiling_s=parallel_ceiling_s,
+            scalar_ceiling_s=scalar_ceiling_s,
+            steal_ceiling_pct=steal_ceiling_pct,
+            load_ceiling=load_ceiling,
         )
         if healthy or clock() >= deadline:
             return healthy, history
         sleep(min(interval_s, max(deadline - clock(), 0.0)))
+
+
+def _mid_run_healthy(p: dict | None) -> bool:
+    """Bracket-probe health for probes taken DURING a bench run: the
+    load1 ceiling is dropped because the 1-minute average is dominated
+    by our own just-finished full-load leg, not host state (the
+    certified round-6 artifact's mid-bench probes read load1 7.0-9.7
+    with perfectly healthy scalar 0.82 / parallel 0.27-0.28 timings —
+    a load gate would have false-flagged a certified window).  Scalar,
+    parallel, and steal remain the discriminating signals; the idle
+    load check stays in the PRE-RUN gate where the box should be
+    quiet."""
+    return probe_is_healthy(p, load_ceiling=float("inf"))
+
+
+def _mid_run_wait(max_wait_s: float = 300.0):
+    """wait_for_healthy_window with the mid-run load exemption (see
+    _mid_run_healthy) — used for the bounded retry wait after a
+    polluted bracket, where 1-min load is still decaying from our own
+    work."""
+    return wait_for_healthy_window(
+        max_wait_s=max_wait_s, load_ceiling=float("inf")
+    )
+
+
+def bracketed_leg(run, probe=None, wait=None, retry_wait_s: float = 300.0):
+    """Probe-bracket one bench leg (the round-7 hole: the pre-run gate
+    passed, then the host degraded DURING the run and the artifact's
+    numbers were polluted with no self-declared verdict).  Runs
+    ``run()`` between two probes; if either probe is out of envelope
+    (by the mid-run predicate — load-exempt, see _mid_run_healthy),
+    waits (bounded) for a healthy window and re-runs the leg ONCE.
+    ``run`` must keep its own best-of state across invocations (the
+    bench legs do).  Returns (probe_before, probe_after, healthy,
+    retried)."""
+    probe = probe or calibration_probe
+    wait = wait or _mid_run_wait
+    p0 = probe()
+    run()
+    p1 = probe()
+    healthy = _mid_run_healthy(p0) and _mid_run_healthy(p1)
+    retried = False
+    if not healthy and retry_wait_s > 0:
+        ok, _ = wait(max_wait_s=retry_wait_s)
+        if ok:
+            retried = True
+            p0 = probe()
+            run()
+            p1 = probe()
+            healthy = _mid_run_healthy(p0) and _mid_run_healthy(p1)
+    return p0, p1, healthy, retried
+
+
+def bracketed_sweep(
+    names,
+    run_query,
+    probe=None,
+    wait=None,
+    chunk: int = 8,
+    retry_wait_s: float = 300.0,
+):
+    """Query sweep with mid-run health brackets.  ``run_query(name)``
+    returns (best_secs, steal_pct_or_None); a probe runs before the
+    sweep and after every ``chunk`` queries, so each query sits in a
+    (probe_before, probe_after) bracket.  Queries whose bracket is
+    unhealthy are retried once after a bounded wait for a healthy
+    window (keeping the MIN timing — pollution only inflates), and the
+    retry pass is bracketed too.  Returns a dict with timings, steals,
+    all probes, the retried names, and one ``healthy`` verdict: every
+    query's kept number sits in at least one healthy bracket."""
+    probe = probe or calibration_probe
+    wait = wait or _mid_run_wait
+    names = list(names)
+    timings: dict[str, float] = {}
+    steals: dict[str, float | None] = {}
+    probes = [probe()]
+    certified: set[str] = set()
+    for i in range(0, len(names), chunk):
+        group = names[i : i + chunk]
+        for name in group:
+            timings[name], steals[name] = run_query(name)
+        probes.append(probe())
+        if _mid_run_healthy(probes[-2]) and _mid_run_healthy(probes[-1]):
+            certified.update(group)
+    polluted = [n for n in names if n not in certified]
+    retried: list[str] = []
+    if polluted and retry_wait_s > 0:
+        ok, _ = wait(max_wait_s=retry_wait_s)
+        if ok:
+            for i in range(0, len(polluted), chunk):
+                group = polluted[i : i + chunk]
+                p_open = probe()
+                redo: dict[str, tuple[float, float | None]] = {}
+                for name in group:
+                    redo[name] = run_query(name)
+                p_close = probe()
+                retried.extend(group)
+                bracket_ok = _mid_run_healthy(p_open) and _mid_run_healthy(p_close)
+                probes.extend([p_open, p_close])
+                for name, (secs, st) in redo.items():
+                    if secs < timings[name]:
+                        timings[name], steals[name] = secs, st
+                    if bracket_ok:
+                        certified.add(name)
+    return {
+        "timings": timings,
+        "steals": steals,
+        "probes": probes,
+        "retried": retried,
+        "healthy": all(n in certified for n in names),
+    }
 
 
 def _tokseq_parquet(n_docs: int, seed: int = 42) -> str:
@@ -581,9 +731,9 @@ def main() -> None:
     if os.environ.get("MARKER_BENCH_NO_WAIT"):
         # truly skip: no probe at all (a probe is ~10s cold — first-touch
         # warmup + fork pool — which is exactly what NO_WAIT opts out of)
-        window_healthy, window_probes = None, []
+        gate_healthy, window_probes = None, []
     else:
-        window_healthy, window_probes = wait_for_healthy_window(
+        gate_healthy, window_probes = wait_for_healthy_window(
             max_wait_s=float(os.environ.get("MARKER_BENCH_WINDOW_WAIT_S", "600"))
         )
     spark = build_session(cpus)
@@ -602,6 +752,7 @@ def main() -> None:
     # first run also pays Python-worker spawn + first-touch, which is
     # session setup, not build throughput — hence min 3 trials.
     build_state: dict = {}
+    no_wait = bool(os.environ.get("MARKER_BENCH_NO_WAIT"))
 
     def _one_build() -> float:
         secs_, n_tokens_, tps_ = sketch_build_throughput(spark, n_docs)
@@ -609,7 +760,25 @@ def main() -> None:
             build_state.update(secs=secs_, n_tokens=n_tokens_, tps=tps_)
         return secs_
 
-    _, build_steal, build_trials = timed_trials(_one_build, min_trials=3, max_trials=6)
+    def _build_leg() -> None:
+        _, st, tr = timed_trials(_one_build, min_trials=3, max_trials=6)
+        # keep the steal/trial count of the pass that produced the best
+        if build_state.get("secs") != build_state.get("_reported_secs"):
+            build_state.update(_reported_secs=build_state["secs"], steal=st)
+        build_state["trials"] = build_state.get("trials", 0) + tr
+
+    # round-7 hole closed: the pre-run gate passed, then the host
+    # degraded DURING the run — every leg is now probe-BRACKETED and
+    # the artifact carries one window_healthy verdict (verdict r7 §2)
+    if no_wait:
+        _build_leg()
+        build_bracket = {"healthy": None, "retried": False}
+    else:
+        b0, b1, bh, br = bracketed_leg(_build_leg)
+        build_bracket = {
+            "probe_before": b0, "probe_after": b1, "healthy": bh, "retried": br,
+        }
+    build_steal, build_trials = build_state.get("steal"), build_state.get("trials")
     secs, n_tokens, tps = build_state["secs"], build_state["n_tokens"], build_state["tps"]
     timings["sketch_build_multi"] = round(secs, 3)
 
@@ -652,18 +821,18 @@ def main() -> None:
 
     # self-certifying sweep (round-5 lesson: per-query min-of-2-3 spans
     # ~1 min while degradation episodes last hours — the numbers alone
-    # cannot defend themselves): a host probe brackets the sweep, the
-    # whole sweep gets its own steal share, and each query records the
-    # steal of its kept trial
-    probe_before = calibration_probe()
+    # cannot defend themselves): host probes bracket every 8-query
+    # chunk, queries in a polluted bracket are retried once in a waited
+    # healthy window, the whole sweep gets its own steal share, and
+    # each query records the steal of its kept trial
     sweep_s0 = _steal_ticks()
-    query_steal: dict[str, float | None] = {}
-    for name in bench_queries:
+
+    def _run_query(name: str) -> tuple[float, float | None]:
         # Steal-aware min-of-trials per query (min 2, max 3): steal
         # episodes last minutes and would otherwise be indistinguishable
         # from a regression in the single recorded number (documented in
         # BENCH/BASELINE.md §5).
-        def _one_query(name=name) -> float:
+        def _one_query() -> float:
             t0 = time.monotonic()
             df = qmap[name](spark, sf_dir)
             df.collect()
@@ -675,11 +844,21 @@ def main() -> None:
             return dt
 
         best, qsteal, _ = timed_trials(_one_query, min_trials=2, max_trials=3)
-        timings[name] = round(best, 3)
-        query_steal[name] = None if qsteal is None else round(qsteal, 2)
+        return round(best, 3), None if qsteal is None else round(qsteal, 2)
+
+    if no_wait:
+        query_steal: dict[str, float | None] = {}
+        for name in bench_queries:
+            timings[name], query_steal[name] = _run_query(name)
+        sweep = {"probes": [], "retried": [], "healthy": None}
+        probe_before = probe_after = None
+    else:
+        sweep = bracketed_sweep(bench_queries, _run_query)
+        timings.update(sweep["timings"])
+        query_steal = sweep["steals"]
+        probe_before, probe_after = sweep["probes"][0], sweep["probes"][-1]
 
     sweep_steal = _steal_pct(sweep_s0, _steal_ticks())
-    probe_after = calibration_probe()
 
     fp_check = bloom_fp_check(spark, n_docs)
 
@@ -702,9 +881,25 @@ def main() -> None:
     # steal span ~1.6x on this host (round-7 re-measure: 8.7-13.7 s at
     # 400k docs) — two trials are a coin flip between a good and a bad
     # window that steal certification cannot see.
-    timed_trials(_one_bucketed, min_trials=3, max_trials=6)
+    def _bucketed_leg() -> None:
+        timed_trials(_one_bucketed, min_trials=3, max_trials=6)
+
+    if no_wait:
+        _bucketed_leg()
+        bucketed_bracket = {"healthy": None, "retried": False}
+    else:
+        c0, c1, ch, cr = bracketed_leg(_bucketed_leg)
+        bucketed_bracket = {
+            "probe_before": c0, "probe_after": c1, "healthy": ch, "retried": cr,
+        }
     bsecs, btps = bucketed_state["secs"], bucketed_state["tps"]
     timings["sketch_build_bucketed"] = round(bsecs, 3)
+
+    # ONE top-level verdict combining every bracket, so the driver
+    # artifact adjudicates itself (None = NO_WAIT, nothing probed)
+    window_healthy = None if no_wait else bool(
+        build_bracket["healthy"] and sweep["healthy"] and bucketed_bracket["healthy"]
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -723,11 +918,17 @@ def main() -> None:
                 "build_steal_pct": None if build_steal is None else round(build_steal, 2),
                 "build_trials": build_trials,
                 "load1_at_start": load1_at_start,
-                "window_wait_healthy": window_healthy,
+                "window_healthy": window_healthy,
+                "window_wait_healthy": gate_healthy,
                 "window_wait_probes": len(window_probes),
                 "window_wait_first_probe": window_probes[0] if window_probes else None,
                 "probe_before": probe_before,
                 "probe_after": probe_after,
+                "build_bracket": build_bracket,
+                "bucketed_bracket": bucketed_bracket,
+                "sweep_probes": len(sweep["probes"]),
+                "sweep_retried": sweep["retried"],
+                "sweep_bracket_healthy": sweep["healthy"],
                 "sweep_steal_pct": None if sweep_steal is None else round(sweep_steal, 2),
                 "query_steal_pct": query_steal,
                 "bloom_fp_check": fp_check,

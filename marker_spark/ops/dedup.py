@@ -628,6 +628,21 @@ def assign_cells_expr(
     oracles are.  NULL/missing vectors dot to 0 everywhere and land in
     the first cell.
 
+    Tie-probability note (round-7 advice): cross-engine parity rests on
+    Spark ``F.round`` (BigDecimal HALF_UP over the shortest-decimal
+    repr) equaling DuckDB ``round`` (half-away-from-zero on the binary
+    double) at 6 decimals, and the argmax AMPLIFIES a 1-ulp divergence
+    into a different cell id rather than a ±1e-6 delta.  The engines
+    differ only when a dot product's shortest repr lands exactly on a
+    5 at the 7th decimal with opposing roundings, or two rounded dots
+    tie at all 6 decimals with the true max flipping — for continuous
+    dot products of seeded uniform vectors both are measure-~1e-10
+    events per row, the same accepted risk class as the cosine
+    threshold oracles (tests/test_dedup_ops.py documents the bound).
+    If a semdedup oracle hash ever flakes, diff the per-row ``cell``
+    columns first: a single flipped cell id with matching dots at 6
+    decimals is this, not a logic bug.
+
     This is the oracle-stable sibling of :func:`similarity.ivf_assign`
     (Arrow numpy matmul) — same contract; use that one in hot loops
     where k is large, this one when the assignment must be replayed
@@ -1236,6 +1251,7 @@ def connected_components_twophase(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components in O(log d) rounds via the alternating
     large-star / small-star algorithm (Kiveris et al., "Connected
@@ -1258,6 +1274,11 @@ def connected_components_twophase(
 
     Returns (id, component) for every node appearing in ``pairs`` —
     identical contract and output to :func:`connected_components`.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number
+    of large-star/small-star rounds to the fixpoint — so scale probes
+    (BENCH/cc_scale_probe.py) can record the bounded-rounds claim next
+    to wall time without touching the return contract.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1275,7 +1296,7 @@ def connected_components_twophase(
     )
     cur = edges
     prev_ck = None
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
         # -- large-star --
         sym = _cc_round_edges(cur)
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -1318,6 +1339,8 @@ def connected_components_twophase(
         prev_ck = ck
         cur = small
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
     else:
         if prev_ck is not None:

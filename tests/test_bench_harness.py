@@ -8,7 +8,13 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import timed_trials, wait_for_healthy_window  # noqa: E402
+from bench import (  # noqa: E402
+    bracketed_leg,
+    bracketed_sweep,
+    probe_is_healthy,
+    timed_trials,
+    wait_for_healthy_window,
+)
 
 
 def _seq(values):
@@ -131,3 +137,153 @@ def test_window_gate_zero_budget_probes_once_and_returns():
         max_wait_s=0.0, probe=_seq([_probe(2.2)]), sleep=clk.sleep, clock=clk
     )
     assert not healthy and len(hist) == 1 and clk.t == 0.0
+
+
+# ---- probe_is_healthy: the shared gate/bracket predicate ----
+
+
+def test_probe_missing_timing_is_not_healthy():
+    # round-7 advice: a probe leg that failed to produce a number must
+    # NOT certify a window (the old `or 0.0` coercion passed it)
+    assert not probe_is_healthy(None)
+    assert not probe_is_healthy({"scalar_sec": 0.9, "parallel8_sec": None,
+                                 "steal_pct": 0.0, "load1": 0.5})
+    assert not probe_is_healthy({"scalar_sec": None, "parallel8_sec": 0.4,
+                                 "steal_pct": 0.0, "load1": 0.5})
+    assert not probe_is_healthy({})
+
+
+def test_probe_missing_steal_and_load_stay_tolerated():
+    # off-Linux these are genuinely unmeasurable, not a probe failure
+    assert probe_is_healthy({"scalar_sec": 0.9, "parallel8_sec": 0.4,
+                             "steal_pct": None, "load1": None})
+
+
+def test_window_gate_rejects_partially_failed_probe():
+    clk = _Clock()
+    broken = {"scalar_sec": 0.9, "parallel8_sec": None, "steal_pct": 0.0,
+              "load1": 0.5}
+    healthy, hist = wait_for_healthy_window(
+        max_wait_s=60, interval_s=60, probe=_seq([broken, _probe(0.4)]),
+        sleep=clk.sleep, clock=clk,
+    )
+    assert healthy and len(hist) == 2
+
+
+# ---- bracketed legs/sweep: the round-7 gate-then-degrade hole ----
+
+
+def _wait_ok(max_wait_s=0.0):
+    return True, [_probe(0.4)]
+
+
+def _wait_fail(max_wait_s=0.0):
+    return False, [_probe(2.2)]
+
+
+def test_bracketed_leg_healthy_runs_once():
+    runs = []
+    p0, p1, healthy, retried = bracketed_leg(
+        lambda: runs.append(1), probe=_seq([_probe(0.4), _probe(0.45)]),
+        wait=_wait_ok,
+    )
+    assert healthy and not retried and len(runs) == 1
+
+
+def test_bracketed_leg_mid_run_degrade_retries_once_in_waited_window():
+    # the r7 artifact's exact failure: gate passed, host degraded during
+    # the leg (closing probe 1.7s).  The leg must re-run after a healthy
+    # window and re-bracket.
+    runs = []
+    probes = _seq([_probe(0.4), _probe(1.7), _probe(0.45), _probe(0.5)])
+    p0, p1, healthy, retried = bracketed_leg(
+        lambda: runs.append(1), probe=probes, wait=_wait_ok
+    )
+    assert healthy and retried and len(runs) == 2
+    assert p1["parallel8_sec"] == 0.5  # brackets are the RETRY's probes
+
+
+def test_bracketed_leg_degraded_all_day_reports_unhealthy_without_retry():
+    # the wait never clears: record the polluted number, adjudicated
+    # unhealthy, and don't burn a second run in the same bad window
+    runs = []
+    probes = _seq([_probe(0.4), _probe(1.7)])
+    _, _, healthy, retried = bracketed_leg(
+        lambda: runs.append(1), probe=probes, wait=_wait_fail
+    )
+    assert not healthy and not retried and len(runs) == 1
+
+
+def test_bracketed_sweep_all_healthy_no_retries():
+    probes = _seq([_probe(0.4), _probe(0.45)])
+    out = bracketed_sweep(
+        ["a", "b", "c"], lambda n: (1.0, 0.1), probe=probes, wait=_wait_ok
+    )
+    assert out["healthy"] and out["retried"] == []
+    assert set(out["timings"]) == {"a", "b", "c"}
+
+
+def test_bracketed_sweep_retries_only_the_polluted_chunk():
+    # chunk size 2: bracket (p0,p1) healthy for [a,b]; bracket (p1,p2)
+    # degraded for [c]; after the wait, only c re-runs, in a healthy
+    # retry bracket, and the sweep adjudicates healthy
+    calls = []
+
+    def run_query(name):
+        calls.append(name)
+        return (2.0 if calls.count(name) == 1 else 1.5), 0.0
+
+    probes = _seq([
+        _probe(0.4), _probe(0.45),      # chunk [a,b]: healthy
+        _probe(1.9),                     # chunk [c]: closing probe degraded
+        _probe(0.4), _probe(0.45),      # retry bracket for c: healthy
+    ])
+    out = bracketed_sweep(
+        ["a", "b", "c"], run_query, probe=probes, wait=_wait_ok, chunk=2
+    )
+    assert out["retried"] == ["c"] and out["healthy"]
+    assert calls == ["a", "b", "c", "c"]
+    assert out["timings"]["c"] == 1.5  # min of the two runs kept
+
+
+def test_bracketed_sweep_retry_keeps_min_timing():
+    # retry ran SLOWER (cold cache): the original (inflated but smaller)
+    # number is kept — pollution only ever inflates, min is safe
+    seen = {}
+
+    def run_query(name):
+        seen[name] = seen.get(name, 0) + 1
+        return (3.0 if seen[name] == 1 else 5.0), 0.0
+
+    probes = _seq([_probe(1.9), _probe(0.4), _probe(0.4), _probe(0.45)])
+    out = bracketed_sweep(["a"], run_query, probe=probes, wait=_wait_ok)
+    assert out["timings"]["a"] == 3.0 and out["retried"] == ["a"]
+    assert out["healthy"]  # retry bracket was healthy
+
+
+def test_bracketed_sweep_degraded_all_day_is_self_declared_unhealthy():
+    probes = _seq([_probe(1.9), _probe(1.8)])
+    out = bracketed_sweep(
+        ["a", "b"], lambda n: (1.0, 0.0), probe=probes, wait=_wait_fail
+    )
+    assert not out["healthy"] and out["retried"] == []
+
+
+def test_bracket_probes_exempt_self_load():
+    # certified r6 artifact: mid-bench probes read load1 7.0-9.7 (the
+    # 1-min average of OUR OWN just-finished legs) with healthy scalar/
+    # parallel timings — brackets must not false-flag that window
+    runs = []
+    hot_load = {"scalar_sec": 0.9, "parallel8_sec": 0.4, "steal_pct": 0.0,
+                "load1": 9.7}
+    _, _, healthy, retried = bracketed_leg(
+        lambda: runs.append(1), probe=_seq([hot_load, dict(hot_load)]),
+        wait=_wait_fail,
+    )
+    assert healthy and not retried and len(runs) == 1
+
+    out = bracketed_sweep(
+        ["a"], lambda n: (1.0, 0.0),
+        probe=_seq([hot_load, dict(hot_load)]), wait=_wait_fail,
+    )
+    assert out["healthy"] and out["retried"] == []

@@ -143,3 +143,61 @@ def test_dedup_pipeline_with_semdedup(spark, tmp_path, capsys):
     for i in survivors:
         per_class.setdefault(int(i) % 10, []).append(i)
     assert all(len(v) == 1 for v in per_class.values()), per_class
+
+
+def test_semdedup_trained_recall_on_clustered_corpus(spark):
+    """Production semdedup path (trained k-means -> semdedup_flags) on a
+    clustered corpus ~10x the embeddings fixture, with injected
+    near-clones (verdict r7 #6): the driver oracle pins the rule with
+    seeded data-independent centroids, so this is the behavioral gate
+    for the TRAINED path — recall of injected duplicates must be high
+    and the natural (non-clone) corpus must not be mass-flagged.
+
+    Geometry: 25 Gaussian clusters; intra-cluster noise 0.9 keeps the
+    chance of a NATURAL cluster-mate pair reaching cosine 0.95 below
+    ~1% per point (numpy-measured: scale 0.5 -> 22% of points have a
+    >=0.95 mate — the tail over ~80k pairs/cluster, not the ~0.8 mean
+    cosine, is what matters; 0.8 -> 0.6%, 0.9 -> safely under the 5%
+    assertion), while clone perturbation 0.05 puts clone cosines
+    ~0.999 (far above threshold).  Clones get ids ABOVE every original
+    so the upper-triangular rule must flag exactly the clone side."""
+    import numpy as np
+    import pandas as pd
+
+    from marker_spark.ops.dedup import semdedup_flags
+    from marker_spark.ops.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(77)
+    n_clusters, per_cluster, dim = 25, 400, 16
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base = np.repeat(centers, per_cluster, axis=0) + 0.9 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    ) / np.sqrt(dim)
+    n = len(base)  # 10,000 originals (fixture sf0.1 embeddings = 2,000)
+    clone_src = np.arange(0, n, 10)
+    clones = base[clone_src] + 0.05 * rng.standard_normal(
+        (len(clone_src), dim)
+    ) / np.sqrt(dim)
+    vecs = np.vstack([base, clones]).astype(np.float32)
+    ids = np.arange(n + len(clones))
+    clone_ids = set(range(n, n + len(clone_src)))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(df, n_cells=n_clusters, seed=7)
+    flags = semdedup_flags(df, cents, threshold=0.95).collect()
+    from marker_spark.cacheutil import release_all
+
+    release_all()
+
+    flagged = {r["vec_id"] for r in flags if r["is_dup"] == 1}
+    assert len(flags) == n + len(clone_src)
+    recall = len(clone_ids & flagged) / len(clone_ids)
+    assert recall >= 0.95, f"clone recall {recall:.3f}"
+    # the natural corpus must survive: only rare coincidental >=0.95
+    # cosines between cluster-mates may flag an original
+    natural_flagged = len(flagged - clone_ids) / n
+    assert natural_flagged <= 0.05, f"natural flag rate {natural_flagged:.3f}"

@@ -99,3 +99,80 @@ def test_kmeans_degenerate_inputs(spark):
     empty = spark.createDataFrame([], schema="vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         kmeans_centroids(empty, n_cells=4, seed=1)
+
+
+# ---- assign_cells_expr <-> ivf_assign cross-parity (verdict r7 #3) ----
+#
+# Same contract, two engines: the Catalyst-expression sibling that the
+# semdedup oracle replays in DuckDB, and the Arrow-numpy sibling used in
+# hot loops.  They must assign identical cells wherever the contract is
+# well-defined.  The one legitimate divergence window: assign_cells_expr
+# rounds dots to 6 decimals before the argmax (for cross-engine replay),
+# so a top-two gap inside ~1e-6 can flip — the property assumes that
+# window away (it is the same measure-~1e-10 risk class the semdedup
+# docstring documents) while still exercising EXACT ties (duplicate
+# centroids, vector==centroid), NULL vectors, zero vectors, and
+# non-unit scaling (ivf_assign normalizes, the expr does not — argmax
+# is scale-invariant so they must still agree).
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from marker_spark.ops.dedup import assign_cells_expr
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    dim=st.integers(2, 6),
+    k=st.integers(1, 5),
+    n=st.integers(1, 8),
+    dup_centroid=st.booleans(),
+)
+def test_assign_cells_expr_matches_ivf_assign(spark, seed, dim, k, n, dup_centroid):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(k, dim))
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    if dup_centroid and k >= 2:
+        cents[1] = cents[0]  # exact-tie cell pair: first index must win
+
+    vecs: list[list[float] | None] = []
+    for i in range(n):
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            vecs.append(None)  # NULL vector -> cell 0 in both
+        elif kind == 1:
+            vecs.append([0.0] * dim)  # zero vector -> cell 0 in both
+        elif kind == 2:
+            # exact centroid copy at a non-unit positive scale:
+            # hits the exact-tie + scale-invariance paths together
+            vecs.append([float(x) for x in cents[rng.integers(k)] * rng.uniform(0.5, 3.0)])
+        else:
+            vecs.append([float(x) for x in rng.normal(size=dim) * rng.uniform(0.1, 3.0)])
+
+    # assume away the documented sub-1e-6 near-tie window: for every
+    # non-null row the exact-max group must lead the next DISTINCT dot
+    # by > 2e-6 (rounding to 6dp perturbs each dot by <= 5e-7, so a
+    # larger gap can neither flip the argmax nor forge a new tie)
+    for v in vecs:
+        if v is None:
+            continue
+        d = cents @ np.asarray(v, dtype=np.float64)
+        m = d.max()
+        rest = d[d < m]
+        assume(len(rest) == 0 or m - rest.max() > 2e-6)
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": vecs}),
+        schema="vec_id long, embedding array<double>",
+    )
+    both = ivf_assign(
+        assign_cells_expr(df, cents).withColumnRenamed("cell", "cell_expr"), cents
+    )
+    rows = both.select("vec_id", "cell_expr", "cell").collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["cell_expr"] == r["cell"], (
+            f"vec {r['vec_id']}: expr={r['cell_expr']} ivf={r['cell']} "
+            f"(seed={seed} dim={dim} k={k})"
+        )
