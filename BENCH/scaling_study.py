@@ -80,6 +80,22 @@ def main() -> None:
                 flush=True,
             )
         spark.stop()
+        if gate_s > 0:
+            # closing probe BRACKETS the leg (round-8 bench.py lesson:
+            # a gate alone cannot see mid-run degradation; the r8 400k
+            # certification was adjudicated by exactly this open/close
+            # pair).  Health is load-exempt like bench's mid-run
+            # brackets — 1-min load after our own leg is self-load.
+            from bench import _mid_run_healthy, calibration_probe
+
+            close = calibration_probe()
+            print(json.dumps({
+                "cpus": int(cpus),
+                "leg_close_probe": close,
+                "leg_bracket_healthy": bool(
+                    _mid_run_healthy(probes[-1]) and _mid_run_healthy(close)
+                ),
+            }), flush=True)
 
 
 if __name__ == "__main__":

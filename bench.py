@@ -93,6 +93,8 @@ def timed_trials(
     max_trials: int,
     clean_pct: float = 1.0,
     steal_probe=None,
+    until_flat: bool = False,
+    flat_tol: float = 0.05,
 ):
     """Run fn() (returning elapsed seconds) until we hold a trial whose
     steal share was < clean_pct, bounded by max_trials.  Returns
@@ -100,11 +102,21 @@ def timed_trials(
     if no clean window appears in the budget — the bench must always
     report a number, but the steal annotation travels with it.
 
+    ``until_flat=True`` additionally keeps trialing (within
+    max_trials) while the latest trial IMPROVED the best by more than
+    ``flat_tol`` — a monotonically-descending sequence at the stop
+    point means the warm floor was not reached yet.  Round-8 evidence:
+    the local[32] build leg warms 13.9 -> 7.0 -> 4.9 s (python-worker
+    spawn + first-touch amortizing over trials), so a min-3 stop
+    records a still-descending ~9.5 s in a probe-healthy window while
+    the certified floor is 4.7-5.4 s.
+
     ``steal_probe`` (a zero-arg callable returning the per-trial steal
     percent, or None when unmeasurable) exists for deterministic tests;
     production uses the /proc/stat tick pair."""
     best, best_steal, trials = None, None, 0
     while trials < max_trials:
+        best_before = best
         if steal_probe is None:
             s0 = _steal_ticks()
             secs = fn()
@@ -116,7 +128,10 @@ def timed_trials(
         if best is None or secs < best:
             best, best_steal = secs, st
         clean = best_steal is None or best_steal < clean_pct
-        if trials >= min_trials and clean:
+        descending = until_flat and (
+            best_before is None or secs < best_before * (1.0 - flat_tol)
+        )
+        if trials >= min_trials and clean and not descending:
             break
     return best, best_steal, trials
 
@@ -761,7 +776,12 @@ def main() -> None:
         return secs_
 
     def _build_leg() -> None:
-        _, st, tr = timed_trials(_one_build, min_trials=3, max_trials=6)
+        # until_flat: the local[32] warm-up descent outlasts 3 trials
+        # (13.9 -> 7.0 -> 4.9 s measured r8) — stop only once the best
+        # stops improving, bounded at 6
+        _, st, tr = timed_trials(
+            _one_build, min_trials=3, max_trials=6, until_flat=True
+        )
         # keep the steal/trial count of the pass that produced the best
         if build_state.get("secs") != build_state.get("_reported_secs"):
             build_state.update(_reported_secs=build_state["secs"], steal=st)
@@ -882,7 +902,9 @@ def main() -> None:
     # 400k docs) — two trials are a coin flip between a good and a bad
     # window that steal certification cannot see.
     def _bucketed_leg() -> None:
-        timed_trials(_one_bucketed, min_trials=3, max_trials=6)
+        timed_trials(
+            _one_bucketed, min_trials=3, max_trials=6, until_flat=True
+        )
 
     if no_wait:
         _bucketed_leg()

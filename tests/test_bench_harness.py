@@ -287,3 +287,33 @@ def test_bracket_probes_exempt_self_load():
         probe=_seq([hot_load, dict(hot_load)]), wait=_wait_fail,
     )
     assert out["healthy"] and out["retried"] == []
+
+
+def test_until_flat_keeps_trialing_through_a_warmup_descent():
+    # r8 build-leg evidence: 13.9 -> 7.0 -> 4.9 -> 5.7 s.  A min-3 stop
+    # would record 4.9's predecessor; until_flat runs trial 4 (no
+    # improvement) and stops, keeping the 4.9 floor.
+    times = _seq([13.9, 7.0, 4.9, 5.7])
+    steals = _seq([0.1, 0.1, 0.1, 0.1])
+    best, st, n = timed_trials(
+        times, min_trials=3, max_trials=6, steal_probe=steals, until_flat=True
+    )
+    assert (best, n) == (4.9, 4)
+
+
+def test_until_flat_stops_at_min_trials_when_already_flat():
+    times = _seq([5.0, 4.9, 4.95])
+    steals = _seq([0.1, 0.1, 0.1])
+    best, st, n = timed_trials(
+        times, min_trials=3, max_trials=6, steal_probe=steals, until_flat=True
+    )
+    assert (best, n) == (4.9, 3)  # 4.9 is within 5% of 5.0: flat
+
+
+def test_until_flat_still_bounded_by_max_trials():
+    times = _seq([32.0, 16.0, 8.0, 4.0, 2.0, 1.0])
+    steals = _seq([0.1] * 6)
+    best, st, n = timed_trials(
+        times, min_trials=3, max_trials=5, steal_probe=steals, until_flat=True
+    )
+    assert (best, n) == (2.0, 5)
