@@ -54,6 +54,23 @@ NOTES = {
         "and the single ArrowEvalPython keys into it by group columns.\n"
         "Per-probe-row movement is O(row), not O(state_bytes)."
     ),
+    "boilerplate_excision": (
+        "High-DF span dedup with NO pair join on hot keys: the bounded\n"
+        "top-k hot-gram table BROADCASTS into the gram-occurrence join\n"
+        "(BroadcastHashJoin — a df=n/3 gram never becomes a shuffle key),\n"
+        "per-doc gaps-and-islands windows merge covered ranges, and the\n"
+        "rebuild touches AFFECTED docs only (semi join) while the\n"
+        "untouched majority passes through a map-only anti join."
+    ),
+    "semdedup": (
+        "SemDeDup, zero Python: cell assignment is k whole-stage-codegen\n"
+        "dot-product expressions against centroid literals (argmax via\n"
+        "array_position), the celled table is persisted so the self-join\n"
+        "reads InMemoryTableScan on BOTH sides instead of re-evaluating\n"
+        "the k dots per side, and the pair join is a keyed equi-join on\n"
+        "the small-int cell — the quadratic is bounded by cluster size,\n"
+        "the paper's n_clusters-grows-with-corpus knob."
+    ),
 }
 
 
