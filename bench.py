@@ -768,6 +768,12 @@ def main() -> None:
     # session setup, not build throughput — hence min 3 trials.
     build_state: dict = {}
     no_wait = bool(os.environ.get("MARKER_BENCH_NO_WAIT"))
+    # bracket-retry waits respect an explicit env budget: a driver that
+    # sets MARKER_BENCH_WINDOW_WAIT_S=60 wants the WHOLE run bounded,
+    # not a 60s gate followed by three 300s retry waits
+    retry_wait_s = min(
+        300.0, float(os.environ.get("MARKER_BENCH_WINDOW_WAIT_S", "600"))
+    )
 
     def _one_build() -> float:
         secs_, n_tokens_, tps_ = sketch_build_throughput(spark, n_docs)
@@ -794,7 +800,7 @@ def main() -> None:
         _build_leg()
         build_bracket = {"healthy": None, "retried": False}
     else:
-        b0, b1, bh, br = bracketed_leg(_build_leg)
+        b0, b1, bh, br = bracketed_leg(_build_leg, retry_wait_s=retry_wait_s)
         build_bracket = {
             "probe_before": b0, "probe_after": b1, "healthy": bh, "retried": br,
         }
@@ -873,7 +879,9 @@ def main() -> None:
         sweep = {"probes": [], "retried": [], "healthy": None}
         probe_before = probe_after = None
     else:
-        sweep = bracketed_sweep(bench_queries, _run_query)
+        sweep = bracketed_sweep(
+            bench_queries, _run_query, retry_wait_s=retry_wait_s
+        )
         timings.update(sweep["timings"])
         query_steal = sweep["steals"]
         probe_before, probe_after = sweep["probes"][0], sweep["probes"][-1]
@@ -910,7 +918,7 @@ def main() -> None:
         _bucketed_leg()
         bucketed_bracket = {"healthy": None, "retried": False}
     else:
-        c0, c1, ch, cr = bracketed_leg(_bucketed_leg)
+        c0, c1, ch, cr = bracketed_leg(_bucketed_leg, retry_wait_s=retry_wait_s)
         bucketed_bracket = {
             "probe_before": c0, "probe_after": c1, "healthy": ch, "retried": cr,
         }
