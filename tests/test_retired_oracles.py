@@ -195,3 +195,66 @@ def test_retired_query_matches_oracle(spark, ddb, name):
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
     assert a == b, f"{name}: value mismatch\nspark={a[:3]}\nduckdb={b[:3]}"
     release_all()
+
+
+# ---------------------------------------------------------------------------
+# Not retired — never window-eligible: the flagship's METADATA columns.
+# flagship_bloom_by_source stays rows-only in the driver because
+# fill_ratio is hash-dependent, but (source, n_inserted, m, k) are pure
+# arithmetic given the per-source n-gram counts (VERDICT r7 "missing"
+# #3): n_inserted = sum(max(n_tok-2, 0)) over whitespace tokens, and
+# m/k replay the reference's ceil sizing formulas
+# (marker_spark/params.py, /root/reference/markercache.cpp:22-33)
+# verbatim in SQL.  This local gate certifies those columns exactly at
+# zero driver-window cost.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_METADATA = """
+    WITH tok AS (
+        SELECT source,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               CAST(SUM(GREATEST(n_tok - 2, 0)) AS BIGINT) AS n_inserted
+        FROM tok GROUP BY source
+    ), sized AS (
+        -- Python int(n * 1.2) truncates: FLOOR, not CAST (DuckDB's
+        -- double->int cast ROUNDS); max(cap, 10000) is the factory floor
+        SELECT source, n_inserted,
+               GREATEST(CAST(FLOOR(n_inserted * 1.2) AS BIGINT), 10000) AS cap
+        FROM agg
+    ), bits AS (
+        -- m = ceil(-(n ln p) / ln^2 2) at p = 0.001 (ceil, not round —
+        -- reference parity)
+        SELECT source, n_inserted, cap,
+               CAST(CEIL(-(cap * LN(0.001)) / (LN(2) * LN(2))) AS BIGINT) AS m
+        FROM sized
+    )
+    SELECT source, n_inserted, m,
+           CAST(CEIL((m * 1.0 / cap) * LN(2)) AS BIGINT) AS k
+    FROM bits ORDER BY source
+"""
+
+
+def test_flagship_metadata_matches_sql_oracle(spark, ddb):
+    from tests.test_oracles import _normalize
+
+    sdf = (
+        entrymod.queries()["flagship_bloom_by_source"](spark, SF_DIR)
+        .drop("fill_ratio")
+    )
+    spark_cols = sdf.columns
+    spark_rows = [r.asDict() for r in sdf.collect()]
+
+    res = ddb.execute(_FLAGSHIP_METADATA)
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols)
+    a = _normalize(spark_rows, spark_cols)
+    b = _normalize([dict(zip(ddb_cols, r)) for r in ddb_rows], ddb_cols)
+    assert len(a) == len(b) and len(a) > 0
+    assert a == b, f"spark={a[:3]}\nduckdb={b[:3]}"
+    release_all()
