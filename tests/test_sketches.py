@@ -485,3 +485,74 @@ def test_mg_serde_explicit_little_endian():
     back = MisraGriesSketch.from_bytes(buf)
     assert np.array_equal(back.items, sk.items)
     assert np.array_equal(back.counts, sk.counts)
+
+
+# ---------------------------------------------------------------------------
+# Serde robustness, ALL sketches: a truncated wire buffer must raise,
+# never silently parse into a plausible-but-wrong state (states cross
+# the Python<->JVM boundary zlib-packed per group; a short read that
+# "succeeds" would poison a merge silently).  Trailing junk must either
+# be rejected or be provably inert (byte-identical re-serialization) —
+# both engines' behavior is pinned per class below.
+# ---------------------------------------------------------------------------
+
+
+def _all_sketches():
+    from marker_spark.params import BloomParams
+    from marker_spark.sketches.bloom import BloomSketch
+    from marker_spark.sketches.minhash import MinHashSketch
+    from marker_spark.sketches.misra_gries import MisraGriesSketch
+    from marker_spark.sketches.theta import ThetaSketch
+
+    items = [f"item{i}".encode() for i in range(500)]
+    vals = np.random.default_rng(1).normal(size=500)
+    p = BloomParams.solve(4096, 0.001)
+    bloom = BloomSketch(p.m, p.k)
+    bloom.insert(items)
+    hll = HllSketch(p=10)
+    hll.update(items)
+    cms = CmsSketch(d=4, w=256)
+    cms.update(items)
+    kll = KllSketch(k=64)
+    kll.update(vals)
+    td = TDigestSketch(delta=100)
+    td.update(vals)
+    mh = MinHashSketch(num_perm=32)
+    mh.update(items)
+    th = ThetaSketch(k=64)
+    th.update(items)
+    mg = MisraGriesSketch(16)
+    mg.update(np.arange(500, dtype=np.int64) % 37)
+    return {
+        "bloom": bloom, "hll": hll, "cms": cms, "kll": kll,
+        "tdigest": td, "minhash": mh, "theta": th, "misra_gries": mg,
+    }
+
+
+@pytest.mark.parametrize("name,sk", sorted(_all_sketches().items()))
+def test_truncated_wire_buffer_always_raises(name, sk):
+    buf = sk.to_bytes()
+    cls = type(sk)
+    # every prefix length in a structured sample: inside the header,
+    # inside the params block, mid-payload, and off-by-one at the end
+    for n in {1, 3, 6, 10, len(buf) // 2, len(buf) - 8, len(buf) - 1}:
+        if not (0 < n < len(buf)):
+            continue
+        try:
+            got = cls.from_bytes(buf[:n])
+        except Exception:
+            continue  # any raise is the correct behavior
+        raise AssertionError(
+            f"{name}: from_bytes silently accepted a {n}/{len(buf)}-byte prefix: {got!r}"
+        )
+
+
+@pytest.mark.parametrize("name,sk", sorted(_all_sketches().items()))
+def test_trailing_junk_is_rejected_or_inert(name, sk):
+    buf = sk.to_bytes()
+    cls = type(sk)
+    try:
+        rt = cls.from_bytes(buf + b"\xff" * 16)
+    except ValueError:
+        return  # rejection is fine (bloom/cms measure the exact length)
+    assert rt.to_bytes() == buf, f"{name}: trailing junk leaked into state"
