@@ -2111,6 +2111,22 @@ def q_cache_fp_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style sketch-powered profile of the documents table
+    (ops/profile.py): exact n_rows/nulls/min/max/mean in one Catalyst
+    agg, per-column HLL distinct estimates + Misra-Gries heavy-hitter
+    candidates over ONE melted (column, value, xxhash64) pass, then one
+    exact count pass over the bounded candidate IN-list — only
+    O(columns x k) scalars reach the driver.  Rows-only (distinct_est
+    is an estimate by construction); the exact fields and the MG
+    guarantee are DuckDB-gated in tests/test_profile.py."""
+    from marker_spark.ops.profile import profile_table
+
+    return profile_table(
+        _read(spark, sf_dir, "documents"), top_k=3
+    ).orderBy("column")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2215,6 +2231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
         "media_metadata": q_media_metadata,
+        # r8: sketch-powered ANALYZE (exact fields + MG top-k DuckDB-
+        # gated in tests/test_profile.py; distinct_est bound-gated)
+        "table_profile": q_table_profile,
     }
 
 

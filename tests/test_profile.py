@@ -1,0 +1,129 @@
+"""Sketch-powered table profiler: the exact fields replay in DuckDB,
+the distinct estimate sits inside the HLL bound, and the heavy-hitter
+top values match the true top-k wherever the Misra-Gries candidate
+guarantee applies (freq > n/(k+1))."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from marker_spark.cacheutil import release_all
+from marker_spark.ops.profile import profile_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Deterministic skewed fixture: a zipf-ish category column whose
+    top values are unambiguously heavy (freq >> n/257), a nullable
+    long, and a nullable double."""
+    n = 20_000
+    i = np.arange(n)
+    cat = np.where(i % 2 == 0, "alpha",
+          np.where(i % 3 == 0, "beta",
+          np.where(i % 5 == 0, "gamma", [f"tail{x}" for x in i])))
+    pdf = pd.DataFrame({
+        "uid": pd.array([None if x % 100 == 7 else x * 3 for x in i],
+                        dtype="Int64"),
+        "category": cat,
+        "score": [None if x % 50 == 3 else round((x % 997) / 31.0, 6)
+                  for x in i],
+    })
+    df = spark.createDataFrame(
+        pdf, schema="uid long, category string, score double"
+    )
+    return pdf, df
+
+
+def test_exact_fields_match_duckdb(spark, skewed):
+    pdf, df = skewed
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    release_all()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for c, is_num in (("uid", True), ("category", False), ("score", True)):
+        row = con.execute(f"""
+            SELECT COUNT(*) AS n, COUNT(*) - COUNT({c}) AS nn,
+                   MIN({c}) AS mn, MAX({c}) AS mx,
+                   {'AVG(' + c + ')' if is_num else 'NULL'} AS av
+            FROM t
+        """).fetchone()
+        p = prof[c]
+        assert p["n_rows"] == row[0] and p["n_null"] == row[1], c
+        if is_num:
+            assert p["min_num"] == pytest.approx(float(row[2])), c
+            assert p["max_num"] == pytest.approx(float(row[3])), c
+            assert p["mean"] == pytest.approx(float(row[4]), rel=1e-9), c
+            assert p["min_str"] is None and p["max_str"] is None
+        else:
+            assert (p["min_str"], p["max_str"]) == (row[2], row[3]), c
+            assert p["min_num"] is None and p["max_num"] is None
+
+
+def test_distinct_estimate_within_hll_bound(spark, skewed):
+    _, df = skewed
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    release_all()
+    from pyspark.sql import functions as F
+
+    for c in ("uid", "category", "score"):
+        exact = df.select(
+            F.countDistinct(F.col(c).cast("string")).alias("d")
+        ).collect()[0]["d"]
+        # p=14 -> sigma = 1.04/sqrt(16384) ~ 0.81%; allow 3 sigma
+        assert abs(prof[c]["distinct_est"] - exact) <= max(3, 0.025 * exact), (
+            c, prof[c]["distinct_est"], exact,
+        )
+
+
+def test_top_values_exact_where_mg_guarantee_applies(spark, skewed):
+    pdf, df = skewed
+    prof = {r["column"]: r.asDict() for r in profile_table(df, top_k=3).collect()}
+    release_all()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("""
+        SELECT category AS value, COUNT(*) AS cnt FROM t
+        GROUP BY category ORDER BY cnt DESC, value LIMIT 3
+    """).fetchall()
+    got = [(tv["value"], tv["count"]) for tv in prof["category"]["top_values"]]
+    n = len(pdf)
+    # every reported count is exact; membership matches the true top-k
+    # for values above the MG candidate threshold n/(k+1)
+    heavy = [(v, c) for v, c in want if c > n / 257]
+    assert got[: len(heavy)] == heavy, (got, heavy)
+
+
+def test_profile_runs_on_the_documents_fixture(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    prof = profile_table(docs, top_k=3)
+    rows = {r["column"]: r.asDict() for r in prof.collect()}
+    release_all()
+    assert set(rows) >= {"doc_id", "text", "source"}
+    n = docs.count()
+    # near-unique columns (text) legitimately report NO heavy hitters —
+    # MG decrements singletons away; columns with real repetition must
+    for c, p in rows.items():
+        assert p["n_rows"] == n
+        assert 0 <= p["n_null"] <= n
+        assert p["distinct_est"] >= 1
+        if not p["top_values"]:
+            assert p["distinct_est"] > n * 0.8, (c, "empty top on a skewed col")
+            continue
+        # exact counts: spot-check the first reported value
+        v, cnt = p["top_values"][0]["value"], p["top_values"][0]["count"]
+        from pyspark.sql import functions as F
+
+        true = docs.where(F.col(c).cast("string") == v).count()
+        assert cnt == true, (c, v, cnt, true)
+    assert rows["source"]["top_values"] and rows["lang"]["top_values"]
+
+
+def test_profile_rejects_bad_columns(spark, skewed):
+    _, df = skewed
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_table(df, columns=["nope"])
