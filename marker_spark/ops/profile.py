@@ -43,6 +43,55 @@ from ..cacheutil import register
 from ..sketches.hll import HllSketch
 from ..sketches.misra_gries import MisraGriesSketch
 
+
+class _ProfileSketch:
+    """Composite per-column state: one HLL + one Misra-Gries over the
+    same xxhash64 stream, so the melt is scanned by ONE sketch pass
+    instead of two (measured r8: the second mapInArrow pass over the
+    persisted melt was ~40% of profiler wall time).  Implements the
+    standard mergeable protocol (to_bytes/from_bytes/merge_in_place)
+    so the existing two-phase machinery runs it unchanged; the wire
+    format is two length-prefixed member buffers (each member already
+    validates its own header/length, so truncation raises)."""
+
+    __slots__ = ("hll", "mg")
+
+    def __init__(self, hll: HllSketch, mg: MisraGriesSketch):
+        self.hll = hll
+        self.mg = mg
+
+    def update_hashes(self, h_i64) -> None:
+        self.hll.update_hashes(h_i64.view("uint64"))
+        self.mg.update(h_i64)
+
+    def merge_in_place(self, other: "_ProfileSketch") -> "_ProfileSketch":
+        # returns self: the merge fold reassigns `acc = acc.merge_in_place(s)`
+        self.hll.merge_in_place(other.hll)
+        self.mg.merge_in_place(other.mg)
+        return self
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        a, b = self.hll.to_bytes(), self.mg.to_bytes()
+        return struct.pack("<II", len(a), len(b)) + a + b
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "_ProfileSketch":
+        import struct
+
+        if len(buf) < 8:
+            raise ValueError("profile sketch buffer too short")
+        na, nb = struct.unpack_from("<II", buf, 0)
+        if 8 + na + nb != len(buf):
+            raise ValueError(
+                f"profile sketch length mismatch: header says {8 + na + nb}, got {len(buf)}"
+            )
+        return cls(
+            HllSketch.from_bytes(buf[8 : 8 + na]),
+            MisraGriesSketch.from_bytes(buf[8 + na : 8 + na + nb]),
+        )
+
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
@@ -130,32 +179,24 @@ def profile_table(
     # -- pass 2: melt once, HLL + MG per column over the same hashes ---
     melted = register(_melt(df, columns).persist())
 
-    def hll_update(sk, pdf: pd.DataFrame) -> None:
+    def update(sk, pdf: pd.DataFrame) -> None:
         vals = pdf["h"].dropna()
         if len(vals):
-            sk.update_hashes(vals.to_numpy(dtype="int64").view("uint64"))
+            sk.update_hashes(vals.to_numpy(dtype="int64"))
 
-    def mg_update(sk, pdf: pd.DataFrame) -> None:
-        vals = pdf["h"].dropna()
-        if len(vals):
-            sk.update(vals.to_numpy(dtype="int64"))
-
-    hlls = collect_sketches(
+    profs = collect_sketches(
         sketch_agg(
-            melted, lambda: HllSketch(p=hll_p), hll_update, HllSketch,
+            melted,
+            lambda: _ProfileSketch(HllSketch(p=hll_p), MisraGriesSketch(k=mg_k)),
+            update,
+            _ProfileSketch,
             group_cols=["column"],
         ),
-        HllSketch,
+        _ProfileSketch,
         ["column"],
     )
-    mgs = collect_sketches(
-        sketch_agg(
-            melted, lambda: MisraGriesSketch(k=mg_k), mg_update,
-            MisraGriesSketch, group_cols=["column"],
-        ),
-        MisraGriesSketch,
-        ["column"],
-    )
+    hlls = {k: v.hll for k, v in profs.items()}
+    mgs = {k: v.mg for k, v in profs.items()}
 
     # -- pass 3: ONE exact count pass over the candidate IN-list -------
     cand = {c: [int(x) for x in mgs[(c,)].items] for c in columns if (c,) in mgs}
