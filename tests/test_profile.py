@@ -127,3 +127,31 @@ def test_profile_rejects_bad_columns(spark, skewed):
     _, df = skewed
     with pytest.raises(ValueError, match="not in DataFrame"):
         profile_table(df, columns=["nope"])
+
+
+def test_profile_sketch_serde_roundtrip_and_truncation():
+    """The composite (HLL+MG) state obeys the same wire discipline as
+    the first-class sketches: roundtrip is byte-identical, truncation
+    at any sampled prefix raises, junk between the members raises."""
+    from marker_spark.ops.profile import _ProfileSketch
+    from marker_spark.sketches.hll import HllSketch
+    from marker_spark.sketches.misra_gries import MisraGriesSketch
+
+    sk = _ProfileSketch(HllSketch(p=10), MisraGriesSketch(k=8))
+    sk.update_hashes(np.arange(1000, dtype=np.int64) % 37 * 123457)
+    buf = sk.to_bytes()
+    rt = _ProfileSketch.from_bytes(buf)
+    assert rt.to_bytes() == buf
+    assert rt.hll.estimate() == sk.hll.estimate()
+    for n in (0, 4, 7, 8, len(buf) // 2, len(buf) - 1):
+        if n >= len(buf):
+            continue
+        with pytest.raises(ValueError):
+            _ProfileSketch.from_bytes(buf[:n])
+    with pytest.raises(ValueError):
+        _ProfileSketch.from_bytes(buf + b"\x00")
+
+    # merge fold contract: merge_in_place returns self (agg.py reassigns)
+    other = _ProfileSketch(HllSketch(p=10), MisraGriesSketch(k=8))
+    other.update_hashes(np.arange(50, dtype=np.int64) * 999331)
+    assert sk.merge_in_place(other) is sk
