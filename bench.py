@@ -841,6 +841,7 @@ def main() -> None:
         "kll_ntok_quantiles",
         "tdigest_value_quantiles",
         "cache_timerange_lookup",
+        "table_profile",
     ]
     qmap = entrymod.queries()
     from marker_spark.cacheutil import release_all
