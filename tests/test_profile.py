@@ -155,3 +155,20 @@ def test_profile_sketch_serde_roundtrip_and_truncation():
     other = _ProfileSketch(HllSketch(p=10), MisraGriesSketch(k=8))
     other.update_hashes(np.arange(50, dtype=np.int64) * 999331)
     assert sk.merge_in_place(other) is sk
+
+
+def test_profile_job_entry(spark, tmp_path, capsys):
+    """spark-submit job entry (jobs/profile_table.py): writes one
+    parquet row per column and prints a one-line JSON report."""
+    import json
+
+    from jobs.profile_table import main
+
+    out = str(tmp_path / "profile_out")
+    main(["--input", f"{SF_DIR}/documents.parquet", "--output", out,
+          "--columns", "source,lang", "--top-k", "2"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["columns_profiled"] == 2
+    rows = {r["column"]: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"source", "lang"}
+    assert all(len(r["top_values"]) == 2 for r in rows.values())
