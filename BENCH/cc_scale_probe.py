@@ -36,8 +36,10 @@ from bench import _load1, _steal_pct, _steal_ticks, build_session  # noqa: E402
 _P = 2_147_483_647  # permutation modulus (prime > any node id used)
 
 
-def _perm(x: int) -> int:
-    """Fixed affine permutation scattering node ids."""
+def _perm(x):
+    """Fixed affine permutation scattering node ids (scalar or numpy
+    array — the single definition both the generator and any expected-
+    value derivation use, so the constants can't drift; ADVICE r8)."""
     return (x * 48_271 + 12_345) % _P
 
 
@@ -74,10 +76,8 @@ def _graph_parquet(n_edges: int) -> str:
     for u, v in edge_batches(n_edges):
         us.append(u)
         vs.append(v)
-    u = np.concatenate(us)
-    v = np.concatenate(vs)
-    u = (u * 48_271 + 12_345) % _P
-    v = (v * 48_271 + 12_345) % _P
+    u = _perm(np.concatenate(us))
+    v = _perm(np.concatenate(vs))
     tbl = pa.table({"id_a": u, "id_b": v})
     tmp = f"{path}.tmp-{os.getpid()}"
     # row_group_size: 1 row group = 1 scan task (CLAUDE.md gotcha)

@@ -54,6 +54,20 @@ def main() -> None:
         spark = build_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         spark.range(1000).count()  # warm JVM + python workers
+        if gate_s > 0:
+            # fresh OPENING bracket probe taken right here — after
+            # session build + warm-up, immediately before the first
+            # trial.  The gate's last probe can be minutes stale by now
+            # (session spawn + JIT + first-touch all run in between),
+            # which made the open side of the bracket weaker than
+            # bench.py's immediately-adjacent bracketed_leg probes
+            # (ADVICE r8).
+            from bench import calibration_probe
+
+            open_probe = calibration_probe()
+            print(json.dumps({
+                "cpus": int(cpus), "leg_open_probe": open_probe,
+            }), flush=True)
         for trial in range(n_trials):
             # load BEFORE the trial: sampled after, the 1-minute average
             # is dominated by the trial's own just-finished full-load
@@ -93,7 +107,7 @@ def main() -> None:
                 "cpus": int(cpus),
                 "leg_close_probe": close,
                 "leg_bracket_healthy": bool(
-                    _mid_run_healthy(probes[-1]) and _mid_run_healthy(close)
+                    _mid_run_healthy(open_probe) and _mid_run_healthy(close)
                 ),
             }), flush=True)
 

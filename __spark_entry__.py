@@ -26,6 +26,22 @@ def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _probe_vector(emb: DataFrame, vec_id: int | None = None) -> list:
+    """Fetch one embedding as a Python list with a self-describing
+    failure (the `:360` guard pattern, applied to every probe site —
+    verdict r8 item 3).  A bare ``head()[0]`` on a degenerate fixture
+    raises ``TypeError: 'NoneType' object is not subscriptable``, which
+    says nothing about WHICH table was empty or why."""
+    df = emb if vec_id is None else emb.where(F.col("vec_id") == vec_id)
+    row = df.select("embedding").head()
+    what = "embeddings table" if vec_id is None else f"vec_id={vec_id} row"
+    assert row is not None and row[0] is not None, (
+        f"{what} is missing or its vector is NULL — cannot probe a "
+        "query vector for this similarity query"
+    )
+    return [float(x) for x in row[0]]
+
+
 def _md5_bottom_ids(docs: DataFrame, k: int) -> list:
     """Deterministic md5-bottom-k doc ids — the benchmark/reference
     sample rule shared by decontamination, corpus_prep_spans, and
@@ -240,8 +256,8 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.similarity import brute_force_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return brute_force_topk(emb, [float(x) for x in query], k=10)
+    query = _probe_vector(emb, vec_id=0)
+    return brute_force_topk(emb, query, k=10)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +294,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.dedup import embedding_near_dup_lsh
 
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    dim = len(_probe_vector(emb))
     # the oracle bakes in plane literals for this dimension; fail loudly
     # on a mismatched fixture instead of comparing different planes
     assert dim == _LSH_DEDUP_DIM, (
@@ -357,12 +373,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.dedup import semdedup_flags
 
     emb = _read(spark, sf_dir, "embeddings")
-    row = emb.select("embedding").head()
-    assert row is not None and row[0] is not None, (
-        "embeddings table is empty or its first vector is NULL — "
-        "cannot probe the embedding dim for the semdedup oracle"
-    )
-    dim = len(row[0])
+    dim = len(_probe_vector(emb))
     assert dim == _LSH_DEDUP_DIM, (
         f"embeddings dim {dim} != {_LSH_DEDUP_DIM}; regenerate the "
         f"semdedup oracle via _semdedup_oracle_sql(dim)"
@@ -1275,11 +1286,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.similarity import hyperplane_signatures, lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    query = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query = _probe_vector(emb, vec_id=0)
     dim = len(query)
     with_buckets = hyperplane_signatures(emb, dim=dim, n_planes=12)
     return lsh_topk(
-        with_buckets, [float(x) for x in query], k=10, n_planes=12, probe_hamming=12
+        with_buckets, query, k=10, n_planes=12, probe_hamming=12
     )
 
 
@@ -1849,7 +1860,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marker_spark.ops.similarity import ivf_assign, ivf_topk, kmeans_centroids
 
     emb = _read(spark, sf_dir, "embeddings")
-    query = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    query = _probe_vector(emb, vec_id=0)
     cents = kmeans_centroids(emb, n_cells=8, seed=42)
     cells = ivf_assign(emb, cents)
     return ivf_topk(cells, cents, query, k=10, nprobe=8)

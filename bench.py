@@ -336,8 +336,16 @@ def bracketed_sweep(
     unhealthy are retried once after a bounded wait for a healthy
     window (keeping the MIN timing — pollution only inflates), and the
     retry pass is bracketed too.  Returns a dict with timings, steals,
-    all probes, the retried names, and one ``healthy`` verdict: every
-    query's kept number sits in at least one healthy bracket."""
+    all probes, the retried names, and one ``healthy`` verdict.
+
+    Certification semantics (r9 precision): ``healthy`` means every
+    query RAN at least once inside a healthy bracket — the kept number
+    is the min over all passes and may come from the earlier polluted
+    bracket.  That min is still a sound floor estimate because host
+    pollution on this VM only ever INFLATES timings (steal, bandwidth
+    contention, THP stalls — see BENCH/BASELINE.md §5); a polluted
+    pass that read FASTER than the healthy re-run is the healthy run
+    sitting above the floor, not the polluted one lying below it."""
     probe = probe or calibration_probe
     wait = wait or _mid_run_wait
     names = list(names)
@@ -933,23 +941,18 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # KEY ORDER IS LOAD-BEARING: the driver's artifact keeps only the
+    # TAIL of this line (BENCH_r08.json came back parsed:null with the
+    # per-query timings cut off the front once the r8 bracket
+    # diagnostics grew the line — round-8 verdict item 1).  Diagnostics
+    # are emitted FIRST; the headline value and the `queries` dict go
+    # LAST so a tail capture always retains them.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "n_tokens": n_tokens,
-                "tokens_per_sec": round(tps, 1),
-                "tokens_per_sec_bucketed": round(btps, 1),
-                "bench_docs": n_docs,
                 "build_steal_pct": None if build_steal is None else round(build_steal, 2),
                 "build_trials": build_trials,
                 "load1_at_start": load1_at_start,
-                "window_healthy": window_healthy,
                 "window_wait_healthy": gate_healthy,
                 "window_wait_probes": len(window_probes),
                 "window_wait_first_probe": window_probes[0] if window_probes else None,
@@ -963,6 +966,17 @@ def main() -> None:
                 "sweep_steal_pct": None if sweep_steal is None else round(sweep_steal, 2),
                 "query_steal_pct": query_steal,
                 "bloom_fp_check": fp_check,
+                "window_healthy": window_healthy,
+                "metric": "headline_queries_total_sec",
+                "unit": "sec",
+                "sf": sf,
+                "cpus": int(cpus),
+                "n_tokens": n_tokens,
+                "tokens_per_sec": round(tps, 1),
+                "tokens_per_sec_bucketed": round(btps, 1),
+                "bench_docs": n_docs,
+                "queries": timings,
+                "value": total,
             }
         )
     )

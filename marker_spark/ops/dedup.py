@@ -1341,8 +1341,16 @@ def connected_components_twophase(
         if changed == 0:
             if stats is not None:
                 stats["rounds"] = _round + 1
+                stats["converged"] = True
             break
     else:
+        # record the exhaustion in stats too, so a caller that catches
+        # (or a probe reading a shared stats dict) can distinguish
+        # convergence from running out of rounds rather than seeing an
+        # absent key (ADVICE r8)
+        if stats is not None:
+            stats["rounds"] = max_rounds
+            stats["converged"] = False
         if prev_ck is not None:
             prev_ck.unpersist()
         raise RuntimeError(

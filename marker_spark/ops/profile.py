@@ -8,19 +8,20 @@ rest of the engine does:
 * pass 1 (Catalyst only): exact n_rows / per-column null counts /
   min / max / mean — one aggregation over the original table, no melt,
   whole-stage codegen.
-* pass 2 (one melt + two sketches): the selected columns are melted to
-  (column, value, h=xxhash64(value)) rows — a map-only explode, no
-  shuffle of raw values — and per-column HYPERLOGLOG (distinct
-  estimate; xxhash64 IS the HLL input hash) and MISRA-GRIES (heavy-
-  hitter candidates over the same hashes, bounded O(k) state) build
-  through the standard two-phase partial/merge machinery.  Only
-  sketch states cross the shuffle.
+* pass 2 (one melt + ONE composite sketch): the selected columns are
+  melted to (column, value, num, h=xxhash64(value)) rows — a map-only
+  explode, no shuffle of raw values — and per-column HYPERLOGLOG
+  (distinct estimate; xxhash64 IS the HLL input hash), MISRA-GRIES
+  (heavy-hitter candidates over the same hashes, bounded O(k) state),
+  and KLL (numeric quantiles over the double-cast values) build
+  through the standard two-phase partial/merge machinery in one fused
+  pass.  Only sketch states cross the shuffle.
 * pass 3 (Catalyst only): the MG candidate hashes — O(columns × k)
-  scalars — come back as a broadcastable IN-list and ONE exact count
-  pass ranks them, so the reported top values carry EXACT counts
-  (the q_mg_heavy_words recipe: every value with frequency >
-  N/(k+1) is guaranteed a candidate, and anything absent from the
-  summary has true count <= the summary's offset).
+  scalars — come back as a broadcast (column, h) candidate table and
+  ONE exact count pass ranks them per column, so the reported top
+  values carry EXACT counts (the q_mg_heavy_words recipe: every value
+  with frequency > N/(k+1) is guaranteed a candidate, and anything
+  absent from the summary has true count <= the summary's offset).
 
 Only O(columns × k) scalars ever reach the driver; the melted frame
 never aggregates by raw value (the naive profiler's full-vocabulary
@@ -41,55 +42,67 @@ from pyspark.sql import types as T
 from ..agg import collect_sketches, sketch_agg
 from ..cacheutil import register
 from ..sketches.hll import HllSketch
+from ..sketches.kll import KllSketch
 from ..sketches.misra_gries import MisraGriesSketch
 
 
 class _ProfileSketch:
     """Composite per-column state: one HLL + one Misra-Gries over the
-    same xxhash64 stream, so the melt is scanned by ONE sketch pass
-    instead of two (measured r8: the second mapInArrow pass over the
-    persisted melt was ~40% of profiler wall time).  Implements the
-    standard mergeable protocol (to_bytes/from_bytes/merge_in_place)
-    so the existing two-phase machinery runs it unchanged; the wire
-    format is two length-prefixed member buffers (each member already
-    validates its own header/length, so truncation raises)."""
+    same xxhash64 stream, PLUS one KLL over the numeric values — so the
+    melt is scanned by ONE sketch pass instead of three (measured r8:
+    the second mapInArrow pass over the persisted melt was ~40% of
+    profiler wall time; the r8 verdict asked for quantiles to ride the
+    same pass rather than add a third).  Implements the standard
+    mergeable protocol (to_bytes/from_bytes/merge_in_place) so the
+    existing two-phase machinery runs it unchanged; the wire format is
+    three length-prefixed member buffers (each member already validates
+    its own header/length, so truncation raises).  For non-numeric
+    columns the KLL simply never sees a value and stays empty."""
 
-    __slots__ = ("hll", "mg")
+    __slots__ = ("hll", "mg", "kll")
 
-    def __init__(self, hll: HllSketch, mg: MisraGriesSketch):
+    def __init__(self, hll: HllSketch, mg: MisraGriesSketch, kll: KllSketch):
         self.hll = hll
         self.mg = mg
+        self.kll = kll
 
     def update_hashes(self, h_i64) -> None:
         self.hll.update_hashes(h_i64.view("uint64"))
         self.mg.update(h_i64)
 
+    def update_numeric(self, vals_f64) -> None:
+        if len(vals_f64):
+            self.kll.update(vals_f64)
+
     def merge_in_place(self, other: "_ProfileSketch") -> "_ProfileSketch":
         # returns self: the merge fold reassigns `acc = acc.merge_in_place(s)`
         self.hll.merge_in_place(other.hll)
         self.mg.merge_in_place(other.mg)
+        self.kll.merge_in_place(other.kll)
         return self
 
     def to_bytes(self) -> bytes:
         import struct
 
-        a, b = self.hll.to_bytes(), self.mg.to_bytes()
-        return struct.pack("<II", len(a), len(b)) + a + b
+        a, b, c = self.hll.to_bytes(), self.mg.to_bytes(), self.kll.to_bytes()
+        return struct.pack("<III", len(a), len(b), len(c)) + a + b + c
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "_ProfileSketch":
         import struct
 
-        if len(buf) < 8:
+        if len(buf) < 12:
             raise ValueError("profile sketch buffer too short")
-        na, nb = struct.unpack_from("<II", buf, 0)
-        if 8 + na + nb != len(buf):
+        na, nb, nc = struct.unpack_from("<III", buf, 0)
+        if 12 + na + nb + nc != len(buf):
             raise ValueError(
-                f"profile sketch length mismatch: header says {8 + na + nb}, got {len(buf)}"
+                f"profile sketch length mismatch: header says "
+                f"{12 + na + nb + nc}, got {len(buf)}"
             )
         return cls(
-            HllSketch.from_bytes(buf[8 : 8 + na]),
-            MisraGriesSketch.from_bytes(buf[8 + na : 8 + na + nb]),
+            HllSketch.from_bytes(buf[12 : 12 + na]),
+            MisraGriesSketch.from_bytes(buf[12 + na : 12 + na + nb]),
+            KllSketch.from_bytes(buf[12 + na + nb : 12 + na + nb + nc]),
         )
 
 _NUMERIC = (
@@ -101,24 +114,34 @@ _RESULT_SCHEMA = (
     "column string, dtype string, n_rows long, n_null long, "
     "distinct_est long, min_num double, max_num double, mean double, "
     "min_str string, max_str string, "
-    "top_values array<struct<value string, count long>>"
+    "top_values array<struct<value string, count long>>, "
+    "quantiles array<double>"
 )
 
+#: quantile probabilities reported per numeric column (ANALYZE-style
+#: 5-number-ish summary); fixed so the output schema is deterministic
+QUANTILE_PROBS = (0.05, 0.25, 0.5, 0.75, 0.95)
 
-def _melt(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(column, value, h) rows for the selected columns: map-only, one
-    scan, values stringified once; NULLs dropped (they are counted
-    exactly in pass 1, and neither HLL nor MG should see them)."""
+
+def _melt(df: DataFrame, cols: list[str], numeric: set[str]) -> DataFrame:
+    """(column, value, num, h) rows for the selected columns: map-only,
+    one scan, values stringified once; ``num`` carries the double-cast
+    value for numeric columns (NULL otherwise) so the KLL member of the
+    composite sketch rides the SAME melt instead of a second scan.
+    NULL values dropped (they are counted exactly in pass 1, and none
+    of HLL/MG/KLL should see them)."""
     kv = [
         F.struct(
             F.lit(c).alias("column"),
             F.col(c).cast("string").alias("value"),
+            (F.col(c).cast("double") if c in numeric
+             else F.lit(None).cast("double")).alias("num"),
         )
         for c in cols
     ]
     return (
         df.select(F.explode(F.array(*kv)).alias("kv"))
-        .select("kv.column", "kv.value")
+        .select("kv.column", "kv.value", "kv.num")
         .where(F.col("value").isNotNull())
         .withColumn("h", F.xxhash64("value"))
     )
@@ -130,6 +153,7 @@ def profile_table(
     top_k: int = 5,
     mg_k: int = 256,
     hll_p: int = 14,
+    kll_k: int = 200,
 ) -> DataFrame:
     """One row of statistics per profiled column (see module doc).
 
@@ -176,18 +200,24 @@ def profile_table(
             aggs.append(F.max(F.col(c)).cast("string").alias(f"mx_{c}"))
     exact = df.agg(*aggs).collect()[0]  # ONE row of scalars
 
-    # -- pass 2: melt once, HLL + MG per column over the same hashes ---
-    melted = register(_melt(df, columns).persist())
+    # -- pass 2: melt once; HLL + MG over the hashes and KLL over the
+    #    numeric values, ONE composite sketch pass ----------------------
+    melted = register(_melt(df, columns, numeric).persist())
 
     def update(sk, pdf: pd.DataFrame) -> None:
         vals = pdf["h"].dropna()
         if len(vals):
             sk.update_hashes(vals.to_numpy(dtype="int64"))
+        nums = pdf["num"].dropna()
+        if len(nums):
+            sk.update_numeric(nums.to_numpy(dtype="float64"))
 
     profs = collect_sketches(
         sketch_agg(
             melted,
-            lambda: _ProfileSketch(HllSketch(p=hll_p), MisraGriesSketch(k=mg_k)),
+            lambda: _ProfileSketch(
+                HllSketch(p=hll_p), MisraGriesSketch(k=mg_k), KllSketch(k=kll_k)
+            ),
             update,
             _ProfileSketch,
             group_cols=["column"],
@@ -197,16 +227,26 @@ def profile_table(
     )
     hlls = {k: v.hll for k, v in profs.items()}
     mgs = {k: v.mg for k, v in profs.items()}
+    klls = {k: v.kll for k, v in profs.items()}
 
-    # -- pass 3: ONE exact count pass over the candidate IN-list -------
-    cand = {c: [int(x) for x in mgs[(c,)].items] for c in columns if (c,) in mgs}
-    all_cand = sorted({h for hs in cand.values() for h in hs})
+    # -- pass 3: ONE exact count pass over the PER-COLUMN candidates ---
+    # (column, h) pairs joined as a broadcast table, not one global
+    # isin: a global IN-list let a hash that is heavy in column A count
+    # stray rows in column B's ranking, and on wide tables the IN
+    # expression grew to columns*mg_k literals (ADVICE r8).
+    cand_rows = [
+        (c, int(h))
+        for c in columns
+        if (c,) in mgs
+        for h in mgs[(c,)].items
+    ]
     top: dict[str, list] = {c: [] for c in columns}
-    if all_cand:
+    if cand_rows:
         from pyspark.sql import Window
 
+        cand_df = spark.createDataFrame(cand_rows, "column string, h long")
         ranked = (
-            melted.where(F.col("h").isin(all_cand))
+            melted.join(F.broadcast(cand_df), ["column", "h"])
             .groupBy("column", "value")
             .agg(F.count(F.lit(1)).alias("count"))
             .withColumn(
@@ -225,6 +265,15 @@ def profile_table(
             top[c].sort(key=lambda vc: (-vc[1], vc[0]))
 
     # -- assemble: one metadata row per column --------------------------
+    import math
+
+    def _quantiles(c: str):
+        sk = klls.get((c,))
+        if sk is None or sk.n == 0:
+            return None
+        qs = sk.quantile(list(QUANTILE_PROBS))
+        return [None if math.isnan(q) else float(q) for q in qs]
+
     rows = []
     for c in sorted(columns):
         is_num = c in numeric
@@ -249,6 +298,7 @@ def profile_table(
                 "min_str": None if is_num else exact[f"mn_{c}"],
                 "max_str": None if is_num else exact[f"mx_{c}"],
                 "top_values": top[c],
+                "quantiles": _quantiles(c) if is_num else None,
             }
         )
     return spark.createDataFrame(rows, schema=_RESULT_SCHEMA)

@@ -27,6 +27,24 @@ def test_every_oracle_query_sits_inside_the_driver_window():
     )
 
 
+def test_probe_vector_fails_loudly_on_degenerate_fixture(spark, tmp_path):
+    """Every similarity query probes one embedding off the fixture; on a
+    degenerate table (empty, or the probed vec_id missing) the failure
+    must name the table/row, not raise a bare NoneType subscript
+    (verdict r8 item 3 — the `:360` guard pattern, now shared)."""
+    import pytest
+
+    import __spark_entry__ as E
+
+    sf_dir = str(tmp_path)
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    empty.write.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(AssertionError, match="vec_id=0"):
+        E.q_knn_bruteforce(spark, sf_dir)
+    with pytest.raises(AssertionError, match="embeddings table"):
+        E._probe_vector(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def test_rows_only_queries_follow_oracle_bearing_ones():
     import __spark_entry__ as E
 

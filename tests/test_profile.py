@@ -130,20 +130,26 @@ def test_profile_rejects_bad_columns(spark, skewed):
 
 
 def test_profile_sketch_serde_roundtrip_and_truncation():
-    """The composite (HLL+MG) state obeys the same wire discipline as
-    the first-class sketches: roundtrip is byte-identical, truncation
+    """The composite (HLL+MG+KLL) state obeys the same wire discipline
+    as the first-class sketches: roundtrip is byte-identical, truncation
     at any sampled prefix raises, junk between the members raises."""
     from marker_spark.ops.profile import _ProfileSketch
     from marker_spark.sketches.hll import HllSketch
+    from marker_spark.sketches.kll import KllSketch
     from marker_spark.sketches.misra_gries import MisraGriesSketch
 
-    sk = _ProfileSketch(HllSketch(p=10), MisraGriesSketch(k=8))
+    def fresh():
+        return _ProfileSketch(HllSketch(p=10), MisraGriesSketch(k=8), KllSketch(k=64))
+
+    sk = fresh()
     sk.update_hashes(np.arange(1000, dtype=np.int64) % 37 * 123457)
+    sk.update_numeric(np.arange(500, dtype=np.float64) / 7.0)
     buf = sk.to_bytes()
     rt = _ProfileSketch.from_bytes(buf)
     assert rt.to_bytes() == buf
     assert rt.hll.estimate() == sk.hll.estimate()
-    for n in (0, 4, 7, 8, len(buf) // 2, len(buf) - 1):
+    assert rt.kll.quantile(0.5) == sk.kll.quantile(0.5)
+    for n in (0, 4, 7, 11, 12, len(buf) // 2, len(buf) - 1):
         if n >= len(buf):
             continue
         with pytest.raises(ValueError):
@@ -152,9 +158,62 @@ def test_profile_sketch_serde_roundtrip_and_truncation():
         _ProfileSketch.from_bytes(buf + b"\x00")
 
     # merge fold contract: merge_in_place returns self (agg.py reassigns)
-    other = _ProfileSketch(HllSketch(p=10), MisraGriesSketch(k=8))
+    other = fresh()
     other.update_hashes(np.arange(50, dtype=np.int64) * 999331)
+    other.update_numeric(np.arange(50, dtype=np.float64))
     assert sk.merge_in_place(other) is sk
+
+
+def test_quantiles_within_kll_rank_error_vs_duckdb(spark, skewed):
+    """Numeric columns report QUANTILE_PROBS estimates whose TRUE rank
+    (computed exactly by DuckDB over the non-null values) sits within
+    the KLL rank-error envelope of the requested prob; string columns
+    report NULL quantiles."""
+    from marker_spark.ops.profile import QUANTILE_PROBS
+
+    pdf, df = skewed
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    release_all()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    eps = 3.0 / (200 ** 0.5)  # conservative envelope (kll.py docstring)
+    for c in ("uid", "score"):
+        qs = prof[c]["quantiles"]
+        assert qs is not None and len(qs) == len(QUANTILE_PROBS), c
+        for p, v in zip(QUANTILE_PROBS, qs):
+            true_rank = con.execute(
+                f"SELECT CAST(SUM(CASE WHEN {c} <= ? THEN 1 ELSE 0 END) AS DOUBLE)"
+                f" / COUNT({c}) FROM t WHERE {c} IS NOT NULL",
+                [v],
+            ).fetchone()[0]
+            assert abs(true_rank - p) <= eps, (c, p, v, true_rank)
+        # monotone by construction of the probs
+        assert qs == sorted(qs), (c, qs)
+    assert prof["category"]["quantiles"] is None
+
+
+def test_quantiles_cross_check_vs_spark_kll_builtin(spark, skewed):
+    """Cross-implementation oracle: Spark 4.1's Apache DataSketches KLL
+    builtin over the same column must land within the combined rank
+    tolerance of our profiler's median (the r8 builtin-oracle recipe)."""
+    pdf, df = skewed
+    from pyspark.sql import functions as F
+
+    try:
+        sp = df.select(F.expr(
+            "kll_sketch_get_quantile_double(kll_sketch_agg_double(score), 0.5d)"
+        )).collect()[0][0]
+    except Exception:
+        pytest.skip("kll builtins unavailable in this Spark build")
+    prof = {r["column"]: r.asDict() for r in profile_table(df).collect()}
+    release_all()
+    ours = prof["score"]["quantiles"][2]  # p=0.5
+    vals = pdf["score"].dropna().to_numpy()
+    # compare in RANK space: both estimators carry rank error, value
+    # space is meaningless on a skewed distribution
+    rank_sp = float((vals <= sp).mean())
+    rank_us = float((vals <= ours).mean())
+    assert abs(rank_sp - rank_us) <= 2 * 3.0 / (200 ** 0.5), (sp, ours)
 
 
 def test_profile_job_entry(spark, tmp_path, capsys):
