@@ -1515,6 +1515,38 @@ def q_lm_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023):
+    target domain = the deterministic md5-bottom-50 docs, features =
+    hashed word bigrams (md5-prefix buckets, B=1024), weight = summed
+    smoothed log-likelihood ratio, draw = seeded Gumbel top-k.  Every
+    stage is the md5-replay recipe, so the full pipeline replays in
+    DuckDB — the exact oracle runs verbatim in
+    tests/test_retired_oracles.py (rows-only here: the driver window
+    is full at 50/50).  Plan shape: B-row ratio table broadcast, corpus
+    streams map-only, TakeOrdered selection (plan-asserted in
+    tests/test_plans.py)."""
+    from marker_spark.ops.dsir import (
+        dsir_importance_weights,
+        dsir_log_ratio_table,
+        dsir_select,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    target_ids = _md5_bottom_ids(docs, 50)
+    ratio = dsir_log_ratio_table(
+        docs, docs.where(F.col("doc_id").isin(target_ids)),
+        n=2, buckets=1024, alpha=1.0,
+    )
+    weights = dsir_importance_weights(docs, ratio, n=2, buckets=1024)
+    return dsir_select(weights, k=20, salt="dsir-r9").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("log_w", 6).alias("log_w"),
+        "gumbel_key",
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's repetition signals (the other half of its quality
     family), with UNION semantics so each word counts once: per doc,
@@ -2245,6 +2277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: sketch-powered ANALYZE (exact fields + MG top-k DuckDB-
         # gated in tests/test_profile.py; distinct_est bound-gated)
         "table_profile": q_table_profile,
+        # r9: DSIR importance-weighted selection — full DuckDB oracle
+        # runs verbatim in tests/test_retired_oracles.py (the driver
+        # window is full at 50/50, so this ships rows-only like the
+        # other retired-oracle twins)
+        "dsir_selection": q_dsir_selection,
     }
 
 

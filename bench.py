@@ -850,6 +850,7 @@ def main() -> None:
         "tdigest_value_quantiles",
         "cache_timerange_lookup",
         "table_profile",
+        "dsir_selection",
     ]
     qmap = entrymod.queries()
     from marker_spark.cacheutil import release_all

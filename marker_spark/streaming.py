@@ -408,6 +408,90 @@ def stateful_quantile_estimate(
     )
 
 
+def stateful_column_profile(
+    stream_df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    hll_p: int = 12,
+    mg_k: int = 64,
+    kll_k: int = 200,
+    quantiles: tuple = (0.25, 0.5, 0.75),
+):
+    """Per-key RUNNING column profile — the streaming twin of
+    ops/profile.py's batch ANALYZE (r8 verdict #7): one composite
+    HLL+MG+KLL state per key folds every micro-batch's values and
+    emits the current (n, n_null, distinct_est, quantiles, top
+    heavy-hitter hashes).  The value hashing is a Catalyst xxhash64
+    BEFORE the stateful operator (same hash the batch profiler melts
+    on), so the Python state update touches only int64/float64 numpy
+    columns; state is O(p + k) bytes per key and survives restarts via
+    the streaming checkpoint.  Heavy hitters are reported as MG
+    candidate HASHES with approximate counts (a streaming operator has
+    no second exact-count pass; the batch profiler's pass-3 contract
+    covers that need offline)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .ops.profile import _ProfileSketch
+    from .sketches.hll import HllSketch
+    from .sketches.kll import KllSketch
+    from .sketches.misra_gries import MisraGriesSketch
+
+    qs = [float(q) for q in quantiles]
+    prepped = stream_df.select(
+        F.col(key_col).alias("__k"),
+        F.xxhash64(F.col(value_col).cast("string")).alias("__h"),
+        F.col(value_col).cast("double").alias("__num"),
+        F.col(value_col).isNull().cast("long").alias("__isnull"),
+    )
+
+    def update_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, n_null = int(state.get[1]), int(state.get[2])
+            sk = _ProfileSketch.from_bytes(bytes(state.get[0]))
+        else:
+            n, n_null = 0, 0
+            sk = _ProfileSketch(
+                HllSketch(p=hll_p), MisraGriesSketch(k=mg_k), KllSketch(k=kll_k)
+            )
+        for pdf in pdf_iter:
+            n += len(pdf)
+            n_null += int(pdf["__isnull"].sum())
+            hs = pdf["__h"].dropna()
+            if len(hs):
+                sk.update_hashes(hs.to_numpy(dtype="int64"))
+            nums = pdf["__num"].dropna()
+            if len(nums):
+                sk.update_numeric(nums.to_numpy(dtype="float64"))
+        state.update((sk.to_bytes(), n, n_null))
+        est = [float(e) for e in sk.kll.quantile(qs)] if sk.kll.n else []
+        top = sorted(
+            zip(sk.mg.items.tolist(), sk.mg.counts.tolist()),
+            key=lambda hc: (-hc[1], hc[0]),
+        )[:5]
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n": [n],
+                "n_null": [n_null],
+                "distinct_est": [int(round(sk.hll.estimate()))],
+                "quantiles": [est],
+                "top_hashes": [[int(h) for h, _ in top]],
+            }
+        )
+
+    return prepped.groupBy("__k").applyInPandasWithState(
+        update_fn,
+        outputStructType=(
+            "key string, n long, n_null long, distinct_est long, "
+            "quantiles array<double>, top_hashes array<bigint>"
+        ),
+        stateStructType="sketch binary, n long, n_null long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_span_novelty(
     stream_df: DataFrame,
     text_col: str = "text",

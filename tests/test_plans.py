@@ -230,6 +230,20 @@ def test_lm_scoring_broadcasts_reference_counts(spark):
     assert "SortMergeJoin" not in plan, "corpus-sided shuffle join crept in"
 
 
+def test_dsir_plan_broadcasts_ratio_and_takeordered_selection(spark):
+    """DSIR's 100 TB contract: the B-row log-ratio table BROADCASTS
+    into the corpus gram stream (no shuffle join on a text/bucket key),
+    and Gumbel top-k selection plans TakeOrderedAndProject, not a
+    global sort."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.q_dsir_selection(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan, "corpus-sided shuffle join crept in"
+    assert "TakeOrderedAndProject" in plan, "selection should heap, not sort"
+
+
 def test_temporal_and_packing_windows_never_single_partition(spark):
     """The accidental-serialization trap: a window (or prefix sum) with
     no partition key plans an Exchange SinglePartition and runs the

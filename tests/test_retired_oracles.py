@@ -152,10 +152,76 @@ _SPAN_REMOVAL = """
             LIMIT 20
         """
 
+# NEW round 9 (never window-eligible — the driver window is full at
+# 50/50): DSIR importance-weighted selection.  The full pipeline —
+# md5-prefix hashed-bigram buckets, add-1 smoothed log-likelihood
+# ratios over a 1024-bucket spine, summed per-doc weights, seeded
+# md5-uniform Gumbel top-k — replays exactly in SQL (the md5-replay
+# recipe; every division CASTs to DOUBLE per the DuckDB decimal
+# gotcha, CLAUDE.md r7).
+_DSIR_SELECTION = """
+    WITH tids AS (
+        SELECT doc_id FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+    ), w AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS words
+        FROM documents
+        WHERE trim(coalesce(text, '')) <> ''
+    ), bi AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ')), 1, 8)
+               )::BIGINT % 1024 AS bucket
+        FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 2
+             THEN generate_series(1, len(words) - 1) ELSE [] END) AS t(i)
+    ), tgt AS (
+        SELECT bucket, COUNT(*) AS c_t FROM bi
+        WHERE doc_id IN (SELECT doc_id FROM tids) GROUP BY bucket
+    ), rawc AS (
+        SELECT bucket, COUNT(*) AS c_r FROM bi GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE) FROM tgt) AS n_t,
+               (SELECT CAST(COALESCE(SUM(c_r), 0) AS DOUBLE) FROM rawc) AS n_r
+    ), spine AS (
+        SELECT r AS bucket FROM range(1024) t(r)
+    ), ratio AS (
+        SELECT s.bucket,
+               ln((CAST(COALESCE(c_t, 0) AS DOUBLE) + 1.0) / (n_t + 1024.0))
+             - ln((CAST(COALESCE(c_r, 0) AS DOUBLE) + 1.0) / (n_r + 1024.0))
+               AS log_ratio
+        FROM spine s LEFT JOIN tgt USING (bucket)
+        LEFT JOIN rawc USING (bucket) CROSS JOIN tot
+    ), wts AS (
+        SELECT d.doc_id,
+               COALESCE(x.n_grams, 0) AS n_grams,
+               COALESCE(x.log_w, 0.0) AS log_w
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_grams, SUM(log_ratio) AS log_w
+            FROM bi JOIN ratio USING (bucket) GROUP BY doc_id
+        ) x USING (doc_id)
+    ), sel AS (
+        SELECT doc_id, n_grams, log_w,
+               ROUND(log_w - ln(-ln(
+                   (CAST(('0x' || substr(md5(concat_ws('|',
+                        CAST(doc_id AS VARCHAR), 'dsir-r9')), 1, 8))::BIGINT
+                    AS DOUBLE) + 0.5) / 4294967296.0)), 6) AS gumbel_key
+        FROM wts
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(log_w, 6) AS log_w,
+           gumbel_key
+    FROM sel
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 20
+"""
+
 RETIRED = {
     "duplicated_token_spans": _DUPLICATED_TOKEN_SPANS,
     "sample_stratified": _SAMPLE_STRATIFIED,
     "span_removal": _SPAN_REMOVAL,
+    "dsir_selection": _DSIR_SELECTION,
 }
 
 

@@ -570,3 +570,93 @@ def test_streaming_sessions_match_batch(spark, stream_dir, tmp_path):
     for key, n in got.items():
         assert batch.get(key) == n, (key, n, batch.get(key))
     assert len(got) >= len(batch) * 0.5, (len(got), len(batch))
+
+
+def test_stateful_column_profile_runs_and_recovers(spark, tmp_path):
+    """Streaming twin of the batch ANALYZE (ops/profile.py): per-key
+    running profile folds micro-batches into one composite HLL+MG+KLL
+    state.  Two runs from one checkpoint: the second run's counts must
+    CONTINUE from the first (state recovery), and the final stats must
+    match exact batch values (n, n_null exact; distinct within the HLL
+    bound; quantiles inside a rank band)."""
+    import numpy as np
+    import pandas as pd
+
+    from marker_spark.streaming import stateful_column_profile
+
+    d = tmp_path / "colprof_src"
+    d.mkdir()
+    ckpt = str(tmp_path / "colprof_ckpt")
+
+    def mk_chunk(path, lo, hi):
+        n = hi - lo
+        i = np.arange(lo, hi)
+        pd.DataFrame({
+            "event_type": np.where(i % 2 == 0, "click", "view"),
+            "value": [None if x % 17 == 5 else float((x * 37) % 1000)
+                      for x in i],
+        }).to_parquet(path, index=False)
+
+    mk_chunk(d / "c0.parquet", 0, 3000)
+
+    sink = str(tmp_path / "colprof_out")
+
+    def run():
+        # foreachBatch + parquet append: the memory sink does not
+        # support checkpoint RECOVERY, and the file sink does not
+        # support update mode — foreachBatch supports both
+        stream = spark.readStream.schema(
+            "event_type string, value double"
+        ).parquet(str(d))
+        prof = stateful_column_profile(
+            stream, key_col="event_type", value_col="value",
+            quantiles=(0.25, 0.5, 0.75),
+        )
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            prof.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = spark.read.parquet(sink)
+        return {
+            r["key"]: r.asDict()
+            for r in out.groupBy("key").agg(
+                F.max_by("n", "n").alias("n"),
+                F.max_by("n_null", "n").alias("n_null"),
+                F.max_by("distinct_est", "n").alias("distinct_est"),
+                F.max_by("quantiles", "n").alias("quantiles"),
+            ).collect()
+        }
+
+    first = run()
+    assert first["click"]["n"] == 1500 and first["view"]["n"] == 1500
+    # second run from the SAME checkpoint over one more chunk: state
+    # must continue, not restart from zero
+    mk_chunk(d / "c1.parquet", 3000, 5000)
+    got = run()
+
+    full = pd.concat([
+        pd.read_parquet(d / "c0.parquet"), pd.read_parquet(d / "c1.parquet"),
+    ])
+    for key, sub in full.groupby("event_type"):
+        g = got[key]
+        assert g["n"] == len(sub), key
+        assert g["n_null"] == int(sub["value"].isna().sum()), key
+        vals = sub["value"].dropna().to_numpy(dtype="float64")
+        exact_d = len({str(v) for v in sub["value"]})  # incl. the NULL? no:
+        # the profile hashes only non-null values (xxhash64 of NULL is
+        # NULL -> dropna in the update) — distinct over non-null strings
+        exact_d = sub["value"].dropna().astype(str).nunique()
+        assert abs(g["distinct_est"] - exact_d) <= max(3, 0.05 * exact_d), (
+            key, g["distinct_est"], exact_d)
+        for target, e in zip((0.25, 0.5, 0.75), g["quantiles"]):
+            lo = float(np.quantile(vals, max(target - 0.1, 0.0)))
+            hi = float(np.quantile(vals, min(target + 0.1, 1.0)))
+            assert lo <= e <= hi, (key, target, e, lo, hi)
