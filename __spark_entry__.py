@@ -1738,6 +1738,64 @@ def q_minhash_lsh_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup against a persisted band index —
+    the daily-crawl shape at 100 TB: the corpus ("old" = doc_id % 4 !=
+    0) is banded ONCE into an index; the increment ("new" = doc_id % 4
+    == 0) bands only itself, broadcast-joins the index, and emits only
+    pairs touching a new doc — O(increment x bucket) per batch instead
+    of re-running the O(corpus^2/buckets) discovery.  Runs the
+    PRODUCTION kernel (:func:`marker_spark.ops.dedup.
+    incremental_pairs_from_bands`, incl. the joint-size bucket cap)
+    over md5-keyed signatures (:func:`_md5_perm_sigs`, 4 bands x 4
+    rows, md5 band hash) so the rule replays exactly in SQL: the full
+    DuckDB oracle (batch-with-cap over the union, restricted to
+    new-involving pairs — the equivalence tests/test_incremental_dedup.py
+    pins on production splitmix signatures) runs verbatim in
+    tests/test_retired_oracles.py (the driver window is full at 50/50,
+    so this ships rows-only like the other retired-oracle twins)."""
+    from marker_spark.cacheutil import register
+    from marker_spark.ops.dedup import incremental_pairs_from_bands
+
+    sigs = _md5_perm_sigs(spark, sf_dir)
+    # persist: the index leg, the new leg, and the cap's size pass all
+    # consume the banded table; without it the shingle-explode x16-perm
+    # md5 subtree re-runs per consumer
+    bands = register(
+        sigs.groupBy("doc_id", F.expr("perm div 4").alias("band_id"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+        .persist()
+    )
+    index = bands.where(F.col("doc_id") % 4 != 0)
+    new_bands = bands.where(F.col("doc_id") % 4 == 0)
+    pairs = incremental_pairs_from_bands(
+        index, new_bands, max_bucket=4, broadcast_new=True
+    )
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.when(
+                (F.col("id_a") % 4 == 0) & (F.col("id_b") % 4 == 0), F.lit("new-new")
+            )
+            .otherwise(F.lit("cross"))
+            .alias("link"),
+        )
+        .orderBy("id_a", "id_b")
+        .limit(50)
+    )
+
+
 def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash banded Hamming join under an exact gate (the
     production `simhash_near_dup` is rows-only because its mmh3 shingle
@@ -2282,6 +2340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window is full at 50/50, so this ships rows-only like the
         # other retired-oracle twins)
         "dsir_selection": q_dsir_selection,
+        # r9: incremental LSH dedup vs a persisted band index — same
+        # retired-oracle-twin discipline (full DuckDB oracle verbatim
+        # in tests/test_retired_oracles.py; batch==old+incremental
+        # equivalence on production signatures in
+        # tests/test_incremental_dedup.py)
+        "incremental_dedup": q_incremental_dedup,
     }
 
 

@@ -357,6 +357,140 @@ def ngram_jaccard_for_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def lsh_band_table(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """(id_col, band_id, band_hash) — the banded form of a signature
+    table.  One row per (doc, band); band hash = xxhash64 of the band's
+    signature slice.  This IS the persisted dedup-index schema: written
+    once per corpus, appended per increment (:func:`incremental_lsh_pairs`).
+    """
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def incremental_pairs_from_bands(
+    index: DataFrame,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+    broadcast_new: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs for an INCREMENT against a persisted
+    band index — the daily-crawl shape at 100 TB: the corpus index
+    (built once by :func:`lsh_band_table`, appended each batch) is
+    never self-joined again; only pairs touching a NEW doc are
+    produced, so each increment costs O(new x bucket) instead of
+    re-running the O(corpus^2 / buckets) discovery.
+
+    ``index`` and ``new_bands`` are both (id_col, band_id, band_hash);
+    ids must be globally unique across the two.  Returns (id_a, id_b)
+    with id_a < id_b, distinct across bands — exactly the pairs
+    :func:`lsh_candidate_pairs` over (old + new) emits MINUS the pairs
+    it emits over old alone (property-pinned in
+    tests/test_incremental_dedup.py).
+
+    ``max_bucket`` caps buckets by their JOINT size (index rows in the
+    bucket + new rows in the bucket) — the same degenerate-bucket
+    semantics as the batch path over the full corpus, so
+    incremental-with-cap == batch-with-cap restricted to new-involving
+    pairs.  The index-side size is computed only for buckets the
+    increment touches (left-semi against the new bucket keys first):
+    the full index is scanned but the groupBy state is bounded by the
+    increment's bucket count, and the count aggregates map-side.
+
+    ``broadcast_new``: hint the (small) increment side into a
+    broadcast-hash join so the index never shuffles — right for small
+    daily batches; leave False for large increments and let AQE pick
+    (the index side still only moves keyed by small int band keys).
+    """
+    keys = ["band_id", "band_hash"]
+    nb = new_bands
+    if max_bucket is not None:
+        touched = nb.select(*keys).distinct()
+        idx_sz = (
+            index.join(F.broadcast(touched), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("idx_sz"))
+        )
+        new_sz = nb.groupBy(*keys).agg(F.count(F.lit(1)).alias("new_sz"))
+        ok = (
+            new_sz.join(idx_sz, keys, "left")
+            .where(
+                F.coalesce(F.col("idx_sz"), F.lit(0)) + F.col("new_sz")
+                <= F.lit(max_bucket)
+            )
+            .select(*keys)
+        )
+        # bucket-key table is O(increment buckets) — broadcast both legs
+        nb = nb.join(F.broadcast(ok), keys, "left_semi").persist()
+        register(nb)
+        nb.count()
+    new_side = F.broadcast(nb) if broadcast_new else nb
+    cross = (
+        index.alias("i")
+        .join(new_side.alias("n"), keys)
+        .where(F.col(f"i.{id_col}") != F.col(f"n.{id_col}"))
+        .select(
+            F.least(F.col(f"i.{id_col}"), F.col(f"n.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"i.{id_col}"), F.col(f"n.{id_col}")).alias("id_b"),
+        )
+    )
+    within = (
+        nb.alias("a")
+        .join(nb.alias("b"), keys)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+    )
+    return cross.unionByName(within).distinct()
+
+
+def incremental_lsh_pairs(
+    index: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+    broadcast_new: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash-LSH dedup: band the increment's signatures,
+    emit candidate pairs vs the persisted ``index``
+    (:func:`incremental_pairs_from_bands`), and return the increment's
+    band table so the caller can append it to the index (the index
+    after the call is ``index UNION new_bands`` — next increment joins
+    against both).  Returns ``(pairs, new_bands)``; ``new_bands`` is
+    persisted (both the pair join legs and the index append consume it).
+    """
+    new_bands = lsh_band_table(new_sigs, id_col, bands, rows_per_band).persist()
+    register(new_bands)
+    pairs = incremental_pairs_from_bands(
+        index, new_bands, id_col, max_bucket=max_bucket, broadcast_new=broadcast_new
+    )
+    return pairs, new_bands
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", bands: int = 32, rows_per_band: int = 4,
     max_bucket: int | None = None,
@@ -380,27 +514,7 @@ def lsh_candidate_pairs(
     capped buckets are lost; with 32 bands a true near-dup pair almost
     surely also collides in an uncapped band.
     """
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash").persist()
+    banded = lsh_band_table(sig_df, id_col, bands, rows_per_band).persist()
     if max_bucket is not None:
         small = (
             banded.groupBy("band_id", "band_hash")

@@ -1,0 +1,123 @@
+"""Incremental MinHash-LSH dedup against a persisted band index —
+the daily-crawl shape at corpus scale (build the index once, each
+increment joins its bands against it instead of re-running discovery).
+
+The load-bearing invariant: incremental pairs over an (old, new)
+split == batch pairs over the union MINUS batch pairs over old alone
+— pinned here on real splitmix signatures, with and without the
+joint-size bucket cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from marker_spark.cacheutil import release_all
+from marker_spark.ops.dedup import (
+    incremental_lsh_pairs,
+    incremental_pairs_from_bands,
+    lsh_band_table,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+BANDS, RPB = 8, 4  # 32 perms; small so the fixture yields pairs
+
+
+def _pairs_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, num_perm=BANDS * RPB).persist()
+    old = sigs.where(F.col("doc_id") % 4 != 0)
+    new = sigs.where(F.col("doc_id") % 4 == 0)
+    yield sigs, old, new
+    sigs.unpersist()
+    release_all()
+
+
+def test_incremental_equals_batch_difference(spark, split):
+    sigs, old, new = split
+    batch_all = _pairs_set(lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB))
+    batch_old = _pairs_set(lsh_candidate_pairs(old, bands=BANDS, rows_per_band=RPB))
+    index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB).persist()
+    inc, new_bands = incremental_lsh_pairs(index, new, bands=BANDS, rows_per_band=RPB)
+    got = _pairs_set(inc)
+    assert got == batch_all - batch_old
+    assert got, "fixture produced no incremental pairs — test is vacuous"
+    # every incremental pair touches >= 1 new doc
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in got)
+    index.unpersist()
+    release_all()
+
+
+def test_incremental_cap_equals_batch_cap_restricted(spark, split):
+    """Joint-size cap semantics: a bucket's cap counts index rows + new
+    rows, so incremental-with-cap == batch-with-cap over the full
+    corpus, restricted to pairs with >= 1 new side."""
+    sigs, old, new = split
+    cap = 3
+    batch_capped = _pairs_set(
+        lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB, max_bucket=cap)
+    )
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {p for p in batch_capped if p[0] in new_ids or p[1] in new_ids}
+    index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB).persist()
+    inc, _ = incremental_lsh_pairs(
+        index, new, bands=BANDS, rows_per_band=RPB, max_bucket=cap
+    )
+    assert _pairs_set(inc) == want
+    index.unpersist()
+    release_all()
+
+
+def test_second_increment_against_appended_index(spark, split):
+    """The index-append contract: after increment 1, index' = index
+    UNION new_bands; increment 2 against index' emits exactly the
+    batch-over-all pairs that touch increment 2."""
+    sigs, old, new = split
+    inc1 = new.where(F.col("doc_id") % 8 == 0)
+    inc2 = new.where(F.col("doc_id") % 8 != 0)
+    index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB).persist()
+    _, bands1 = incremental_lsh_pairs(index, inc1, bands=BANDS, rows_per_band=RPB)
+    index2 = index.unionByName(bands1).persist()
+    pairs2, _ = incremental_lsh_pairs(index2, inc2, bands=BANDS, rows_per_band=RPB)
+    got = _pairs_set(pairs2)
+
+    batch_all = _pairs_set(lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB))
+    inc2_ids = {r["doc_id"] for r in inc2.select("doc_id").collect()}
+    want = {p for p in batch_all if p[0] in inc2_ids or p[1] in inc2_ids}
+    assert got == want
+    index.unpersist()
+    index2.unpersist()
+    release_all()
+
+
+def test_broadcast_new_keeps_index_unshuffled(spark, split):
+    """With broadcast_new the cross join must be a BroadcastHashJoin —
+    the persisted index side never moves through an exchange (the small
+    daily-batch plan on a real cluster)."""
+    _, old, new = split
+    index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB)
+    nb = lsh_band_table(new, bands=BANDS, rows_per_band=RPB).persist()
+    pairs = incremental_pairs_from_bands(index, nb, broadcast_new=True)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    pairs.count()
+    nb.unpersist()
+    release_all()
+
+
+def test_empty_increment_is_safe(spark, split):
+    _, old, new = split
+    index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB)
+    empty = new.where(F.lit(False))
+    pairs, bands_df = incremental_lsh_pairs(index, empty, bands=BANDS, rows_per_band=RPB)
+    assert pairs.count() == 0
+    assert bands_df.count() == 0
+    release_all()

@@ -217,11 +217,62 @@ _DSIR_SELECTION = """
     LIMIT 20
 """
 
+# NEW round 9 (never window-eligible): incremental MinHash-LSH dedup
+# against a persisted band index.  The driver entry runs the PRODUCTION
+# kernel (incremental_pairs_from_bands: index join + within-increment
+# self-join + joint-size bucket cap) over md5-keyed signatures; the
+# oracle exploits the kernel's pinned equivalence (tests/
+# test_incremental_dedup.py) — incremental-with-joint-cap == batch-
+# with-cap over the union, restricted to pairs touching a new doc
+# (doc_id % 4 == 0) — so the SQL is the BATCH banding rule + the
+# restriction, a genuinely independent derivation of the same set.
+_INCREMENTAL_DEDUP = """
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+        WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS sh
+        FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), perms AS (
+        SELECT doc_id, p.perm,
+               md5(CAST(p.perm AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS p(perm)
+    ), sigs AS (
+        SELECT doc_id, perm, MIN(h) AS sig
+        FROM perms GROUP BY doc_id, perm
+    ), bands AS (
+        SELECT doc_id, perm // 4 AS band,
+               md5(string_agg(sig, '|' ORDER BY perm)) AS band_hash
+        FROM sigs GROUP BY 1, 2
+    ), ok AS (
+        SELECT band, band_hash FROM bands
+        GROUP BY band, band_hash HAVING COUNT(*) <= 4
+    ), fb AS (
+        SELECT b.* FROM bands b JOIN ok USING (band, band_hash)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fb a JOIN fb b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CASE WHEN id_a % 4 = 0 AND id_b % 4 = 0
+                THEN 'new-new' ELSE 'cross' END AS link
+    FROM pairs
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    ORDER BY id_a, id_b
+    LIMIT 50
+"""
+
 RETIRED = {
     "duplicated_token_spans": _DUPLICATED_TOKEN_SPANS,
     "sample_stratified": _SAMPLE_STRATIFIED,
     "span_removal": _SPAN_REMOVAL,
     "dsir_selection": _DSIR_SELECTION,
+    "incremental_dedup": _INCREMENTAL_DEDUP,
 }
 
 
