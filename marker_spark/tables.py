@@ -74,6 +74,55 @@ class TableProvider:
             w = w.partitionBy(*partition_by)
         w.parquet(location)
 
+    # --- bucketed tables (co-located joins) --------------------------------------
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_by: list[str],
+        n_buckets: int,
+        sort_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write ``df`` as a BUCKETED catalog table — the storage shape
+        for tables that are repeatedly joined on the same keys (the
+        persisted LSH dedup index, pre-tokenized corpus keyed by doc):
+        rows are hash-clustered into ``n_buckets`` files per partition,
+        so a later join on ``bucket_by`` reads the table WITHOUT an
+        exchange (only the other, usually far smaller, side shuffles —
+        plan-asserted in tests/test_tables.py).  At 100 TB this is the
+        difference between re-shuffling the corpus index every
+        increment and never moving it at all.
+
+        parquet provider: ``bucketBy`` requires the catalog
+        (``saveAsTable``); iceberg provider: the equivalent is a
+        ``bucket(n, col)`` partition transform."""
+        if self.provider == "iceberg":
+            from pyspark.sql import functions as F
+
+            w = df.writeTo(f"{self.catalog}.{table}").partitionedBy(
+                F.bucket(n_buckets, bucket_by[0]),
+                *[F.col(c) for c in bucket_by[1:]],
+            )
+            if mode in ("overwrite", "createOrReplace"):
+                w.createOrReplace()
+            elif mode == "append":
+                w.append()
+            else:
+                raise ValueError(f"unsupported iceberg write mode {mode!r}")
+            return
+        w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        w.format("parquet").saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a catalog table written by :meth:`write_bucketed` —
+        the scan carries the bucket spec, so joins on the bucket keys
+        skip the exchange on this side."""
+        name = f"{self.catalog}.{table}" if self.provider == "iceberg" else table
+        return self.spark.read.table(name)
+
     # --- read ------------------------------------------------------------------
     def read(self, location: str) -> DataFrame:
         if self.provider == "iceberg":

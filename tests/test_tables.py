@@ -67,3 +67,37 @@ def test_cache_lookup_df(spark):
     assert found.where(F.col("found")).count() == 200
     none = cache.lookup_df(100, 50, probe, "marker")  # inverted range guard
     assert none.where(F.col("found")).count() == 0
+
+
+def test_bucketed_index_join_skips_index_exchange(spark):
+    """The persisted-dedup-index storage shape: the band index written
+    bucketed on its join keys is read WITHOUT an exchange in a
+    sort-merge join — only the (small) increment side shuffles."""
+    from marker_spark.ops.dedup import lsh_band_table, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, num_perm=32)
+    old = lsh_band_table(sigs.where(F.col("doc_id") % 4 != 0), bands=8)
+    new = lsh_band_table(sigs.where(F.col("doc_id") % 4 == 0), bands=8)
+
+    tp = TableProvider(spark)
+    spark.sql("DROP TABLE IF EXISTS lsh_index_bucketed_test")
+    try:
+        tp.write_bucketed(
+            old, "lsh_index_bucketed_test",
+            bucket_by=["band_id", "band_hash"], n_buckets=4,
+            sort_by=["band_id", "band_hash"],
+        )
+        index = tp.read_table("lsh_index_bucketed_test")
+        joined = index.join(
+            new.hint("merge"), ["band_id", "band_hash"]
+        ).where(index["doc_id"] != new["doc_id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # exactly one exchange: the increment side; the bucketed index
+        # scan feeds the join directly
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Bucketed: true" in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_index_bucketed_test")
