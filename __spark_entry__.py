@@ -514,6 +514,44 @@ def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection after clustering — the step that turns
+    duplicate CLUSTERS into a kept/dropped decision: per component keep
+    the highest-quality member (Gopher-style quality_score rounded to
+    6 decimals for cross-engine order stability; ties by lowest id),
+    mark the rest as duplicates of it.  Composes the dedup_clusters
+    pair predicate + connected components with
+    :func:`marker_spark.ops.dedup.canonical_selection` (one window
+    shuffle keyed by component).  Full DuckDB oracle — the
+    dedup_clusters recursive CTE extended with the corpus_prep quality
+    formula and the same ROW_NUMBER rule — runs verbatim in
+    tests/test_retired_oracles.py (driver window full at 50/50)."""
+    from marker_spark.ops.dedup import (
+        canonical_selection,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from marker_spark.ops.text import with_text_stats, words_col
+
+    docs = _read(spark, sf_dir, "documents").where(F.size(words_col(F.col("text"))) >= 3)
+    pairs = ngram_jaccard_pairs(docs, shingle=3, threshold=0.5, id_col="doc_id")
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scores = with_text_stats(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("quality")
+    )
+    members = comp.join(scores, "doc_id")
+    out = canonical_selection(members, score_col="quality")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("quality"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("keep"),
+    ).orderBy("doc_id")
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level exact dedup (the Lee et al. duplicated-span
     modality): maximal verbatim character spans >= 40 chars shared
@@ -2346,6 +2384,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equivalence on production signatures in
         # tests/test_incremental_dedup.py)
         "incremental_dedup": q_incremental_dedup,
+        # r9: per-cluster representative selection (keep-best) — the
+        # dedup_clusters CTE extended with the corpus_prep quality
+        # formula, full DuckDB oracle verbatim in
+        # tests/test_retired_oracles.py
+        "canonical_selection": q_canonical_selection,
     }
 
 

@@ -1355,6 +1355,40 @@ def remove_duplicated_spans(
     return rebuilt.unionByName(untouched)
 
 
+def canonical_selection(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Representative selection — the step after clustering in a real
+    dedup pipeline: per cluster keep the highest-``score_col`` member
+    (ties: lowest ``id_col``), mark the rest as duplicates of it.
+
+    ``members`` is (id_col, cluster_col, score_col) — typically the
+    output of :func:`connected_components` joined with a quality score.
+    Returns the input plus ``canonical_id`` (the kept member's id) and
+    ``keep`` (bool).  NULL scores sort last, so an unscored member is
+    canonical only in an all-NULL cluster (then lowest id wins).
+
+    Scale shape: ONE window over ``cluster_col`` (a single shuffle
+    keyed by cluster; per-cluster work is a sort bounded by cluster
+    size — near-dup clusters are small by construction, and a
+    pathological giant cluster is already capped upstream by the LSH
+    ``max_bucket`` / frequency caps).  The full-frame ``first()`` over
+    the ordered window computes the argmax without a second self-join.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(cluster_col)
+        .orderBy(F.desc_nulls_last(score_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = members.withColumn("canonical_id", F.first(id_col).over(w))
+    return out.withColumn("keep", F.col(id_col) == F.col("canonical_id"))
+
+
 def _cc_round_edges(edges: DataFrame) -> DataFrame:
     """Symmetrized (u, v) view of an edge DataFrame."""
     return edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))

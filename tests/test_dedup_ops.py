@@ -601,3 +601,32 @@ def test_semdedup_flags_matches_numpy_replica(spark):
     assert all(got[i][1] == 1 for i in (60, 61, 62)), got
     # and the bulk must survive
     assert sum(v[1] for v in got.values()) == 3, got
+
+
+def test_canonical_selection_semantics(spark):
+    """argmax-quality per cluster, ties by lowest id, NULL scores last,
+    singleton clusters keep themselves."""
+    from marker_spark.ops.dedup import canonical_selection
+
+    rows = [
+        # cluster 1: clear argmax at id 12
+        (10, 1, 0.5), (11, 1, 0.7), (12, 1, 0.9),
+        # cluster 2: tie on score -> lowest id (20) wins
+        (20, 2, 0.8), (21, 2, 0.8),
+        # cluster 3: all-NULL scores -> lowest id (30) wins
+        (30, 3, None), (31, 3, None),
+        # cluster 4: NULL sorts after a real score
+        (40, 4, None), (41, 4, 0.1),
+        # singleton
+        (50, 5, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, component long, score double")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in canonical_selection(df).collect()
+    }
+    assert got[10] == (12, False) and got[11] == (12, False) and got[12] == (12, True)
+    assert got[20] == (20, True) and got[21] == (20, False)
+    assert got[30] == (30, True) and got[31] == (30, False)
+    assert got[40] == (41, False) and got[41] == (41, True)
+    assert got[50] == (50, True)

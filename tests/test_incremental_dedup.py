@@ -121,3 +121,49 @@ def test_empty_increment_is_safe(spark, split):
     assert pairs.count() == 0
     assert bands_df.count() == 0
     release_all()
+
+
+def test_incremental_dedup_job_two_batches(spark, tmp_path, capsys):
+    """jobs/incremental_dedup.py across two batches: batch 0 creates
+    the index, batch 1 joins + appends; cross-batch candidates surface
+    with NULL jaccard (the index stores no text, by design), within-
+    batch pairs arrive Jaccard-verified."""
+    import json
+
+    from jobs.incremental_dedup import main
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    day0 = str(tmp_path / "day0.parquet")
+    day1 = str(tmp_path / "day1.parquet")
+    docs.where(F.col("doc_id") % 4 != 0).write.parquet(day0)
+    # make one guaranteed cross-batch near-dup: clone an old doc into
+    # the new batch under a fresh id
+    clone = (
+        docs.where((F.col("doc_id") % 4 != 0) & (F.length("text") > 50))
+        .orderBy("doc_id").limit(1)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars")
+    )
+    docs.where(F.col("doc_id") % 4 == 0).unionByName(clone).write.parquet(day1)
+
+    index = str(tmp_path / "lsh_index")
+    out0 = str(tmp_path / "pairs0")
+    out1 = str(tmp_path / "pairs1")
+
+    main(["--input", day0, "--index", index, "--pairs-out", out0])
+    rep0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep0["index_created"] is True
+    idx_rows_after0 = spark.read.parquet(index).count()
+    assert idx_rows_after0 > 0
+
+    main(["--input", day1, "--index", index, "--pairs-out", out1])
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["index_created"] is False
+    # index grew by the new batch's bands
+    assert spark.read.parquet(index).count() > idx_rows_after0
+
+    pairs1 = spark.read.parquet(out1)
+    # the injected clone must be caught as a cross-batch candidate
+    # (identical text -> identical signature -> all bands collide)
+    cross = pairs1.where(F.col("jaccard").isNull())
+    assert cross.where(F.col("id_b") >= 1_000_000).count() >= 1

@@ -267,12 +267,89 @@ _INCREMENTAL_DEDUP = """
     LIMIT 50
 """
 
+# NEW round 9 (never window-eligible): canonical selection — per
+# duplicate cluster keep the highest-quality member.  The
+# dedup_clusters recursive CTE (driver-green) extended with the
+# corpus_prep quality formula (driver-green) and the ROW_NUMBER
+# keep-best rule; quality is ROUND(.,6) on BOTH engines before
+# ordering so the argmax can't split on sub-1e-6 float differences.
+_CANONICAL_SELECTION = """
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+        WHERE CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+        FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), prs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM prs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ), stats AS (
+        SELECT doc_id,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','a'))) END AS n_stop
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               ROUND(least(n_words / 100.0, 1.0) * 0.3
+                   + (1.0 - punct_ratio) * 0.3
+                   + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words
+                           ELSE 0.0 END * 5.0, 1.0) * 0.4, 6) AS quality
+        FROM stats
+    ), m AS (
+        SELECT c.doc_id, c.component, q.quality
+        FROM comp c JOIN q USING (doc_id)
+    ), ranked AS (
+        SELECT doc_id, component, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+        FROM m
+    ), canon AS (
+        SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+           CAST(m.component AS BIGINT) AS component,
+           m.quality,
+           CAST(c.canonical_id AS BIGINT) AS canonical_id,
+           (m.doc_id = c.canonical_id) AS keep
+    FROM m JOIN canon c USING (component)
+    ORDER BY doc_id
+"""
+
 RETIRED = {
     "duplicated_token_spans": _DUPLICATED_TOKEN_SPANS,
     "sample_stratified": _SAMPLE_STRATIFIED,
     "span_removal": _SPAN_REMOVAL,
     "dsir_selection": _DSIR_SELECTION,
     "incremental_dedup": _INCREMENTAL_DEDUP,
+    "canonical_selection": _CANONICAL_SELECTION,
 }
 
 
