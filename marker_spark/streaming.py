@@ -634,3 +634,71 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+def streaming_incremental_dedup(
+    spark,
+    index_path: str,
+    pairs_path: str,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous-crawl dedup: returns a ``foreachBatch`` function that
+    runs :func:`marker_spark.ops.dedup.incremental_lsh_pairs` per
+    micro-batch against the parquet band index at ``index_path`` —
+    each batch bands only itself, joins the index, appends candidate
+    pairs to ``pairs_path``, and appends its bands to the index.
+
+    Emission invariant (tested): a candidate pair is emitted exactly
+    once, in the batch where its LATER doc arrives — so the union of
+    all batches' pairs equals the one-shot batch
+    :func:`lsh_candidate_pairs` over the full corpus, regardless of
+    how ingestion was split.
+
+    Exactly-once across restarts: both sinks write partitioned by
+    ``__batch_id`` with DYNAMIC partition overwrite, so a batch
+    replayed from the checkpoint rewrites its own partition instead of
+    double-appending (plain parquet append would duplicate the
+    replayed batch's bands in the index AND its pairs).  Use with
+    ``writeStream.foreachBatch(fn).option("checkpointLocation", ...)``.
+    """
+    import os
+
+    from .cacheutil import release_all
+    from .ops.dedup import incremental_lsh_pairs, minhash_signatures
+
+    empty_index = "doc_id long, band_id int, band_hash long"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = minhash_signatures(
+            batch_df, text_col=text_col, num_perm=bands * rows_per_band,
+            id_col=id_col,
+        )
+        if os.path.exists(index_path):
+            index = spark.read.parquet(index_path).drop("__batch_id")
+        else:
+            index = spark.createDataFrame([], empty_index)
+        pairs, new_bands = incremental_lsh_pairs(
+            index, sigs, id_col=id_col,
+            bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket,
+        )
+        (
+            pairs.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(pairs_path)
+        )
+        (
+            new_bands.withColumn("__batch_id", F.lit(batch_id))
+            .write.partitionBy("__batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(index_path)
+        )
+        release_all()
+
+    return process

@@ -660,3 +660,108 @@ def test_stateful_column_profile_runs_and_recovers(spark, tmp_path):
             lo = float(np.quantile(vals, max(target - 0.1, 0.0)))
             hi = float(np.quantile(vals, min(target + 0.1, 1.0)))
             assert lo <= e <= hi, (key, target, e, lo, hi)
+
+
+def test_streaming_incremental_dedup_matches_one_shot_batch(spark, tmp_path):
+    """Continuous-crawl dedup: each micro-batch joins the persisted
+    band index and appends its own bands — the union of all batches'
+    emitted pairs must equal the one-shot batch lsh_candidate_pairs
+    over the full corpus (each pair emitted exactly once, in the batch
+    where its later doc arrives)."""
+    from marker_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+    from marker_spark.streaming import streaming_incremental_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "inc_src"
+    d.mkdir()
+    docs.where(F.col("doc_id") % 4 != 0).select("doc_id", "text").toPandas() \
+        .to_parquet(d / "c0.parquet", index=False)
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text").toPandas() \
+        .to_parquet(d / "c1.parquet", index=False)
+
+    index_path = str(tmp_path / "inc_index")
+    pairs_path = str(tmp_path / "inc_pairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_incremental_dedup(
+                spark, index_path, pairs_path, bands=8, rows_per_band=4
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+    }
+    sigs = minhash_signatures(docs, num_perm=32)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
+    }
+    assert got == want and got
+    # index holds every doc's bands exactly once
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == idx.distinct().count()
+    assert idx.groupBy("doc_id").count().where("count != 8").count() == 0
+
+
+def test_streaming_incremental_dedup_resumes_across_restart(spark, tmp_path):
+    """Restart from the same checkpoint with a new file: already-banded
+    batches are not re-processed (their index partitions stay single),
+    and the new batch's pairs land against the accumulated index."""
+    from marker_spark.ops.dedup import lsh_candidate_pairs, minhash_signatures
+    from marker_spark.streaming import streaming_incremental_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "inc_resume_src"
+    d.mkdir()
+    index_path = str(tmp_path / "inc_resume_index")
+    pairs_path = str(tmp_path / "inc_resume_pairs")
+    ckpt = str(tmp_path / "inc_resume_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(str(d))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                streaming_incremental_dedup(
+                    spark, index_path, pairs_path, bands=8, rows_per_band=4
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    docs.where(F.col("doc_id") % 4 != 0).select("doc_id", "text").toPandas() \
+        .to_parquet(d / "c0.parquet", index=False)
+    run()
+    n_idx_first = spark.read.parquet(index_path).count()
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text").toPandas() \
+        .to_parquet(d / "c1.parquet", index=False)
+    run()
+
+    idx = spark.read.parquet(index_path)
+    assert idx.count() > n_idx_first
+    assert idx.count() == idx.distinct().count(), "a replayed batch double-appended"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+    }
+    sigs = minhash_signatures(docs, num_perm=32)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
+    }
+    assert got == want
