@@ -1834,6 +1834,36 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path twin of `incremental_dedup` (rows-only): real
+    vectorized splitmix64 MinHash signatures, the same old/new split
+    (doc_id % 4), index = banded old corpus, increment joins it via
+    :func:`incremental_lsh_pairs` with the joint-size bucket cap.  The
+    exact-gate sibling above proves the rule; this is the kernel a
+    cluster actually runs (and the one the bench sweep times).
+    Equivalence to the batch path is pinned on these signatures in
+    tests/test_incremental_dedup.py."""
+    from marker_spark.ops.dedup import (
+        incremental_lsh_pairs,
+        lsh_band_table,
+        minhash_signatures,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=128)
+    index = lsh_band_table(sigs.where(F.col("doc_id") % 4 != 0))
+    new = sigs.where(F.col("doc_id") % 4 == 0)
+    pairs, _ = incremental_lsh_pairs(index, new, max_bucket=200, broadcast_new=True)
+    return (
+        pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .orderBy("id_a", "id_b")
+        .limit(50)
+    )
+
+
 def q_simhash_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash banded Hamming join under an exact gate (the
     production `simhash_near_dup` is rows-only because its mmh3 shingle
@@ -2384,6 +2414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equivalence on production signatures in
         # tests/test_incremental_dedup.py)
         "incremental_dedup": q_incremental_dedup,
+        # production-signature twin (rows-only; the bench sweep times
+        # this one — the md5 recipe above pays a 16x oracle-replay
+        # explode the production kernel doesn't)
+        "incremental_dedup_fast": q_incremental_dedup_fast,
         # r9: per-cluster representative selection (keep-best) — the
         # dedup_clusters CTE extended with the corpus_prep quality
         # formula, full DuckDB oracle verbatim in

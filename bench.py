@@ -851,7 +851,7 @@ def main() -> None:
         "cache_timerange_lookup",
         "table_profile",
         "dsir_selection",
-        "incremental_dedup",
+        "incremental_dedup_fast",
     ]
     qmap = entrymod.queries()
     from marker_spark.cacheutil import release_all
