@@ -254,3 +254,34 @@ def test_temporal_and_packing_windows_never_single_partition(spark):
     for name in ("asof_join", "sessionization", "interval_join", "sequence_packing"):
         plan = _plan(E.queries()[name](spark, SF_DIR))
         assert "SinglePartition" not in plan, f"{name} serializes onto one task"
+
+
+def test_incremental_dedup_fast_index_joins_broadcast(spark):
+    """The production incremental path must never shuffle the index:
+    both pair legs are broadcast-hash joins (broadcast_new=True) and
+    no sort-merge join appears anywhere in the plan."""
+    import __spark_entry__ as entrymod
+    from marker_spark.cacheutil import release_all
+
+    q = entrymod.q_incremental_dedup_fast(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    release_all()
+
+
+def test_canonical_selection_single_window_no_self_join(spark):
+    """The keep-best argmax is ONE window (full-frame first()), not a
+    rank + self-join: exactly one Window node over the component key,
+    and no join after it."""
+    from marker_spark.ops.dedup import canonical_selection
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (2, 10, 0.9), (3, 11, 0.1)],
+        "doc_id long, component long, score double",
+    )
+    out = canonical_selection(df)
+    plan = _plan(out)
+    assert plan.count("Window") >= 1
+    # the operator itself adds no join (its input here is a local scan)
+    assert "Join" not in plan
