@@ -1006,6 +1006,38 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id", "start_us")
 
 
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus sizing under a token budget — "take the best docs until
+    N tokens": rank by (round-6 Gopher quality DESC, doc_id), keep a
+    doc iff the higher-ranked total is < budget (the straddling doc is
+    kept).  Runs :func:`marker_spark.ops.pack.budget_selection` — the
+    distributed prefix-sum plan (repartitionByRange + O(partitions)
+    driver rows + within-partition window), never a single-partition
+    global window.  Full DuckDB oracle (plain single-threaded window
+    cumsum over the corpus_prep quality formula) runs verbatim in
+    tests/test_retired_oracles.py (driver window full at 50/50)."""
+    from marker_spark.ops.pack import budget_selection
+    from marker_spark.ops.text import with_text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = with_text_stats(docs).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_tok"),
+        F.round("quality_score", 6).alias("quality"),
+    )
+    kept = budget_selection(stats, "n_tok", budget=1000, score_col="quality")
+    return (
+        kept.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("quality"),
+            F.col("cum_before").cast("long").alias("cum_before"),
+        )
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(50)
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the final pre-training data
     stage: cut the deterministically-ordered token stream into
@@ -2423,6 +2455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formula, full DuckDB oracle verbatim in
         # tests/test_retired_oracles.py
         "canonical_selection": q_canonical_selection,
+        # r9: token-budget corpus sizing (distributed prefix-sum rank,
+        # straddling doc kept) — full DuckDB oracle verbatim in
+        # tests/test_retired_oracles.py
+        "token_budget_selection": q_token_budget_selection,
     }
 
 

@@ -142,3 +142,66 @@ def shard_assignments(
             F.expr(f"__rank div {n_shards}").alias("pos"),
         )
     )
+
+
+def budget_selection(
+    docs: DataFrame,
+    n_tok_col: str,
+    budget: int,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy quality-ranked selection under a global token budget —
+    "take the best documents until N tokens", the corpus-sizing step a
+    training-data pipeline runs last.  Docs are ranked by
+    (``score_col`` DESC, ``id_col`` ASC); a doc is KEPT iff the total
+    tokens of all higher-ranked docs is < ``budget`` (the straddling
+    doc is kept, so the selection reaches >= budget whenever the
+    corpus can).  Returns the kept rows as (id, n_tok, score,
+    cum_before) where ``cum_before`` is that higher-ranked total.
+
+    Same scale shape as :func:`pack_sequences`: the global cumsum is a
+    distributed prefix sum (``repartitionByRange`` on the rank key,
+    O(partitions) driver rows, within-partition window) — never a
+    single-partition global window.  Rank ties are impossible
+    (id breaks them), so the result is a pure function of the input
+    and carries an exact SQL oracle (round the score upstream — a
+    sub-1e-6 cross-engine float difference would reorder the rank).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    src = docs.select(
+        F.col(id_col),
+        F.col(n_tok_col).cast("long").alias("__tok"),
+        F.col(score_col).alias("__score"),
+    )
+    n_parts = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    ranged = register(
+        src.repartitionByRange(n_parts, F.col("__score").desc(), F.col(id_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # pin the sampled range boundaries (see pack_sequences)
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__tok").alias("t")).collect()
+    by_pid = {r["__pid"]: r["t"] or 0 for r in totals}
+    offsets, acc = [], 0
+    for pid in range(max(by_pid, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += by_pid.get(pid, 0)
+    off_df = src.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    w = Window.partitionBy("__pid").orderBy(F.col("__score").desc(), F.col(id_col))
+    cum_before = (
+        F.col("__off") + F.sum("__tok").over(w) - F.col("__tok")
+    ).alias("cum_before")
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .select(
+            id_col,
+            F.col("__tok").alias(n_tok_col),
+            F.col("__score").alias(score_col),
+            cum_before,
+        )
+        .where(F.col("cum_before") < budget)
+    )

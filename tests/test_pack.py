@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from marker_spark.ops.pack import pack_sequences
 
 
@@ -111,3 +113,71 @@ def test_shard_assignments_never_single_partition(spark):
 
     release_all()
     assert "SinglePartition" not in plan
+
+
+def test_budget_selection_semantics(spark):
+    """Keep iff higher-ranked total < budget: the straddling doc is
+    kept, everything after it dropped; ties impossible (id breaks)."""
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.pack import budget_selection
+
+    rows = [  # (doc_id, n_tok, score) — rank order: 3, 1, 2, 4
+        (1, 40, 0.8), (2, 50, 0.5), (3, 30, 0.9), (4, 10, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long, score double")
+    kept = {
+        r["doc_id"]: r["cum_before"]
+        for r in budget_selection(df, "n_tok", budget=80, score_col="score").collect()
+    }
+    # rank cumsums: 3 -> 0, 1 -> 30, 2 -> 70 (straddles 80: kept), 4 -> 120
+    assert kept == {3: 0, 1: 30, 2: 70}
+    release_all()
+
+
+def test_budget_selection_matches_single_window(spark):
+    """The distributed prefix-sum must equal the naive global-window
+    cumsum on the fixture corpus, at a partition count that forces
+    multiple range partitions."""
+    from pyspark.sql import Window
+
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.pack import budget_selection
+    from marker_spark.ops.text import with_text_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = with_text_stats(docs).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_tok"),
+        F.round("quality_score", 6).alias("q"),
+    )
+    got = {
+        (r["doc_id"], r["cum_before"])
+        for r in budget_selection(
+            stats, "n_tok", budget=2000, score_col="q", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("q"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = stats.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).where(F.col("cum_before") < 2000)
+    want = {(r["doc_id"], r["cum_before"]) for r in naive.collect()}
+    assert got == want and got
+    release_all()
+
+
+def test_budget_selection_edge_cases(spark):
+    import pytest as _pytest
+
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.pack import budget_selection
+
+    df = spark.createDataFrame(
+        [(1, 5, 1.0), (2, 5, 0.5)], "doc_id long, n_tok long, score double"
+    )
+    # budget beyond the corpus keeps everything
+    assert budget_selection(df, "n_tok", budget=10_000, score_col="score").count() == 2
+    with _pytest.raises(ValueError):
+        budget_selection(df, "n_tok", budget=0, score_col="score")
+    release_all()
