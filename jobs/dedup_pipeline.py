@@ -9,7 +9,10 @@ operator from marker_spark.ops:
   3. near-dup dedup   — MinHash signatures -> LSH banding (capped
                         buckets) -> exact-Jaccard verify on candidates
                         only -> drop the higher-id doc of each verified
-                        pair (ops/dedup.*)
+                        pair (ops/dedup.*); with --keep-best, instead
+                        cluster the verified pairs (connected
+                        components) and keep each cluster's highest-
+                        quality member (ops/dedup.canonical_selection)
   3b. semantic dedup  — optional (--embeddings <parquet>): SemDeDup
                         (Abbas et al. 2023) over an embeddings sidecar
                         — k-means cells + drop any doc whose vector has
@@ -68,6 +71,12 @@ def main(argv: list[str] | None = None) -> None:
                          "the corpus to keep cluster size (the quadratic "
                          "bound) ~constant")
     ap.add_argument("--semdedup-threshold", type=float, default=0.95)
+    ap.add_argument("--keep-best", action="store_true",
+                    help="near-dup survivors by CLUSTER quality (connected "
+                         "components over verified pairs + keep the highest-"
+                         "quality member) instead of the pairwise drop-the-"
+                         "higher-id rule — keeps exactly one doc per near-dup "
+                         "cluster, and it is the best one")
     args = ap.parse_args(argv)
     if args.boilerplate and args.span_k <= 0:
         ap.error("--boilerplate requires --span-k > 0 (it shares the "
@@ -119,8 +128,27 @@ def main(argv: list[str] | None = None) -> None:
         .where(F.col("jaccard") >= args.jaccard)
         .persist()  # referenced by both the anti-join and the report count
     )
-    # pairs from the FULL candidate set, verified exactly; drop id_b side
-    drop = verified.select(F.col("id_b").alias(idc)).distinct()
+    if args.keep_best:
+        # cluster-level selection: transitive closure over verified
+        # pairs, then keep the highest-quality member of each cluster
+        # (the pairwise id_b drop can strand several docs of one
+        # cluster, and the one it keeps is the lowest id, not the best)
+        from marker_spark.ops.dedup import canonical_selection, connected_components
+
+        qual = scored.select(
+            F.col(idc), F.round("quality_score", 6).alias("__quality")
+        )
+        comp = connected_components(verified.select("id_a", "id_b")).select(
+            F.col("id").alias(idc), "component"
+        )
+        members = comp.join(qual, idc)
+        sel = canonical_selection(
+            members, id_col=idc, cluster_col="component", score_col="__quality"
+        )
+        drop = sel.where(~F.col("keep")).select(idc)
+    else:
+        # pairs from the FULL candidate set, verified exactly; drop id_b side
+        drop = verified.select(F.col("id_b").alias(idc)).distinct()
     clean = exact.join(drop, idc, "left_anti").drop("dup_count")
 
     # 3b. optional SemDeDup semantic dedup (Abbas et al. 2023): an

@@ -201,3 +201,40 @@ def test_semdedup_trained_recall_on_clustered_corpus(spark):
     # cosines between cluster-mates may flag an original
     natural_flagged = len(flagged - clone_ids) / n
     assert natural_flagged <= 0.05, f"natural flag rate {natural_flagged:.3f}"
+
+
+def test_dedup_pipeline_keep_best_selects_highest_quality(spark, tmp_path, capsys):
+    """--keep-best: one survivor per near-dup cluster, and it is the
+    highest-quality member — not the lowest id (the default pairwise
+    rule would keep the min-id doc)."""
+    import pandas as pd
+
+    from jobs.dedup_pipeline import main
+
+    # a 3-clone near-dup cluster with controlled quality: the HIGHEST
+    # id gets extra stopwords (boosts the stopword term of the Gopher
+    # score), so keep-best and min-id disagree on the survivor
+    base = " ".join(f"tok{i}" for i in range(60))
+    clones = {
+        900001: base + " alpha",
+        900002: base + " beta",
+        900003: base + " the and of to in is a the and of to in is a",
+    }
+    filler = {
+        i: " ".join(f"w{i}x{j} the of" for j in range(30)) for i in range(10)
+    }
+    rows = [{"doc_id": k, "text": v} for k, v in {**filler, **clones}.items()]
+    src = str(tmp_path / "kb_docs.parquet")
+    pd.DataFrame(rows).to_parquet(src, index=False)
+
+    out = str(tmp_path / "kb_clean")
+    main([
+        "--input", src, "--output", out,
+        "--min-quality", "0.0", "--min-words", "3",
+        "--jaccard", "0.7", "--keep-best",
+    ])
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # exactly one clone survives, and it is the stopword-boosted one
+    assert kept_ids & {900001, 900002, 900003} == {900003}
+    # fillers are untouched
+    assert set(filler) <= kept_ids
