@@ -1875,6 +1875,7 @@ def q_incremental_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster actually runs (and the one the bench sweep times).
     Equivalence to the batch path is pinned on these signatures in
     tests/test_incremental_dedup.py."""
+    from marker_spark.cacheutil import register
     from marker_spark.ops.dedup import (
         incremental_lsh_pairs,
         lsh_band_table,
@@ -1883,7 +1884,13 @@ def q_incremental_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_perm=128)
-    index = lsh_band_table(sigs.where(F.col("doc_id") % 4 != 0))
+    # persist the index: the cross join AND the cap's size pass both
+    # consume it, and without materialization each re-runs the
+    # signature UDF subtree (in production the index is a table on
+    # disk — the persist stands in for that read)
+    index = register(
+        lsh_band_table(sigs.where(F.col("doc_id") % 4 != 0)).persist()
+    )
     new = sigs.where(F.col("doc_id") % 4 == 0)
     pairs, _ = incremental_lsh_pairs(index, new, max_bucket=200, broadcast_new=True)
     return (
