@@ -1038,6 +1038,39 @@ def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-aware corpus sizing: the best docs until 500 tokens
+    of EACH source — :func:`marker_spark.ops.pack.group_budget_selection`,
+    the per-group distributed prefix sum (range-partitioned on (group,
+    rank), O(partitions x groups) driver rows, within-partition
+    window; never one task per source).  Full DuckDB oracle (per-group
+    window cumsum) runs verbatim in tests/test_retired_oracles.py."""
+    from marker_spark.ops.pack import group_budget_selection
+    from marker_spark.ops.text import with_text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = with_text_stats(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("long").alias("n_tok"),
+        F.round("quality_score", 6).alias("quality"),
+    )
+    kept = group_budget_selection(
+        stats, "n_tok", 500, score_col="quality", group_col="source"
+    )
+    return (
+        kept.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.col("quality"),
+            F.col("cum_before").cast("long").alias("cum_before"),
+        )
+        .orderBy("source", F.desc("quality"), "doc_id")
+        .limit(50)
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the final pre-training data
     stage: cut the deterministically-ordered token stream into
@@ -2464,8 +2497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_selection": q_canonical_selection,
         # r9: token-budget corpus sizing (distributed prefix-sum rank,
         # straddling doc kept) — full DuckDB oracle verbatim in
-        # tests/test_retired_oracles.py
+        # tests/test_retired_oracles.py; and its per-source curriculum
+        # twin (per-group prefix sum, never one task per source)
         "token_budget_selection": q_token_budget_selection,
+        "source_budget_selection": q_source_budget_selection,
     }
 
 

@@ -205,3 +205,90 @@ def budget_selection(
         )
         .where(F.col("cum_before") < budget)
     )
+
+
+def group_budget_selection(
+    docs: DataFrame,
+    n_tok_col: str,
+    budgets,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group token budgets — curriculum-aware corpus sizing: "the
+    best docs until N_g tokens of EACH source g".  ``budgets`` is an
+    int (same budget per group) or a {group: budget} dict; groups
+    absent from the dict get NO budget and are dropped entirely (the
+    explicit-mix contract: an unlisted source contributes nothing).
+
+    Rank is (group, score DESC, id) and the cumsum is per group, but
+    the plan is NOT a window partitioned by group — for few large
+    groups that serializes each group into one task.  Instead the same
+    distributed prefix sum as :func:`budget_selection` with the group
+    prepended to the range key: ``repartitionByRange(group, score
+    DESC, id)`` (a group may span partitions), per-(partition, group)
+    totals — a bounded O(partitions x groups) driver collect — per-
+    group offsets accumulated in partition order, and a within-
+    partition window partitioned by group finishes the job.  Returns
+    kept rows as (id, group, n_tok, score, cum_before).
+
+    ``group_col`` values must be strings (the offsets handshake table
+    declares a string key so an empty input still has a schema).
+    """
+    src = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.col(n_tok_col).cast("long").alias("__tok"),
+        F.col(score_col).alias("__score"),
+    )
+    if isinstance(budgets, int):
+        if budgets <= 0:
+            raise ValueError(f"budget must be positive, got {budgets}")
+        groups = [r["__grp"] for r in src.select("__grp").distinct().collect()]
+        budgets = {g: budgets for g in groups}
+    if not budgets:
+        raise ValueError("budgets must name at least one group")
+    bdf = src.sparkSession.createDataFrame(
+        [(g, int(b)) for g, b in budgets.items()], ["__grp", "__budget"]
+    )
+    n_parts = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    ranged = register(
+        src.join(F.broadcast(bdf), "__grp")  # unlisted groups drop here
+        .repartitionByRange(
+            n_parts, F.col("__grp"), F.col("__score").desc(), F.col(id_col).asc()
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # pin the sampled range boundaries (see pack_sequences)
+    )
+    totals = (
+        ranged.groupBy("__pid", "__grp").agg(F.sum("__tok").alias("t")).collect()
+    )  # bounded: one row per (partition, group)
+    by_key = {(r["__pid"], r["__grp"]): r["t"] or 0 for r in totals}
+    acc: dict = {}
+    offsets = []
+    for pid, grp in sorted(by_key, key=lambda k: (k[1] is None, k[1], k[0])):
+        offsets.append((pid, grp, acc.get(grp, 0)))
+        acc[grp] = acc.get(grp, 0) + by_key[(pid, grp)]
+    off_df = src.sparkSession.createDataFrame(
+        offsets or [(0, None, 0)], "__pid int, __grp string, __off long"
+    )
+    w = Window.partitionBy("__pid", "__grp").orderBy(
+        F.col("__score").desc(), F.col(id_col)
+    )
+    cum_before = (
+        F.col("__off") + F.sum("__tok").over(w) - F.col("__tok")
+    ).alias("cum_before")
+    return (
+        ranged.join(F.broadcast(off_df), ["__pid", "__grp"])
+        .select(
+            id_col,
+            F.col("__grp").alias(group_col),
+            F.col("__tok").alias(n_tok_col),
+            F.col("__score").alias(score_col),
+            cum_before,
+            "__budget",
+        )
+        .where(F.col("cum_before") < F.col("__budget"))
+        .drop("__budget")
+    )

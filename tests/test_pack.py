@@ -181,3 +181,65 @@ def test_budget_selection_edge_cases(spark):
     with _pytest.raises(ValueError):
         budget_selection(df, "n_tok", budget=0, score_col="score")
     release_all()
+
+
+def test_group_budget_selection_semantics(spark):
+    """Per-group straddle rule; unlisted groups dropped; int budget
+    broadcasts to every group."""
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.pack import group_budget_selection
+
+    rows = [
+        # group a, rank order 2, 1: cums 0, 30
+        (1, "a", 40, 0.5), (2, "a", 30, 0.9),
+        # group b, rank order 3, 4: cums 0, 60
+        (3, "b", 60, 0.8), (4, "b", 10, 0.2),
+        # group c: unlisted in the dict case
+        (5, "c", 5, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tok long, score double")
+    kept = {
+        r["doc_id"]: r["cum_before"]
+        for r in group_budget_selection(
+            df, "n_tok", {"a": 50, "b": 61}, "score", group_col="grp"
+        ).collect()
+    }
+    # a: 2 (cum 0) kept, 1 (cum 30 < 50) kept (straddles); b: 3 kept,
+    # 4 (cum 60 < 61) kept; c dropped (no budget)
+    assert kept == {2: 0, 1: 30, 3: 0, 4: 60}
+    kept_int = group_budget_selection(df, "n_tok", 1, "score", group_col="grp")
+    # budget 1: exactly the top-ranked doc of EVERY group survives
+    assert {r["doc_id"] for r in kept_int.collect()} == {2, 3, 5}
+    release_all()
+
+
+def test_group_budget_selection_matches_per_group_window(spark):
+    """Distributed per-group prefix sum == naive per-group window on
+    the fixture, at a partition count that forces group spans."""
+    from pyspark.sql import Window
+
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.pack import group_budget_selection
+    from marker_spark.ops.text import with_text_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = with_text_stats(docs).select(
+        "doc_id", "source",
+        F.col("n_words").cast("long").alias("n_tok"),
+        F.round("quality_score", 6).alias("q"),
+    )
+    got = {
+        (r["doc_id"], r["cum_before"])
+        for r in group_budget_selection(
+            stats, "n_tok", 500, "q", group_col="source", num_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    naive = stats.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).where(F.col("cum_before") < 500)
+    want = {(r["doc_id"], r["cum_before"]) for r in naive.collect()}
+    assert got == want and got
+    release_all()

@@ -385,6 +385,48 @@ _TOKEN_BUDGET_SELECTION = """
     LIMIT 50
 """
 
+# NEW round 9: the per-source curriculum twin of token-budget sizing.
+# Same quality formula; the cumsum window is PARTITIONED BY source and
+# each source keeps its own 500-token budget.
+_SOURCE_BUDGET_SELECTION = """
+    WITH stats AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','a'))) END AS n_stop
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source, n_tok,
+               ROUND(least(n_tok / 100.0, 1.0) * 0.3
+                   + (1.0 - punct_ratio) * 0.3
+                   + least(CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok
+                           ELSE 0.0 END * 5.0, 1.0) * 0.4, 6) AS quality
+        FROM stats
+    ), ranked AS (
+        SELECT doc_id, source, n_tok, quality,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM q
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           source,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           quality,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM ranked
+    WHERE cum_before < 500
+    ORDER BY source, quality DESC, doc_id
+    LIMIT 50
+"""
+
 RETIRED = {
     "duplicated_token_spans": _DUPLICATED_TOKEN_SPANS,
     "sample_stratified": _SAMPLE_STRATIFIED,
@@ -393,6 +435,7 @@ RETIRED = {
     "incremental_dedup": _INCREMENTAL_DEDUP,
     "canonical_selection": _CANONICAL_SELECTION,
     "token_budget_selection": _TOKEN_BUDGET_SELECTION,
+    "source_budget_selection": _SOURCE_BUDGET_SELECTION,
 }
 
 
