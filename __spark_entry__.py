@@ -2393,16 +2393,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words": q_top_words,
         "bpe_token_counts": q_bpe_token_counts,
         "ngram_jaccard": q_ngram_jaccard,
-        "knn_bruteforce": q_knn_bruteforce,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "pmi_collocations": q_pmi_collocations,
         "bm25_top_docs": q_bm25_top_docs,
         "dedup_clusters": q_dedup_clusters,
         "duplicated_spans": q_duplicated_spans,
         "semdedup": q_semdedup,
-        "corpus_prep": q_corpus_prep,
         "corpus_prep_spans": q_corpus_prep_spans,
         "boilerplate_excision": q_boilerplate_excision,
         "media_metadata_exact": q_media_metadata_exact,
@@ -2419,7 +2415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_dups_exact": q_winnowing_dups_exact,
-        "minhash_similarity_exact": q_minhash_similarity_exact,
         "minhash_lsh_pairs_exact": q_minhash_lsh_pairs_exact,
         "simhash_near_dup_exact": q_simhash_near_dup_exact,
         "gopher_quality": q_gopher_quality,
@@ -2432,6 +2427,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_mix": q_curriculum_mix,
         "sketch_table_probe": q_sketch_table_probe,
         "cache_timerange_lookup": q_cache_timerange_lookup,
+        # -- round-10 promotions: the five r9 operators enter the
+        # driver window (oracles moved verbatim from
+        # tests/test_retired_oracles.py where they ran green since r9);
+        # the five slots were freed by retiring subsumed twins to that
+        # same local gate (knn_bruteforce -> ivf_topk asserts equality
+        # to exact at full probe; embedding_near_dup ->
+        # embedding_near_dup_lsh, same kernel + blocking;
+        # tfidf_top_terms -> bm25_top_docs, same df/idf machinery;
+        # minhash_similarity_exact -> minhash_lsh_pairs_exact, same
+        # signature plumbing; corpus_prep -> corpus_prep_spans, the
+        # stricter composition) --
+        "dsir_selection": q_dsir_selection,
+        "incremental_dedup": q_incremental_dedup,
+        "canonical_selection": q_canonical_selection,
+        "token_budget_selection": q_token_budget_selection,
+        "source_budget_selection": q_source_budget_selection,
         # -- rows-only entries (sketch estimates / hash-dependent) --
         "flagship_bloom_by_source": _flagship,
         "theta_source_setops": q_theta_source_setops,
@@ -2475,32 +2486,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: sketch-powered ANALYZE (exact fields + MG top-k DuckDB-
         # gated in tests/test_profile.py; distinct_est bound-gated)
         "table_profile": q_table_profile,
-        # r9: DSIR importance-weighted selection — full DuckDB oracle
-        # runs verbatim in tests/test_retired_oracles.py (the driver
-        # window is full at 50/50, so this ships rows-only like the
-        # other retired-oracle twins)
-        "dsir_selection": q_dsir_selection,
-        # r9: incremental LSH dedup vs a persisted band index — same
-        # retired-oracle-twin discipline (full DuckDB oracle verbatim
-        # in tests/test_retired_oracles.py; batch==old+incremental
-        # equivalence on production signatures in
-        # tests/test_incremental_dedup.py)
-        "incremental_dedup": q_incremental_dedup,
-        # production-signature twin (rows-only; the bench sweep times
-        # this one — the md5 recipe above pays a 16x oracle-replay
-        # explode the production kernel doesn't)
+        # production-signature twin of the (now window-certified)
+        # incremental_dedup (rows-only; the bench sweep times this one
+        # — the md5 oracle recipe pays a 16x replay explode the
+        # production kernel doesn't)
         "incremental_dedup_fast": q_incremental_dedup_fast,
-        # r9: per-cluster representative selection (keep-best) — the
-        # dedup_clusters CTE extended with the corpus_prep quality
-        # formula, full DuckDB oracle verbatim in
+        # oracles RETIRED round 10 to free driver-window slots for the
+        # five promoted r9 operators — each is subsumed by a stricter
+        # or kernel-identical sibling still in the window (see the
+        # promotion comment above); full SQL runs verbatim in
         # tests/test_retired_oracles.py
-        "canonical_selection": q_canonical_selection,
-        # r9: token-budget corpus sizing (distributed prefix-sum rank,
-        # straddling doc kept) — full DuckDB oracle verbatim in
-        # tests/test_retired_oracles.py; and its per-source curriculum
-        # twin (per-group prefix sum, never one task per source)
-        "token_budget_selection": q_token_budget_selection,
-        "source_budget_selection": q_source_budget_selection,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dup": q_embedding_near_dup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "minhash_similarity_exact": q_minhash_similarity_exact,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -2645,24 +2645,250 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
-        "knn_bruteforce": """
-            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-            z AS (
-                SELECT e.vec_id,
-                       unnest(CAST(e.embedding AS DOUBLE[])) AS ev,
-                       unnest(q.qv) AS qe
-                FROM embeddings e CROSS JOIN q
-            ), s AS (
-                SELECT vec_id, sum(ev * qe) AS dot, sqrt(sum(ev * ev)) AS ne
-                FROM z GROUP BY vec_id
-            ), qn AS (
-                SELECT sqrt(sum(x * x)) AS nq FROM (SELECT unnest(qv) AS x FROM q)
-            )
-            SELECT vec_id, round(dot / (ne * qn.nq), 6) AS cosine
-            FROM s, qn
-            ORDER BY cosine DESC, vec_id
-            LIMIT 10
-        """,
+        # -- round-10 promotions: the five r9 operators rotate INTO the
+        # driver window (their SQL moved verbatim from
+        # tests/test_retired_oracles.py, where it ran green at sf0.001
+        # and sf0.01 since round 9); the freed slots' twins moved there.
+        "dsir_selection": """
+    WITH tids AS (
+        SELECT doc_id FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+    ), w AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS words
+        FROM documents
+        WHERE trim(coalesce(text, '')) <> ''
+    ), bi AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    words[CAST(t.i AS INT):CAST(t.i AS INT) + 1], ' ')), 1, 8)
+               )::BIGINT % 1024 AS bucket
+        FROM w CROSS JOIN UNNEST(CASE WHEN len(words) >= 2
+             THEN generate_series(1, len(words) - 1) ELSE [] END) AS t(i)
+    ), tgt AS (
+        SELECT bucket, COUNT(*) AS c_t FROM bi
+        WHERE doc_id IN (SELECT doc_id FROM tids) GROUP BY bucket
+    ), rawc AS (
+        SELECT bucket, COUNT(*) AS c_r FROM bi GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS DOUBLE) FROM tgt) AS n_t,
+               (SELECT CAST(COALESCE(SUM(c_r), 0) AS DOUBLE) FROM rawc) AS n_r
+    ), spine AS (
+        SELECT r AS bucket FROM range(1024) t(r)
+    ), ratio AS (
+        SELECT s.bucket,
+               ln((CAST(COALESCE(c_t, 0) AS DOUBLE) + 1.0) / (n_t + 1024.0))
+             - ln((CAST(COALESCE(c_r, 0) AS DOUBLE) + 1.0) / (n_r + 1024.0))
+               AS log_ratio
+        FROM spine s LEFT JOIN tgt USING (bucket)
+        LEFT JOIN rawc USING (bucket) CROSS JOIN tot
+    ), wts AS (
+        SELECT d.doc_id,
+               COALESCE(x.n_grams, 0) AS n_grams,
+               COALESCE(x.log_w, 0.0) AS log_w
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_grams, SUM(log_ratio) AS log_w
+            FROM bi JOIN ratio USING (bucket) GROUP BY doc_id
+        ) x USING (doc_id)
+    ), sel AS (
+        SELECT doc_id, n_grams, log_w,
+               ROUND(log_w - ln(-ln(
+                   (CAST(('0x' || substr(md5(concat_ws('|',
+                        CAST(doc_id AS VARCHAR), 'dsir-r9')), 1, 8))::BIGINT
+                    AS DOUBLE) + 0.5) / 4294967296.0)), 6) AS gumbel_key
+        FROM wts
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           ROUND(log_w, 6) AS log_w,
+           gumbel_key
+    FROM sel
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT 20
+""",
+        "incremental_dedup": """
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+        WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS sh
+        FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), perms AS (
+        SELECT doc_id, p.perm,
+               md5(CAST(p.perm AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS p(perm)
+    ), sigs AS (
+        SELECT doc_id, perm, MIN(h) AS sig
+        FROM perms GROUP BY doc_id, perm
+    ), bands AS (
+        SELECT doc_id, perm // 4 AS band,
+               md5(string_agg(sig, '|' ORDER BY perm)) AS band_hash
+        FROM sigs GROUP BY 1, 2
+    ), ok AS (
+        SELECT band, band_hash FROM bands
+        GROUP BY band, band_hash HAVING COUNT(*) <= 4
+    ), fb AS (
+        SELECT b.* FROM bands b JOIN ok USING (band, band_hash)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fb a JOIN fb b USING (band, band_hash)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CASE WHEN id_a % 4 = 0 AND id_b % 4 = 0
+                THEN 'new-new' ELSE 'cross' END AS link
+    FROM pairs
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    ORDER BY id_a, id_b
+    LIMIT 50
+""",
+        "canonical_selection": """
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+        WHERE CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS sh
+        FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), prs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM prs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ), stats AS (
+        SELECT doc_id,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','a'))) END AS n_stop
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               ROUND(least(n_words / 100.0, 1.0) * 0.3
+                   + (1.0 - punct_ratio) * 0.3
+                   + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words
+                           ELSE 0.0 END * 5.0, 1.0) * 0.4, 6) AS quality
+        FROM stats
+    ), m AS (
+        SELECT c.doc_id, c.component, q.quality
+        FROM comp c JOIN q USING (doc_id)
+    ), ranked AS (
+        SELECT doc_id, component, quality,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+        FROM m
+    ), canon AS (
+        SELECT component, doc_id AS canonical_id FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+           CAST(m.component AS BIGINT) AS component,
+           m.quality,
+           CAST(c.canonical_id AS BIGINT) AS canonical_id,
+           (m.doc_id = c.canonical_id) AS keep
+    FROM m JOIN canon c USING (component)
+    ORDER BY doc_id
+""",
+        "token_budget_selection": """
+    WITH stats AS (
+        SELECT doc_id,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','a'))) END AS n_stop
+        FROM documents
+    ), q AS (
+        SELECT doc_id, n_tok,
+               ROUND(least(n_tok / 100.0, 1.0) * 0.3
+                   + (1.0 - punct_ratio) * 0.3
+                   + least(CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok
+                           ELSE 0.0 END * 5.0, 1.0) * 0.4, 6) AS quality
+        FROM stats
+    ), ranked AS (
+        SELECT doc_id, n_tok, quality,
+               COALESCE(SUM(n_tok) OVER (
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM q
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           quality,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM ranked
+    WHERE cum_before < 1000
+    ORDER BY quality DESC, doc_id
+    LIMIT 50
+""",
+        "source_budget_selection": """
+    WITH stats AS (
+        SELECT doc_id, source,
+               CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x IN ('the','and','of','to','in','is','a'))) END AS n_stop
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source, n_tok,
+               ROUND(least(n_tok / 100.0, 1.0) * 0.3
+                   + (1.0 - punct_ratio) * 0.3
+                   + least(CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok
+                           ELSE 0.0 END * 5.0, 1.0) * 0.4, 6) AS quality
+        FROM stats
+    ), ranked AS (
+        SELECT doc_id, source, n_tok, quality,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM q
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           source,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           quality,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM ranked
+    WHERE cum_before < 500
+    ORDER BY source, quality DESC, doc_id
+    LIMIT 50
+""",
         # ivf_topk runs at full probe (nprobe = n_cells), which is exactly
         # the brute-force top-k — same oracle as knn_bruteforce.
         "ivf_topk": """
@@ -2702,15 +2928,6 @@ def oracle_sql() -> dict[str, str]:
             FROM s, qn
             ORDER BY cosine DESC, vec_id
             LIMIT 10
-        """,
-        "embedding_near_dup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "embedding_near_dup_lsh": _embedding_lsh_oracle_sql(),
         # PMI over adjacent bigrams; identical probability model and
@@ -2787,33 +3004,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tf.doc_id
             ORDER BY bm25 DESC, doc_id
             LIMIT 10
-        """,
-        # Summed tf-idf factorizes as tf_total * ln(N/df); round(6) +
-        # word tie-break keeps ranking engine-independent.
-        "tfidf_top_terms": """
-            WITH wd AS (
-                SELECT doc_id, source, w AS word
-                FROM documents,
-                     unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS t(w)
-                WHERE w <> ''
-            ), tf AS (
-                SELECT source, word, count(*) AS tf FROM wd GROUP BY source, word
-            ), dfreq AS (
-                SELECT word, count(DISTINCT doc_id) AS df FROM wd GROUP BY word
-            ), n AS (
-                SELECT count(*) AS n_docs FROM documents
-            ), scored AS (
-                SELECT source, tf.word AS word,
-                       round(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
-                FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n
-            )
-            SELECT source, word, tfidf FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY source ORDER BY tfidf DESC, word) AS rn
-                FROM scored
-            ) WHERE rn <= 3
-            ORDER BY source, tfidf DESC, word
         """,
         # Same char-24-gram runs on raw substring keys (string equality
         # is bytewise in both engines), the frequency cap (2..16 docs,
@@ -3088,41 +3278,6 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(dup_trigram_frac), 4) AS avg_dup_trigram_frac
             FROM per_doc GROUP BY source ORDER BY source
         """,
-        # MinHash estimator under an exact gate: 16 md5-keyed perms,
-        # per-perm min over DISTINCT 3-word shingles, pairwise
-        # agreeing-perm count — identical plumbing in DuckDB.
-        "minhash_similarity_exact": """
-            WITH w AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
-                FROM documents
-                WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
-            ), sh AS (
-                SELECT DISTINCT doc_id,
-                       array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS sh
-                FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 2)) AS t(i)
-            ), perms AS (
-                SELECT doc_id, p.perm,
-                       md5(CAST(p.perm AS VARCHAR) || ':' || sh) AS h
-                FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS p(perm)
-            ), sigs AS (
-                SELECT doc_id, perm, MIN(h) AS sig
-                FROM perms GROUP BY doc_id, perm
-            ), pairs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       COUNT(*) AS n_agree
-                FROM sigs a JOIN sigs b USING (perm, sig)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY 1, 2 HAVING COUNT(*) >= 8
-            )
-            SELECT CAST(id_a AS BIGINT) AS id_a,
-                   CAST(id_b AS BIGINT) AS id_b,
-                   CAST(n_agree AS BIGINT) AS n_agree,
-                   ROUND(n_agree / 16.0, 6) AS est_jaccard
-            FROM pairs
-            ORDER BY n_agree DESC, id_a, id_b
-            LIMIT 20
-        """,
         # LSH banding rule replayed exactly: same md5-keyed signatures,
         # 4 bands x 4 rows, band hash = md5 of the in-band signature
         # values joined in perm order, pairs share >= 1 band bucket.
@@ -3292,46 +3447,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(a, min(b)) AS BIGINT) AS component
             FROM reach GROUP BY a
             ORDER BY doc_id
-        """,
-        # Full-pipeline oracle: quality formula == with_text_stats, dedup
-        # window == min-id per text, sample rank == md5 bottom-k.
-        "corpus_prep": """
-            WITH stats AS (
-                SELECT doc_id, source, text,
-                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
-                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
-                       CASE WHEN length(text) > 0
-                            THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
-                            ELSE 0.0 END AS punct_ratio,
-                       CASE WHEN trim(text) = '' THEN 0
-                            ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                 w -> w IN ('the','and','of','to','in','is','a'))) END AS n_stop
-                FROM documents
-            ), q AS (
-                SELECT doc_id, source, text,
-                       least(n_words / 100.0, 1.0) * 0.3
-                       + (1.0 - punct_ratio) * 0.3
-                       + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5.0, 1.0) * 0.4
-                       AS quality
-                FROM stats
-            ), filtered AS (
-                SELECT * FROM q WHERE round(quality, 6) >= 0.5
-            ), uniq AS (
-                SELECT * FROM (
-                    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rep
-                    FROM filtered
-                ) WHERE rep = 1
-            ), samp AS (
-                SELECT doc_id, source, quality,
-                       row_number() OVER (
-                           PARTITION BY source
-                           ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), 's42'))
-                       ) AS rn
-                FROM uniq
-            )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id, source, round(quality, 6) AS quality
-            FROM samp WHERE rn <= 3
-            ORDER BY source, doc_id
         """,
         # Full Lee-et-al. pipeline composed: Gopher filter -> char-span
         # detection on the surviving corpus -> excision -> benchmark
