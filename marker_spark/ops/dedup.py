@@ -425,6 +425,14 @@ def incremental_pairs_from_bands(
     """
     keys = ["band_id", "band_hash"]
     nb = new_bands
+    if nb.storageLevel.useMemory or nb.storageLevel.useDisk:
+        pass  # already persisted by the caller (incremental_lsh_pairs)
+    else:
+        # nb feeds THREE consumers (the cross-join leg + both sides of
+        # the within-increment self-join); unpersisted, each would
+        # re-run the signature/banding subtree — persist for direct
+        # callers too, not just the public wrapper (r9 verdict #7)
+        nb = register(nb.persist())
     if max_bucket is not None:
         touched = nb.select(*keys).distinct()
         idx_sz = (

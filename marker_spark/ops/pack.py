@@ -250,11 +250,17 @@ def group_budget_selection(
     if not budgets:
         raise ValueError("budgets must name at least one group")
     bdf = src.sparkSession.createDataFrame(
-        [(g, int(b)) for g, b in budgets.items()], ["__grp", "__budget"]
+        [(g, int(b)) for g, b in budgets.items()], "__grp string, __budget long"
     )
     n_parts = num_partitions or src.sparkSession.sparkContext.defaultParallelism
+    # every stitch join in a salted/sliced plan needs eqNullSafe on the
+    # key (r7 rule): a NULL group is a real group to the offsets loop
+    # below, and a null-unsafe equi-join would silently drop its rows
     ranged = register(
-        src.join(F.broadcast(bdf), "__grp")  # unlisted groups drop here
+        src.join(
+            F.broadcast(bdf), src["__grp"].eqNullSafe(bdf["__grp"])
+        )  # unlisted groups drop here
+        .drop(bdf["__grp"])
         .repartitionByRange(
             n_parts, F.col("__grp"), F.col("__score").desc(), F.col(id_col).asc()
         )
@@ -280,7 +286,13 @@ def group_budget_selection(
         F.col("__off") + F.sum("__tok").over(w) - F.col("__tok")
     ).alias("cum_before")
     return (
-        ranged.join(F.broadcast(off_df), ["__pid", "__grp"])
+        ranged.join(
+            F.broadcast(off_df),
+            (ranged["__pid"] == off_df["__pid"])
+            & ranged["__grp"].eqNullSafe(off_df["__grp"]),
+        )
+        .drop(off_df["__pid"])
+        .drop(off_df["__grp"])
         .select(
             id_col,
             F.col("__grp").alias(group_col),

@@ -440,7 +440,14 @@ def stateful_column_profile(
     qs = [float(q) for q in quantiles]
     prepped = stream_df.select(
         F.col(key_col).alias("__k"),
-        F.xxhash64(F.col(value_col).cast("string")).alias("__h"),
+        # xxhash64(NULL) is the SEED (42), not NULL — mask explicitly so
+        # the update's dropna actually drops NULL rows; otherwise every
+        # NULL injects a constant 42 into the HLL and Misra-Gries,
+        # diverging from the batch profiler's isNotNull filter (_melt)
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.xxhash64(F.col(value_col).cast("string")),
+        ).alias("__h"),
         F.col(value_col).cast("double").alias("__num"),
         F.col(value_col).isNull().cast("long").alias("__isnull"),
     )
@@ -665,10 +672,9 @@ def streaming_incremental_dedup(
     replayed batch's bands in the index AND its pairs).  Use with
     ``writeStream.foreachBatch(fn).option("checkpointLocation", ...)``.
     """
-    import os
-
     from .cacheutil import release_all
     from .ops.dedup import incremental_lsh_pairs, minhash_signatures
+    from .tables import path_exists
 
     empty_index = "doc_id long, band_id int, band_hash long"
 
@@ -677,8 +683,17 @@ def streaming_incremental_dedup(
             batch_df, text_col=text_col, num_perm=bands * rows_per_band,
             id_col=id_col,
         )
-        if os.path.exists(index_path):
-            index = spark.read.parquet(index_path).drop("__batch_id")
+        if path_exists(spark, index_path):
+            # a batch REPLAYED from the checkpoint already has its own
+            # __batch_id partition in the index — joining it would
+            # double-count bucket sizes under max_bucket (the rewritten
+            # pairs partition could lose pairs, breaking the documented
+            # union==batch invariant), so exclude self before dropping
+            index = (
+                spark.read.parquet(index_path)
+                .where(F.col("__batch_id") != F.lit(batch_id))
+                .drop("__batch_id")
+            )
         else:
             index = spark.createDataFrame([], empty_index)
         pairs, new_bands = incremental_lsh_pairs(

@@ -27,6 +27,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FileSystem
+    API.  ``os.path.exists`` is silently False for every non-local URI
+    (hdfs://, s3a://), so an "is the index there yet?" gate built on it
+    treats the store as absent on exactly the cluster deployments the
+    incremental-dedup jobs target — each batch would re-create the
+    index and lose all cross-batch pairs (r9 ADVICE)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(p.getFileSystem(hconf).exists(p))
+
+
 class TableProvider:
     def __init__(self, spark: SparkSession, provider: str = "parquet", catalog: str | None = None):
         if provider not in ("parquet", "iceberg"):
@@ -100,14 +113,24 @@ class TableProvider:
         if self.provider == "iceberg":
             from pyspark.sql import functions as F
 
+            # bucket EVERY key: identity-partitioning the tail keys
+            # would create one partition per distinct value — for the
+            # LSH index's (band_id, band_hash) that is one partition
+            # per 64-bit hash, unbounded partition explosion (r9 ADVICE)
             w = df.writeTo(f"{self.catalog}.{table}").partitionedBy(
-                F.bucket(n_buckets, bucket_by[0]),
-                *[F.col(c) for c in bucket_by[1:]],
+                *[F.bucket(n_buckets, c) for c in bucket_by]
             )
             if mode in ("overwrite", "createOrReplace"):
                 w.createOrReplace()
             elif mode == "append":
-                w.append()
+                # first-ever append: the table does not exist yet and
+                # append() would throw — create() (not createOrReplace,
+                # which would clobber a concurrent creator) then holds
+                # the rows
+                if self.spark.catalog.tableExists(f"{self.catalog}.{table}"):
+                    w.append()
+                else:
+                    w.create()
             else:
                 raise ValueError(f"unsupported iceberg write mode {mode!r}")
             return

@@ -10,6 +10,7 @@ joint-size bucket cap.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -113,6 +114,35 @@ def test_broadcast_new_keeps_index_unshuffled(spark, split):
     release_all()
 
 
+def test_direct_call_evaluates_bands_once(spark):
+    """incremental_pairs_from_bands feeds new_bands to THREE consumers
+    (cross leg + both self-join sides); called DIRECTLY with an
+    unpersisted input and max_bucket=None it must persist internally so
+    the band subtree runs once, not once per consumer (r9 verdict #7 —
+    previously only the public wrapper persisted)."""
+    from pyspark.sql.types import LongType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _counted(v: pd.Series) -> pd.Series:
+        acc.add(len(v))
+        return v
+
+    counted = F.pandas_udf(_counted, LongType())
+
+    nb = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        counted((F.col("id") % 2).cast("long")).alias("band_hash"),
+    )
+    index = spark.createDataFrame([], "doc_id long, band_id int, band_hash long")
+    pairs = incremental_pairs_from_bands(index, nb, max_bucket=None)
+    # two buckets {0,2,4} and {1,3,5} -> 3 pairs each
+    assert pairs.count() == 6
+    assert acc.value == 6, f"band subtree ran {acc.value / 6:.0f}x, want once"
+    release_all()
+
+
 def test_empty_increment_is_safe(spark, split):
     _, old, new = split
     index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB)
@@ -167,3 +197,71 @@ def test_incremental_dedup_job_two_batches(spark, tmp_path, capsys):
     # (identical text -> identical signature -> all bands collide)
     cross = pairs1.where(F.col("jaccard").isNull())
     assert cross.where(F.col("id_b") >= 1_000_000).count() >= 1
+
+
+def test_incremental_dedup_job_bucketed_with_corpus(spark, tmp_path, capsys):
+    """--bucketed stores the index as a CLUSTERED BY (band_id,
+    band_hash) external table: batch 1 — run after the catalog forgot
+    the table, as a fresh spark-submit session would — re-declares it
+    on the same location, reads the bucketed layout from the files,
+    and its index-side join scan carries the bucket spec (zero
+    exchange on the index side).  --corpus verifies CROSS-batch pairs
+    with real Jaccard instead of NULL."""
+    import json
+
+    from jobs.incremental_dedup import INDEX_TABLE, main
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    day0 = str(tmp_path / "day0.parquet")
+    day1 = str(tmp_path / "day1.parquet")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    old.write.parquet(day0)
+    clone = (
+        docs.where((F.col("doc_id") % 4 != 0) & (F.length("text") > 50))
+        .orderBy("doc_id").limit(1)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars")
+    )
+    docs.where(F.col("doc_id") % 4 == 0).unionByName(clone).write.parquet(day1)
+
+    index = str(tmp_path / "lsh_index_bucketed")
+    out0 = str(tmp_path / "pairs0")
+    out1 = str(tmp_path / "pairs1")
+    spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
+    try:
+        main(["--input", day0, "--index", index, "--pairs-out", out0,
+              "--bucketed", "--n-buckets", "4"])
+        rep0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep0["index_created"] is True and rep0["bucketed"] is True
+        rows0 = spark.read.table(INDEX_TABLE).count()
+        assert rows0 > 0
+
+        # emulate the next day's FRESH session: the in-memory catalog
+        # forgot the table; only the files (with bucket layout) remain
+        spark.sql(f"DROP TABLE {INDEX_TABLE}")
+        main(["--input", day1, "--index", index, "--pairs-out", out1,
+              "--bucketed", "--n-buckets", "4", "--corpus", day0])
+        rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep1["index_created"] is False
+        assert spark.read.table(INDEX_TABLE).count() > rows0
+
+        # cross-batch clone pair arrives VERIFIED (jaccard = 1), not NULL
+        pairs1 = spark.read.parquet(out1)
+        hit = pairs1.where(F.col("id_b") >= 1_000_000).collect()
+        assert hit and all(r["jaccard"] is not None and r["jaccard"] >= 0.99
+                           for r in hit)
+
+        # the production property: a join keyed on (band_id, band_hash)
+        # reads the index WITHOUT an exchange on the index side
+        idx = spark.read.table(INDEX_TABLE)
+        probe = (
+            idx.limit(10).select("band_id", "band_hash").distinct()
+        )
+        plan = (
+            idx.hint("merge").join(probe, ["band_id", "band_hash"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
+    release_all()

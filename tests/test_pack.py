@@ -213,6 +213,36 @@ def test_group_budget_selection_semantics(spark):
     release_all()
 
 
+def test_group_budget_selection_null_group(spark):
+    """NULL group values are a REAL group (the r7 eqNullSafe rule):
+    the offsets loop has always handled None keys, but the stitch
+    joins were null-unsafe and silently dropped the rows (r9 ADVICE).
+    Both budget forms must keep them."""
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.pack import group_budget_selection
+
+    rows = [(1, "a", 10, 0.9), (2, None, 10, 0.8), (3, None, 20, 0.5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp string, n_tok long, score double"
+    )
+    kept = {
+        r["doc_id"]: r["cum_before"]
+        for r in group_budget_selection(
+            df, "n_tok", 15, "score", group_col="grp"
+        ).collect()
+    }
+    # NULL group: 2 (cum 0) kept, 3 (cum 10 < 15, straddles) kept
+    assert kept == {1: 0, 2: 0, 3: 10}
+    kept_none = {
+        r["doc_id"]: r["cum_before"]
+        for r in group_budget_selection(
+            df, "n_tok", {None: 15}, "score", group_col="grp"
+        ).collect()
+    }
+    assert kept_none == {2: 0, 3: 10}
+    release_all()
+
+
 def test_group_budget_selection_matches_per_group_window(spark):
     """Distributed per-group prefix sum == naive per-group window on
     the fixture, at a partition count that forces group spans."""

@@ -632,6 +632,7 @@ def test_stateful_column_profile_runs_and_recovers(spark, tmp_path):
                 F.max_by("n_null", "n").alias("n_null"),
                 F.max_by("distinct_est", "n").alias("distinct_est"),
                 F.max_by("quantiles", "n").alias("quantiles"),
+                F.max_by("top_hashes", "n").alias("top_hashes"),
             ).collect()
         }
 
@@ -650,10 +651,12 @@ def test_stateful_column_profile_runs_and_recovers(spark, tmp_path):
         assert g["n"] == len(sub), key
         assert g["n_null"] == int(sub["value"].isna().sum()), key
         vals = sub["value"].dropna().to_numpy(dtype="float64")
-        exact_d = len({str(v) for v in sub["value"]})  # incl. the NULL? no:
-        # the profile hashes only non-null values (xxhash64 of NULL is
-        # NULL -> dropna in the update) — distinct over non-null strings
+        # the profile hashes only NON-NULL values: xxhash64(NULL) is the
+        # SEED (42), not NULL, so the operator masks NULL before hashing
+        # (r9 ADVICE) — distinct is over non-null strings, and the
+        # constant 42 must never surface as a heavy hitter
         exact_d = sub["value"].dropna().astype(str).nunique()
+        assert 42 not in g["top_hashes"], (key, g["top_hashes"])
         assert abs(g["distinct_est"] - exact_d) <= max(3, 0.05 * exact_d), (
             key, g["distinct_est"], exact_d)
         for target, e in zip((0.25, 0.5, 0.75), g["quantiles"]):
