@@ -36,6 +36,17 @@ doc_id + text) to verify them too, else they ship with jaccard = NULL.
 Existence probes go through the Hadoop FileSystem API, so hdfs:// and
 s3a:// index paths behave exactly like local ones (os.path.exists is
 silently False for every non-local URI).
+
+Maintenance (``--compact --keep kept_ids.parquet``): the maybe_age of
+the index (ops/dedup.py compact_band_index) — drops bands of docs no
+longer retained and replaces over-cap buckets' rows with (band_id,
+band_hash, frozen_sz) tombstones at ``<index>__frozen``, which every
+later dedup run folds back into the joint cap check.  A frozen bucket
+stays capped forever (conservative: rebuilding the index from the
+corpus is the only way to resurrect one); a bucket that fell UNDER the
+cap through retention keeps its rows and emits pairs again — exactly
+the fresh-rebuild behavior (equivalence pinned in
+tests/test_incremental_dedup.py).
 """
 
 from __future__ import annotations
@@ -60,11 +71,21 @@ def _register_bucketed_index(spark, location: str, n_buckets: int) -> None:
     )
 
 
+def _frozen_path(index: str) -> str:
+    return index.rstrip("/") + "__frozen"
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="new batch parquet (doc_id, text)")
+    ap.add_argument("--input", help="new batch parquet (doc_id, text); "
+                                    "required unless --compact")
     ap.add_argument("--index", required=True, help="band-index dir (created if absent)")
-    ap.add_argument("--pairs-out", required=True)
+    ap.add_argument("--pairs-out", help="required unless --compact")
+    ap.add_argument("--compact", action="store_true",
+                    help="maintenance mode: retention + degenerate-bucket "
+                         "reclaim instead of a dedup batch")
+    ap.add_argument("--keep", default=None,
+                    help="parquet of doc_id to RETAIN (required with --compact)")
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--rows-per-band", type=int, default=4)
     ap.add_argument("--max-bucket", type=int, default=200)
@@ -101,6 +122,15 @@ def main(argv: list[str] | None = None) -> None:
         .getOrCreate()
     )
     t0 = time.monotonic()
+
+    if args.compact:
+        if not args.keep:
+            ap.error("--compact requires --keep")
+        _run_compact(spark, args, t0)
+        return
+    if not args.input or not args.pairs_out:
+        ap.error("--input and --pairs-out are required unless --compact")
+
     num_perm = args.bands * args.rows_per_band
     batch = spark.read.parquet(args.input)
     sigs = minhash_signatures(batch, num_perm=num_perm)
@@ -118,10 +148,16 @@ def main(argv: list[str] | None = None) -> None:
     else:
         index = spark.read.parquet(args.index)
 
+    # a prior --compact pass may have replaced degenerate buckets'
+    # rows with size tombstones — fold them into the joint cap check
+    frozen = None
+    if path_exists(spark, _frozen_path(args.index)):
+        frozen = spark.read.parquet(_frozen_path(args.index))
+
     pairs, new_bands = incremental_lsh_pairs(
         index, sigs,
         bands=args.bands, rows_per_band=args.rows_per_band,
-        max_bucket=args.max_bucket,
+        max_bucket=args.max_bucket, frozen=frozen,
     )
 
     # verification bounded by candidate pairs (never a discovery-shaped
@@ -179,8 +215,76 @@ def main(argv: list[str] | None = None) -> None:
         "index": args.index,
         "index_created": fresh,
         "bucketed": bool(args.bucketed),
+        "frozen_buckets": frozen.count() if frozen is not None else 0,
         "batch_docs": batch.count(),
         "candidate_pairs": n_pairs,
+        "secs": round(time.monotonic() - t0, 2),
+    }))
+
+
+def _run_compact(spark, args, t0) -> None:
+    """Retention + degenerate-bucket reclaim, rewrite in place.  The
+    rewrite reads what it overwrites, so the compacted rows stage
+    through ``<index>__compact_tmp`` first; the frozen merge is a
+    bounded driver collect (O(degenerate buckets))."""
+    from pyspark.sql import functions as F
+
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.dedup import compact_band_index
+    from marker_spark.tables import delete_path, path_exists
+
+    keep = spark.read.parquet(args.keep).select("doc_id")
+    if args.bucketed:
+        _register_bucketed_index(spark, args.index, args.n_buckets)
+        index = spark.read.table(INDEX_TABLE)
+    else:
+        index = spark.read.parquet(args.index)
+    n_before = index.count()
+
+    compacted, frozen = compact_band_index(
+        index, keep, max_bucket=args.max_bucket
+    )
+    fz_path = _frozen_path(args.index)
+    if path_exists(spark, fz_path):
+        # prior tombstones stay capped forever; re-frozen buckets sum
+        # (both row sets are gone — the joint check needs their total)
+        frozen = (
+            frozen.unionByName(spark.read.parquet(fz_path))
+            .groupBy("band_id", "band_hash")
+            .agg(F.sum("frozen_sz").alias("frozen_sz"))
+        )
+    frozen_rows = [
+        (r["band_id"], r["band_hash"], r["frozen_sz"]) for r in frozen.collect()
+    ]
+
+    tmp = args.index.rstrip("/") + "__compact_tmp"
+    compacted.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    if args.bucketed:
+        (
+            staged.select(
+                F.col("doc_id").cast("long"),
+                F.col("band_id").cast("int"),
+                F.col("band_hash").cast("long"),
+            )
+            .write.mode("overwrite")
+            .insertInto(INDEX_TABLE, overwrite=True)
+        )
+    else:
+        staged.write.mode("overwrite").parquet(args.index)
+    n_after = staged.count()
+    delete_path(spark, tmp)
+    spark.createDataFrame(
+        frozen_rows, "band_id int, band_hash long, frozen_sz long"
+    ).write.mode("overwrite").parquet(fz_path)
+    release_all()
+    print(json.dumps({
+        "mode": "compact",
+        "index": args.index,
+        "bucketed": bool(args.bucketed),
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "frozen_buckets": len(frozen_rows),
         "secs": round(time.monotonic() - t0, 2),
     }))
 

@@ -394,6 +394,7 @@ def incremental_pairs_from_bands(
     id_col: str = "doc_id",
     max_bucket: int | None = None,
     broadcast_new: bool = False,
+    frozen: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs for an INCREMENT against a persisted
     band index — the daily-crawl shape at 100 TB: the corpus index
@@ -422,8 +423,21 @@ def incremental_pairs_from_bands(
     broadcast-hash join so the index never shuffles — right for small
     daily batches; leave False for large increments and let AQE pick
     (the index side still only moves keyed by small int band keys).
+
+    ``frozen``: the (band_id, band_hash, frozen_sz) tombstone table a
+    :func:`compact_band_index` pass emitted when it reclaimed over-cap
+    buckets' rows.  Those sizes fold into the joint cap check so a
+    reclaimed bucket stays capped exactly as if its rows were still
+    present — required for the compaction-equivalence contract; only
+    meaningful with ``max_bucket`` (ValueError otherwise, because
+    without a cap the reclaimed rows would have produced pairs).
     """
     keys = ["band_id", "band_hash"]
+    if frozen is not None and max_bucket is None:
+        raise ValueError(
+            "a frozen-buckets table only arises from compaction under a "
+            "cap; passing it without max_bucket would silently lose pairs"
+        )
     nb = new_bands
     if nb.storageLevel.useMemory or nb.storageLevel.useDisk:
         pass  # already persisted by the caller (incremental_lsh_pairs)
@@ -441,10 +455,20 @@ def incremental_pairs_from_bands(
             .agg(F.count(F.lit(1)).alias("idx_sz"))
         )
         new_sz = nb.groupBy(*keys).agg(F.count(F.lit(1)).alias("new_sz"))
+        sized = new_sz.join(idx_sz, keys, "left")
+        frozen_term = F.lit(0)
+        if frozen is not None:
+            # frozen is O(degenerate buckets) — broadcast; its sizes
+            # stand in for the reclaimed rows in the joint check
+            sized = sized.join(
+                F.broadcast(frozen.select(*keys, "frozen_sz")), keys, "left"
+            )
+            frozen_term = F.coalesce(F.col("frozen_sz"), F.lit(0))
         ok = (
-            new_sz.join(idx_sz, keys, "left")
-            .where(
-                F.coalesce(F.col("idx_sz"), F.lit(0)) + F.col("new_sz")
+            sized.where(
+                F.coalesce(F.col("idx_sz"), F.lit(0))
+                + frozen_term
+                + F.col("new_sz")
                 <= F.lit(max_bucket)
             )
             .select(*keys)
@@ -482,6 +506,7 @@ def incremental_lsh_pairs(
     rows_per_band: int = 4,
     max_bucket: int | None = None,
     broadcast_new: bool = False,
+    frozen: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental MinHash-LSH dedup: band the increment's signatures,
     emit candidate pairs vs the persisted ``index``
@@ -490,13 +515,70 @@ def incremental_lsh_pairs(
     after the call is ``index UNION new_bands`` — next increment joins
     against both).  Returns ``(pairs, new_bands)``; ``new_bands`` is
     persisted (both the pair join legs and the index append consume it).
+    ``frozen`` forwards a compaction pass's tombstone table
+    (:func:`compact_band_index`).
     """
     new_bands = lsh_band_table(new_sigs, id_col, bands, rows_per_band).persist()
     register(new_bands)
     pairs = incremental_pairs_from_bands(
-        index, new_bands, id_col, max_bucket=max_bucket, broadcast_new=broadcast_new
+        index, new_bands, id_col, max_bucket=max_bucket,
+        broadcast_new=broadcast_new, frozen=frozen,
     )
     return pairs, new_bands
+
+
+def compact_band_index(
+    index: DataFrame,
+    keep: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Retention + compaction for the persisted dedup band index — the
+    index analogue of the reference cache's ``maybe_age``
+    (/root/reference/markercache.cpp:203-242): without it a multi-year
+    daily-crawl index grows monotonically, keeping bands for docs long
+    since dropped by :func:`canonical_selection` or corpus retention.
+
+    Two reclaims in one pass over the index:
+
+    1. **Retention**: keep only rows whose ``id_col`` appears in
+       ``keep`` (a left-semi join — at scale, run as a periodic
+       maintenance job that rewrites the index store).
+    2. **Degenerate-bucket reclaim** (only with ``max_bucket``): a
+       bucket whose RETAINED size already exceeds the cap can never
+       emit pairs again (the joint check adds ``new_sz >= 1``), so its
+       rows are dead weight — but deleting them naively would RESET the
+       bucket's size and un-cap it for future increments.  The rows are
+       replaced by one tombstone per bucket, ``(band_id, band_hash,
+       frozen_sz)``, which :func:`incremental_pairs_from_bands` folds
+       back into the joint cap check.  Sizes are computed AFTER
+       retention, so a bucket that fell below the cap because its docs
+       were dropped keeps its rows and emits pairs again — exactly what
+       a fresh index built from the retained docs would do.
+
+    Returns ``(compacted, frozen)``; ``frozen`` is ``None`` when
+    ``max_bucket`` is ``None``, else a bounded O(degenerate buckets)
+    table the caller persists alongside the index (merge with any
+    previous frozen table by summing ``frozen_sz`` per bucket).
+
+    The load-bearing contract (tests/test_incremental_dedup.py):
+    incremental pairs against ``(compacted, frozen)`` == incremental
+    pairs against the logically equivalent fresh index (``index``
+    semi-joined to ``keep``, uncompacted) for every increment.
+    """
+    keys = ["band_id", "band_hash"]
+    retained = index.join(
+        keep.select(F.col(id_col)).distinct(), id_col, "left_semi"
+    )
+    if max_bucket is None:
+        return retained, None
+    retained = register(retained.persist())
+    sizes = retained.groupBy(*keys).agg(F.count(F.lit(1)).alias("frozen_sz"))
+    frozen = register(sizes.where(F.col("frozen_sz") > max_bucket).persist())
+    compacted = retained.join(
+        F.broadcast(frozen.select(*keys)), keys, "left_anti"
+    )
+    return compacted, frozen
 
 
 def lsh_candidate_pairs(

@@ -652,6 +652,7 @@ def streaming_incremental_dedup(
     max_bucket: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    frozen_path: str | None = None,
 ):
     """Continuous-crawl dedup: returns a ``foreachBatch`` function that
     runs :func:`marker_spark.ops.dedup.incremental_lsh_pairs` per
@@ -671,6 +672,11 @@ def streaming_incremental_dedup(
     double-appending (plain parquet append would duplicate the
     replayed batch's bands in the index AND its pairs).  Use with
     ``writeStream.foreachBatch(fn).option("checkpointLocation", ...)``.
+
+    ``frozen_path``: tombstone table from an offline
+    :func:`marker_spark.ops.dedup.compact_band_index` maintenance pass
+    (see jobs/incremental_dedup.py --compact); read per batch if
+    present so reclaimed degenerate buckets stay capped.
     """
     from .cacheutil import release_all
     from .ops.dedup import incremental_lsh_pairs, minhash_signatures
@@ -696,9 +702,13 @@ def streaming_incremental_dedup(
             )
         else:
             index = spark.createDataFrame([], empty_index)
+        frozen = None
+        if frozen_path is not None and path_exists(spark, frozen_path):
+            frozen = spark.read.parquet(frozen_path)
         pairs, new_bands = incremental_lsh_pairs(
             index, sigs, id_col=id_col,
             bands=bands, rows_per_band=rows_per_band, max_bucket=max_bucket,
+            frozen=frozen,
         )
         (
             pairs.withColumn("__batch_id", F.lit(batch_id))

@@ -40,6 +40,16 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(p.getFileSystem(hconf).exists(p))
 
 
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through the same Hadoop FileSystem API (staging
+    cleanup for rewrite-in-place maintenance jobs); True if anything
+    was removed."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(p.getFileSystem(hconf).delete(p, True))
+
+
 class TableProvider:
     def __init__(self, spark: SparkSession, provider: str = "parquet", catalog: str | None = None):
         if provider not in ("parquet", "iceberg"):

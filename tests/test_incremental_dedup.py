@@ -114,6 +114,110 @@ def test_broadcast_new_keeps_index_unshuffled(spark, split):
     release_all()
 
 
+def test_compaction_equivalence_synthetic(spark):
+    """compact_band_index contract on a hand-built index: pairs
+    against (compacted, frozen) == pairs against the logically
+    equivalent fresh index (retained rows, uncompacted), covering all
+    three bucket fates — frozen (retained size > cap), untouched
+    (always under cap), and RESURRECTED (over cap before retention,
+    under after: its rows must stay and emit pairs again)."""
+    from marker_spark.ops.dedup import compact_band_index
+
+    cap = 4
+    # bucket A hash 100: docs 1-6, all kept -> retained 6 > cap: frozen
+    # bucket B hash 200: docs 1-3 -> under cap, untouched
+    # bucket C hash 300: docs 10-14, retention drops 12-14 -> 2 left:
+    #   was over cap (5+new>4), falls under after retention
+    idx_rows = (
+        [(d, 0, 100) for d in range(1, 7)]
+        + [(d, 0, 200) for d in range(1, 4)]
+        + [(d, 0, 300) for d in range(10, 15)]
+    )
+    index = spark.createDataFrame(
+        idx_rows, "doc_id long, band_id int, band_hash long"
+    )
+    keep = spark.createDataFrame(
+        [(d,) for d in list(range(1, 7)) + [10, 11, 101, 102]], "doc_id long"
+    )
+    nb = spark.createDataFrame(
+        [(101, 0, 100), (101, 0, 300), (102, 0, 300), (102, 0, 200)],
+        "doc_id long, band_id int, band_hash long",
+    )
+    compacted, frozen = compact_band_index(index, keep, max_bucket=cap)
+    fresh = index.join(keep, "doc_id", "left_semi")
+
+    got = _pairs_set(
+        incremental_pairs_from_bands(compacted, nb, max_bucket=cap, frozen=frozen)
+    )
+    want = _pairs_set(incremental_pairs_from_bands(fresh, nb, max_bucket=cap))
+    assert got == want
+    # bucket A stayed capped (frozen_sz=6 > 4) -> no pairs touch hash 100;
+    # bucket C resurrected -> cross pairs (10,101),(10,102),(11,101),
+    # (11,102) and within pair (101,102); bucket B: 3 idx + 1 new = 4 <= cap
+    assert got == {(10, 101), (10, 102), (11, 101), (11, 102), (101, 102),
+                   (1, 102), (2, 102), (3, 102)}
+    # storage actually reclaimed: frozen bucket's 6 rows -> 1 tombstone
+    assert frozen.collect() == [
+        spark.createDataFrame([(0, 100, 6)],
+                              "band_id int, band_hash long, frozen_sz long")
+        .collect()[0]
+    ]
+    assert compacted.count() == fresh.count() - 6
+    release_all()
+
+
+def test_compaction_equivalence_on_fixture(spark, split):
+    """Same contract on real signatures at fixture scale: retention
+    drops a third of the old corpus, compaction freezes the degenerate
+    buckets, and every increment pair set matches the fresh retained
+    index exactly."""
+    from marker_spark.ops.dedup import compact_band_index
+
+    _, old, new = split
+    index = lsh_band_table(old, bands=BANDS, rows_per_band=RPB).persist()
+    keep = old.select("doc_id").where(F.col("doc_id") % 3 != 1)
+    fresh = index.join(keep, "doc_id", "left_semi")
+    # pick the cap just under the largest retained bucket so the
+    # degenerate-reclaim path actually fires on this fixture
+    biggest = (
+        fresh.groupBy("band_id", "band_hash").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    cap = max(1, int(biggest) - 1)
+    compacted, frozen = compact_band_index(index, keep, max_bucket=cap)
+    nb = lsh_band_table(new, bands=BANDS, rows_per_band=RPB).persist()
+
+    got = _pairs_set(
+        incremental_pairs_from_bands(compacted, nb, max_bucket=cap, frozen=frozen)
+    )
+    want = _pairs_set(incremental_pairs_from_bands(fresh, nb, max_bucket=cap))
+    assert got == want
+    # the pass reclaimed something on this fixture (degenerate buckets
+    # exist at cap=3) and the tombstones account for every removed row
+    n_frozen_rows = fresh.count() - compacted.count()
+    assert n_frozen_rows > 0
+    assert n_frozen_rows == sum(r["frozen_sz"] for r in frozen.collect())
+    index.unpersist()
+    nb.unpersist()
+    release_all()
+
+
+def test_frozen_without_cap_raises(spark):
+    from marker_spark.ops.dedup import compact_band_index
+
+    index = spark.createDataFrame(
+        [(1, 0, 100)], "doc_id long, band_id int, band_hash long"
+    )
+    keep = spark.createDataFrame([(1,)], "doc_id long")
+    compacted, frozen = compact_band_index(index, keep, max_bucket=1)
+    with pytest.raises(ValueError, match="frozen"):
+        incremental_pairs_from_bands(index, index, frozen=frozen)
+    # retention-only mode returns no tombstones
+    retained, none_frozen = compact_band_index(index, keep)
+    assert none_frozen is None and retained.count() == 1
+    release_all()
+
+
 def test_direct_call_evaluates_bands_once(spark):
     """incremental_pairs_from_bands feeds new_bands to THREE consumers
     (cross leg + both self-join sides); called DIRECTLY with an
@@ -150,6 +254,82 @@ def test_empty_increment_is_safe(spark, split):
     pairs, bands_df = incremental_lsh_pairs(index, empty, bands=BANDS, rows_per_band=RPB)
     assert pairs.count() == 0
     assert bands_df.count() == 0
+    release_all()
+
+
+def test_incremental_dedup_job_compact_lifecycle(spark, tmp_path, capsys):
+    """Full index lifecycle through the job: dedup batch -> --compact
+    (retention + tombstones) -> next dedup batch consumes the frozen
+    table and matches the fresh-retained-index result exactly."""
+    import json
+
+    from jobs.incremental_dedup import _frozen_path, main
+    from marker_spark.ops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # day0: old corpus PLUS 5 clones of one long doc -> a degenerate
+    # bucket whose retained size exceeds the cap below
+    base = docs.where((F.col("doc_id") % 4 != 0) & (F.length("text") > 50))
+    hot = (
+        base.orderBy("doc_id").limit(1)
+        .crossJoin(spark.range(5).withColumnRenamed("id", "k"))
+        .select((F.col("doc_id") * 10 + F.col("k") + 2_000_000).alias("doc_id"),
+                "text")
+    )
+    day0_df = base.select("doc_id", "text").unionByName(hot)
+    day0 = str(tmp_path / "day0.parquet")
+    day0_df.write.parquet(day0)
+    day1 = str(tmp_path / "day1.parquet")
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text").write.parquet(day1)
+
+    index = str(tmp_path / "lsh_index")
+    cap = "6"
+    main(["--input", day0, "--index", index, "--pairs-out",
+          str(tmp_path / "p0"), "--max-bucket", cap])
+    capsys.readouterr()
+    rows0 = spark.read.parquet(index).count()
+
+    # retention keeps everything except two of the clones (the hot
+    # bucket still holds 4 > ... with the base doc: sized vs cap by data)
+    keep_df = day0_df.select("doc_id").where(F.col("doc_id") % 10 != 3)
+    keep = str(tmp_path / "keep.parquet")
+    keep_df.write.parquet(keep)
+    main(["--compact", "--keep", keep, "--index", index,
+          "--max-bucket", "4"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "compact"
+    assert rep["rows_after"] < rep["rows_before"] == rows0
+    assert rep["frozen_buckets"] > 0
+    frozen = spark.read.parquet(_frozen_path(index))
+    assert frozen.count() == rep["frozen_buckets"]
+
+    # next batch consumes the tombstones and matches the fresh
+    # retained index exactly
+    main(["--input", day1, "--index", index, "--pairs-out",
+          str(tmp_path / "p1"), "--max-bucket", "4", "--no-append"])
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["frozen_buckets"] == rep["frozen_buckets"]
+
+    fresh_index = lsh_band_table(
+        minhash_signatures(day0_df.join(keep_df, "doc_id", "left_semi")),
+        bands=32, rows_per_band=4,
+    )
+    new_sigs = minhash_signatures(spark.read.parquet(day1))
+    want_pairs, _ = incremental_lsh_pairs(fresh_index, new_sigs, max_bucket=4)
+    want = _pairs_set(want_pairs)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "p1")).collect()
+    }
+    # the job post-filters by verified jaccard >= 0.7 for within-batch
+    # pairs and ships cross pairs unverified — compare the CROSS subset,
+    # which is exactly the candidate set
+    new_ids = {r["doc_id"] for r in new_sigs.select("doc_id").collect()}
+    want_cross = {p for p in want
+                  if (p[0] in new_ids) != (p[1] in new_ids)}
+    got_cross = {p for p in got
+                 if (p[0] in new_ids) != (p[1] in new_ids)}
+    assert got_cross == want_cross
     release_all()
 
 
