@@ -737,6 +737,54 @@ def lookup_100k_probes() -> dict:
     return {"current_filter_sec": round(cur, 3), "all_filters_sec": round(allf, 3)}
 
 
+def compact_summary_line(
+    timings: dict,
+    total: float,
+    tps: float,
+    window_healthy,
+    sf,
+    budget: int = 1800,
+) -> str:
+    """The FINAL stdout line: a self-contained summary guaranteed to
+    fit inside a ~2,000-char tail capture AND parse as JSON on its own.
+    The r8/r9 artifacts proved the full diagnostic line outgrows the
+    harvester's capture window (r8 lost every timing; r9 kept them but
+    still came back parsed:null because the line as a whole never fit)
+    — so the diagnostics line stays first, and this second compact line
+    is what a tail-truncating harvester actually parses.  If the
+    per-query dict itself outgrows ``budget``, the SLOWEST queries are
+    kept (they carry the information) and ``queries_truncated`` says
+    how many were dropped; ``value`` stays last."""
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "sf": sf,
+        "window_healthy": window_healthy,
+        "tokens_per_sec": round(tps, 1),
+        "queries": dict(timings),
+        "value": total,
+    }
+    line = json.dumps(compact)
+    if len(line) <= budget:
+        return line
+    items = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    kept: dict = {}
+    compact["queries_truncated"] = len(items)
+    for k, v in items:
+        trial = dict(compact)
+        trial["queries"] = {**kept, k: v}
+        trial["queries_truncated"] = len(items) - len(kept) - 1
+        # re-order so value is last even after the key update
+        trial["value"] = trial.pop("value")
+        if len(json.dumps(trial)) > budget:
+            break
+        kept[k] = v
+    compact["queries"] = kept
+    compact["queries_truncated"] = len(items) - len(kept)
+    compact["value"] = compact.pop("value")
+    return json.dumps(compact)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -982,6 +1030,10 @@ def main() -> None:
             }
         )
     )
+    # SECOND, compact line — the actual parse target for a harvester
+    # that keeps only the tail of stdout (r9 verdict item 1: the full
+    # diagnostic line above never fits the capture window whole)
+    print(compact_summary_line(timings, total, tps, window_healthy, sf))
     spark.stop()
 
 

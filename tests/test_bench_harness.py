@@ -317,3 +317,54 @@ def test_until_flat_still_bounded_by_max_trials():
         times, min_trials=3, max_trials=5, steal_probe=steals, until_flat=True
     )
     assert (best, n) == (2.0, 5)
+
+
+# ---------------------------------------------------------------------------
+# The compact second stdout line (r9 verdict item 1): a harvester that
+# keeps only ~2,000 trailing characters must be able to json-parse the
+# LAST line on its own.
+# ---------------------------------------------------------------------------
+
+import json  # noqa: E402
+
+from bench import compact_summary_line  # noqa: E402
+
+
+def _tail_capture_last_line(stdout: str, window: int = 2000) -> str:
+    return stdout[-window:].splitlines()[-1]
+
+
+def test_compact_line_parses_from_a_simulated_tail_capture():
+    timings = {f"query_{i:02d}": round(0.1 * i, 3) for i in range(31)}
+    big_diag = json.dumps({"diagnostics": "x" * 6000, "queries": timings})
+    line = compact_summary_line(timings, 45.9, 3.2e6, True, 0.1)
+    stdout = big_diag + "\n" + line + "\n"
+    got = json.loads(_tail_capture_last_line(stdout.rstrip("\n")))
+    assert got["value"] == 45.9
+    assert got["window_healthy"] is True
+    assert got["queries"] == timings
+    assert list(got)[-1] == "value"  # headline stays LAST
+    assert len(line) <= 1800
+
+
+def test_compact_line_truncates_keeping_the_slowest_queries():
+    timings = {f"very_long_query_name_{i:03d}_padding_padding": float(i)
+               for i in range(200)}
+    line = compact_summary_line(timings, 99.0, 1.0, False, 0.1)
+    assert len(line) <= 1800
+    got = json.loads(line)
+    assert got["value"] == 99.0
+    assert got["queries_truncated"] > 0
+    assert got["queries_truncated"] + len(got["queries"]) == len(timings)
+    # the kept entries are exactly the slowest ones
+    kept_vals = sorted(got["queries"].values())
+    dropped_max = max(v for k, v in timings.items() if k not in got["queries"])
+    assert min(kept_vals) >= dropped_max
+    assert list(got)[-1] == "value"
+
+
+def test_compact_line_small_dict_is_untouched():
+    timings = {"a": 1.0, "b": 2.0}
+    got = json.loads(compact_summary_line(timings, 3.0, 10.0, None, 0.001))
+    assert "queries_truncated" not in got
+    assert got["queries"] == timings
