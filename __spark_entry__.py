@@ -1733,7 +1733,12 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _md5_perm_sigs(spark: SparkSession, sf_dir: str, num_perm: int = 16) -> DataFrame:
+def _md5_perm_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 16,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, perm, sig) MinHash signature table with md5-keyed
     permutations: perm i's hash of a distinct 3-word shingle is
     md5('i:'||shingle), the signature is the per-perm minimum.  DuckDB
@@ -1741,10 +1746,12 @@ def _md5_perm_sigs(spark: SparkSession, sf_dir: str, num_perm: int = 16) -> Data
     (estimator agreement, LSH banding) carries an EXACT oracle.  The
     production MinHash keeps its vectorized splitmix64 permutations
     (rows-only); this is the cross-engine-replayable twin that proves
-    the plumbing.  Caller persists/registers as needed."""
+    the plumbing.  Caller persists/registers as needed; ``docs``
+    overrides the documents table (deterministic-injection callers)."""
     from marker_spark.ops.text import word_shingles_expr, words_col
 
-    docs = _read(spark, sf_dir, "documents")
+    if docs is None:
+        docs = _read(spark, sf_dir, "documents")
     words = words_col(F.col("text"))
     src = docs.select(F.col("doc_id"), words.alias("__w")).where(F.size("__w") >= 3)
     sh = src.select(
@@ -1933,6 +1940,79 @@ def q_incremental_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
         .limit(50)
+    )
+
+
+def q_band_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance (r10) — the dedup-index analogue of the
+    reference cache's maybe_age (/root/reference/markercache.cpp:203):
+    build the corpus band index (old docs, doc_id % 4 != 0, same md5
+    band recipe as `incremental_dedup`), RETAIN doc_id % 3 != 1, and
+    reclaim buckets whose retained size exceeds the cap into (band_id,
+    band_hash, frozen_sz) tombstones
+    (:func:`marker_spark.ops.dedup.compact_band_index`).  Output is the
+    per-bucket summary: surviving buckets with their row counts,
+    tombstoned buckets with their frozen sizes — fully SQL-expressible,
+    full DuckDB oracle verbatim in tests/test_retired_oracles.py
+    (driver window full at 50/50; pair-equivalence after compaction is
+    pinned in tests/test_incremental_dedup.py).
+
+    The fixture has no natural bucket above the cap (max retained
+    bucket 3 at sf0.01), so the reclaim path gets a deterministic
+    injection (the pii_redaction pattern, CLAUDE.md r6): every
+    doc_id % 5 == 0 doc's text is replaced by one fixed sentence —
+    those docs share every shingle, collapse into single band buckets
+    of ~N/10 retained rows, and exercise the tombstone path at every
+    sf."""
+    from marker_spark.cacheutil import register
+    from marker_spark.ops.dedup import compact_band_index
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("the quick brown fox jumps over the lazy dog again and again"),
+        ).otherwise(F.col("text")),
+    )
+    sigs = _md5_perm_sigs(spark, sf_dir, docs=docs)
+    bands = register(
+        sigs.groupBy("doc_id", F.expr("perm div 4").alias("band_id"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+        .persist()
+    )
+    index = bands.where(F.col("doc_id") % 4 != 0)
+    keep = index.select("doc_id").where(F.col("doc_id") % 3 != 1).distinct()
+    compacted, frozen = compact_band_index(index, keep, max_bucket=4)
+    surviving = compacted.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).withColumn("frozen_sz", F.lit(0).cast("long"))
+    tombstones = frozen.select(
+        "band_id", "band_hash",
+        F.lit(0).cast("long").alias("n_rows"),
+        F.col("frozen_sz").cast("long"),
+    )
+    return (
+        surviving.unionByName(tombstones)
+        .select(
+            F.col("band_id").cast("int").alias("band_id"),
+            "band_hash",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "frozen_sz",
+        )
+        .orderBy(
+            F.desc("frozen_sz"), F.desc("n_rows"), "band_id", "band_hash"
+        )
+        .limit(100)
     )
 
 
@@ -2491,6 +2571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — the md5 oracle recipe pays a 16x replay explode the
         # production kernel doesn't)
         "incremental_dedup_fast": q_incremental_dedup_fast,
+        # r10: band-index retention + degenerate-bucket reclaim (the
+        # maybe_age of the dedup index) — full DuckDB oracle verbatim
+        # in tests/test_retired_oracles.py
+        "band_index_compaction": q_band_index_compaction,
         # oracles RETIRED round 10 to free driver-window slots for the
         # five promoted r9 operators — each is subsumed by a stricter
         # or kernel-identical sibling still in the window (see the

@@ -285,3 +285,40 @@ def test_canonical_selection_single_window_no_self_join(spark):
     assert plan.count("Window") >= 1
     # the operator itself adds no join (its input here is a local scan)
     assert "Join" not in plan
+
+
+def test_compaction_reclaim_and_frozen_fold_stay_broadcast(spark):
+    """compact_band_index's degenerate-bucket anti-join and the frozen
+    fold inside the cap check must both BROADCAST their bounded side
+    (O(degenerate buckets) rows) — the full index never shuffles for
+    either, which is what makes the maintenance pass a map-side rewrite
+    at 100 TB."""
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.dedup import (
+        compact_band_index,
+        incremental_pairs_from_bands,
+    )
+
+    index = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        (F.col("id") % 20).alias("band_hash"),
+    )
+    keep = spark.range(150).select(F.col("id").alias("doc_id"))
+    compacted, frozen = compact_band_index(index, keep, max_bucket=5)
+    plan = _plan(compacted)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    nb = spark.range(300, 310).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        (F.col("id") % 20).alias("band_hash"),
+    )
+    pairs = incremental_pairs_from_bands(
+        compacted, nb, max_bucket=5, frozen=frozen
+    )
+    plan2 = _plan(pairs)
+    # the frozen join inside the `ok` bucket filter is a broadcast —
+    # no sort-merge anywhere in the cap machinery
+    assert "SortMergeJoin" not in plan2
+    release_all()

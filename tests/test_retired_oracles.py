@@ -308,7 +308,57 @@ _CORPUS_PREP = """
         """
 
 
+# NEW round 10 (never window-eligible — the window is full at 50/50):
+# band-index retention + degenerate-bucket reclaim.  Same md5 banding
+# spine as the (now window-certified) incremental_dedup oracle; the
+# compaction rule itself is a semi-join + group sizes + an anti-join,
+# replayed here as an independent SQL derivation.  Pair-set
+# equivalence after compaction (the load-bearing contract) is pinned
+# on production signatures in tests/test_incremental_dedup.py.
+_BAND_INDEX_COMPACTION = """
+    WITH d AS (
+        -- deterministic hot-group injection (no natural bucket exceeds
+        -- the cap in the fixture): doc_id % 5 == 0 docs share one text
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'the quick brown fox jumps over the lazy dog again and again'
+                    ELSE text END AS text
+        FROM documents
+    ), w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM d
+        WHERE CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 3
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[CAST(t.i AS INT):CAST(t.i AS INT) + 2], ' ') AS sh
+        FROM w CROSS JOIN UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+    ), perms AS (
+        SELECT doc_id, p.perm,
+               md5(CAST(p.perm AS VARCHAR) || ':' || sh) AS h
+        FROM sh CROSS JOIN UNNEST(generate_series(0, 15)) AS p(perm)
+    ), sigs AS (
+        SELECT doc_id, perm, MIN(h) AS sig
+        FROM perms GROUP BY doc_id, perm
+    ), bands AS (
+        SELECT doc_id, perm // 4 AS band_id,
+               md5(string_agg(sig, '|' ORDER BY perm)) AS band_hash
+        FROM sigs GROUP BY 1, 2
+    ), ret AS (
+        SELECT * FROM bands WHERE doc_id % 4 != 0 AND doc_id % 3 != 1
+    ), sizes AS (
+        SELECT band_id, band_hash, COUNT(*) AS n FROM ret GROUP BY 1, 2
+    )
+    SELECT CAST(band_id AS INT) AS band_id, band_hash,
+           CAST(CASE WHEN n <= 4 THEN n ELSE 0 END AS BIGINT) AS n_rows,
+           CAST(CASE WHEN n > 4 THEN n ELSE 0 END AS BIGINT) AS frozen_sz
+    FROM sizes
+    ORDER BY frozen_sz DESC, n_rows DESC, band_id, band_hash
+    LIMIT 100
+"""
+
 RETIRED = {
+    "band_index_compaction": _BAND_INDEX_COMPACTION,
     "duplicated_token_spans": _DUPLICATED_TOKEN_SPANS,
     "sample_stratified": _SAMPLE_STRATIFIED,
     "span_removal": _SPAN_REMOVAL,
