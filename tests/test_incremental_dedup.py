@@ -445,3 +445,111 @@ def test_incremental_dedup_job_bucketed_with_corpus(spark, tmp_path, capsys):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
     release_all()
+
+
+@pytest.mark.parametrize("seed,cap", [(11, 1), (12, 2), (13, 3), (14, 5)])
+def test_compaction_equivalence_randomized(spark, seed, cap):
+    """Seeded-random matrix for the compaction contract: arbitrary
+    band tables, arbitrary retention, arbitrary cap — pairs against
+    (compacted, frozen) must equal pairs against the fresh retained
+    index in every configuration (the synthetic test pins the three
+    named fates; this sweeps the space)."""
+    import numpy as np
+
+    from marker_spark.ops.dedup import compact_band_index
+
+    rng = np.random.default_rng(seed)
+    n_idx, n_new, n_buckets = 120, 25, 12
+    idx_rows = [
+        (int(d), int(b % 2), int(b))
+        for d, b in zip(rng.integers(0, 80, n_idx),
+                        rng.integers(0, n_buckets, n_idx))
+    ]
+    # drop duplicate (doc, band_id, band_hash) rows — a real band table
+    # has one row per (doc, band)
+    idx_rows = sorted(set(idx_rows))
+    new_rows = sorted(set(
+        (int(d) + 1000, int(b % 2), int(b))
+        for d, b in zip(rng.integers(0, 20, n_new),
+                        rng.integers(0, n_buckets, n_new))
+    ))
+    keep_ids = [int(d) for d in rng.choice(80, size=50, replace=False)]
+
+    index = spark.createDataFrame(
+        idx_rows, "doc_id long, band_id int, band_hash long"
+    )
+    nb = spark.createDataFrame(
+        new_rows, "doc_id long, band_id int, band_hash long"
+    )
+    keep = spark.createDataFrame([(d,) for d in keep_ids], "doc_id long")
+
+    compacted, frozen = compact_band_index(index, keep, max_bucket=cap)
+    fresh = index.join(keep, "doc_id", "left_semi")
+    got = _pairs_set(
+        incremental_pairs_from_bands(compacted, nb, max_bucket=cap, frozen=frozen)
+    )
+    want = _pairs_set(incremental_pairs_from_bands(fresh, nb, max_bucket=cap))
+    assert got == want
+    release_all()
+
+
+def test_double_compaction_is_conservative_only_on_frozen_buckets(spark):
+    """Documented repeated-compaction semantics: a bucket frozen in
+    pass 1 NEVER resurrects (its per-doc rows are gone — the tombstone
+    must keep it capped even if pass-2 retention would have shrunk it
+    under the cap), while every un-frozen bucket behaves exactly like a
+    fresh index of the final retained set."""
+    from pyspark.sql import functions as F2
+
+    from marker_spark.ops.dedup import compact_band_index
+
+    cap = 2
+    # bucket H (0,1): docs 1-4 -> frozen in pass 1 (4 > 2).  pass-2
+    # retention keeps only docs 1-2 of it: a FRESH index would have
+    # size 2 <= cap and emit pairs; the tombstone keeps it capped.
+    # bucket U (0,2): docs 5-8 -> also over cap in pass 1? size 4 -> to
+    # keep it un-frozen in pass 1, retain only 5,6 in pass 1 (size 2).
+    idx_rows = [(d, 0, 1) for d in (1, 2, 3, 4)] + [(d, 0, 2) for d in (5, 6, 7, 8)]
+    index = spark.createDataFrame(idx_rows, "doc_id long, band_id int, band_hash long")
+
+    keep1 = spark.createDataFrame(
+        [(d,) for d in (1, 2, 3, 4, 5, 6)], "doc_id long"
+    )
+    c1, f1 = compact_band_index(index, keep1, max_bucket=cap)
+    # pass 1: bucket H retained size 4 > 2 -> frozen; bucket U size 2 -> kept
+    assert {(r["band_hash"], r["frozen_sz"]) for r in f1.collect()} == {(1, 4)}
+
+    keep2 = spark.createDataFrame([(d,) for d in (1, 2, 5, 6)], "doc_id long")
+    c2, f2 = compact_band_index(c1, keep2, max_bucket=cap)
+    # merge tombstones the way the job does (sum per bucket)
+    frozen = (
+        f1.unionByName(f2)
+        .groupBy("band_id", "band_hash")
+        .agg(F2.sum("frozen_sz").alias("frozen_sz"))
+    )
+
+    nb = spark.createDataFrame(
+        [(100, 0, 1), (101, 0, 2)], "doc_id long, band_id int, band_hash long"
+    )
+    got = _pairs_set(
+        incremental_pairs_from_bands(c2, nb, max_bucket=cap, frozen=frozen)
+    )
+    # fresh index of the FINAL retained set would emit (1,100),(2,100)
+    # from bucket H (size 2+1 > cap... no: joint 2+1=3 > 2 -> capped
+    # there too) — choose cap so fresh WOULD emit: with cap 3 fresh
+    # emits H pairs; the tombstone (frozen_sz 4) keeps H capped.
+    got3 = _pairs_set(
+        incremental_pairs_from_bands(c2, nb, max_bucket=3, frozen=frozen)
+    )
+    fresh_final = index.join(keep2, "doc_id", "left_semi")
+    want3 = _pairs_set(incremental_pairs_from_bands(fresh_final, nb, max_bucket=3))
+    # bucket U (never frozen) matches fresh exactly in both
+    assert {p for p in got3 if 101 in p} == {p for p in want3 if 101 in p}
+    # bucket H: fresh resurrects it, the tombstone conservatively keeps
+    # it capped — the DOCUMENTED divergence of repeated compaction
+    assert {p for p in want3 if 100 in p} == {(1, 100), (2, 100)}
+    assert {p for p in got3 if 100 in p} == set()
+    # at the original cap both agree (H capped either way)
+    want = _pairs_set(incremental_pairs_from_bands(fresh_final, nb, max_bucket=cap))
+    assert got == want
+    release_all()
