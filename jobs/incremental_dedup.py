@@ -55,20 +55,34 @@ import argparse
 import json
 import time
 
-INDEX_TABLE = "lsh_band_index"
 INDEX_SCHEMA = "doc_id BIGINT, band_id INT, band_hash BIGINT"
 
 
-def _register_bucketed_index(spark, location: str, n_buckets: int) -> None:
-    """(Re-)declare the bucketed external index table on its location.
-    Idempotent per session and across sessions: the catalog entry dies
-    with the session, the bucket layout lives in the files."""
+def _index_table_name(location: str) -> str:
+    """Catalog name KEYED BY the index location: ``CREATE TABLE IF NOT
+    EXISTS`` silently ignores a LOCATION mismatch, so a fixed name
+    would let a second corpus's --bucketed run in the same session
+    read, and append into, the FIRST corpus's files (r10 review).
+    Same path -> same name preserves the cross-session recipe."""
+    import hashlib
+
+    digest = hashlib.md5(location.rstrip("/").encode()).hexdigest()[:10]
+    return f"lsh_band_index_{digest}"
+
+
+def _register_bucketed_index(spark, location: str, n_buckets: int) -> str:
+    """(Re-)declare the bucketed external index table on its location
+    and return its (location-derived) catalog name.  Idempotent per
+    session and across sessions: the catalog entry dies with the
+    session, the bucket layout lives in the files."""
+    table = _index_table_name(location)
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {INDEX_TABLE} ({INDEX_SCHEMA}) "
+        f"CREATE TABLE IF NOT EXISTS {table} ({INDEX_SCHEMA}) "
         f"USING parquet CLUSTERED BY (band_id, band_hash) "
         f"SORTED BY (band_id, band_hash) INTO {n_buckets} BUCKETS "
         f"LOCATION '{location}'"
     )
+    return table
 
 
 def _frozen_path(index: str) -> str:
@@ -136,11 +150,12 @@ def main(argv: list[str] | None = None) -> None:
     sigs = minhash_signatures(batch, num_perm=num_perm)
 
     fresh = not path_exists(spark, args.index)
+    table = _index_table_name(args.index) if args.bucketed else None
     if args.bucketed:
         _register_bucketed_index(spark, args.index, args.n_buckets)
         # an empty just-created table reads as an empty index — the
         # first batch's pairs are simply its within-batch candidates
-        index = spark.read.table(INDEX_TABLE)
+        index = spark.read.table(table)
     elif fresh:
         index = spark.createDataFrame(
             [], "doc_id long, band_id int, band_hash long"
@@ -170,14 +185,34 @@ def main(argv: list[str] | None = None) -> None:
             .unionByName(batch.select("doc_id", "text"))
             .dropDuplicates(["doc_id"])
         )
-        out = ngram_jaccard_for_pairs(pairs, texts).where(
+        # a band can outlive its text (the retention window before the
+        # next --compact pass): a pair touching a doc missing from the
+        # corpus store ships UNVERIFIED with jaccard = NULL — the
+        # verify join must never silently drop it (r10 review)
+        text_ids = texts.select("doc_id").distinct()
+        covered = (
+            pairs.join(text_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+            .join(text_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+            # a USING semi-join moves its key FIRST — restore (id_a,
+            # id_b) or the positional exceptAll below matches nothing
+            # and every pair ships twice (r10 review follow-up)
+            .select("id_a", "id_b")
+        )
+        uncovered = pairs.exceptAll(covered)
+        out = ngram_jaccard_for_pairs(covered, texts).where(
             f"jaccard >= {args.jaccard}"
+        ).unionByName(
+            uncovered.selectExpr("id_a", "id_b", "CAST(NULL AS DOUBLE) AS jaccard")
         )
     else:
         batch_ids = batch.selectExpr("doc_id").distinct()
         within = (
             pairs.join(batch_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
             .join(batch_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+            # same column-order restore: without it the positional
+            # exceptAll emitted every within-batch pair TWICE (verified
+            # + a phantom NULL "cross" row) — latent since r9
+            .select("id_a", "id_b")
         )
         cross = pairs.exceptAll(within)
         verified = ngram_jaccard_for_pairs(within, batch).where(
@@ -200,7 +235,7 @@ def main(argv: list[str] | None = None) -> None:
                     F.col("band_hash").cast("long"),
                 )
                 .write.mode("append")
-                .insertInto(INDEX_TABLE)
+                .insertInto(table)
             )
         else:
             # plain append (creates the directory on the first batch) —
@@ -235,8 +270,8 @@ def _run_compact(spark, args, t0) -> None:
 
     keep = spark.read.parquet(args.keep).select("doc_id")
     if args.bucketed:
-        _register_bucketed_index(spark, args.index, args.n_buckets)
-        index = spark.read.table(INDEX_TABLE)
+        table = _register_bucketed_index(spark, args.index, args.n_buckets)
+        index = spark.read.table(table)
     else:
         index = spark.read.parquet(args.index)
     n_before = index.count()
@@ -257,9 +292,24 @@ def _run_compact(spark, args, t0) -> None:
         (r["band_id"], r["band_hash"], r["frozen_sz"]) for r in frozen.collect()
     ]
 
+    # a streaming index is hive-partitioned by __batch_id
+    # (streaming_incremental_dedup's dynamic-overwrite writes) — the
+    # rewrite must PRESERVE that layout or the next micro-batch's
+    # partitioned write collides with flat files (r10 review)
+    part_cols = [c for c in index.columns if c == "__batch_id"]
     tmp = args.index.rstrip("/") + "__compact_tmp"
-    compacted.write.mode("overwrite").parquet(tmp)
+    w = compacted.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
     staged = spark.read.parquet(tmp)
+    # tombstones FIRST: a crash between the two writes then only
+    # double-counts reclaimed buckets (conservative — they stay
+    # capped); index-first would leave them permanently UN-capped
+    # (r10 review)
+    spark.createDataFrame(
+        frozen_rows, "band_id int, band_hash long, frozen_sz long"
+    ).write.mode("overwrite").parquet(fz_path)
     if args.bucketed:
         (
             staged.select(
@@ -268,15 +318,15 @@ def _run_compact(spark, args, t0) -> None:
                 F.col("band_hash").cast("long"),
             )
             .write.mode("overwrite")
-            .insertInto(INDEX_TABLE, overwrite=True)
+            .insertInto(table, overwrite=True)
         )
     else:
-        staged.write.mode("overwrite").parquet(args.index)
+        w = staged.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(args.index)
     n_after = staged.count()
     delete_path(spark, tmp)
-    spark.createDataFrame(
-        frozen_rows, "band_id int, band_hash long, frozen_sz long"
-    ).write.mode("overwrite").parquet(fz_path)
     release_all()
     print(json.dumps({
         "mode": "compact",

@@ -440,14 +440,14 @@ def stateful_column_profile(
     qs = [float(q) for q in quantiles]
     prepped = stream_df.select(
         F.col(key_col).alias("__k"),
-        # xxhash64(NULL) is the SEED (42), not NULL — mask explicitly so
-        # the update's dropna actually drops NULL rows; otherwise every
-        # NULL injects a constant 42 into the HLL and Misra-Gries,
-        # diverging from the batch profiler's isNotNull filter (_melt)
-        F.when(
-            F.col(value_col).isNotNull(),
-            F.xxhash64(F.col(value_col).cast("string")),
-        ).alias("__h"),
+        # xxhash64(NULL) is the SEED (42), not NULL, so NULL rows must
+        # be excluded — but NOT by making this column nullable: a
+        # nullable int64 arrives in pandas as float64 and the 53-bit
+        # mantissa silently corrupts the low bits of every OTHER hash
+        # in any chunk containing a NULL (r10 review, verified live).
+        # Keep the hash unconditional (non-null int64 stays exact) and
+        # filter by __isnull inside the update instead.
+        F.xxhash64(F.col(value_col).cast("string")).alias("__h"),
         F.col(value_col).cast("double").alias("__num"),
         F.col(value_col).isNull().cast("long").alias("__isnull"),
     )
@@ -464,7 +464,10 @@ def stateful_column_profile(
         for pdf in pdf_iter:
             n += len(pdf)
             n_null += int(pdf["__isnull"].sum())
-            hs = pdf["__h"].dropna()
+            # exclude NULL rows via the flag, matching the batch
+            # profiler's isNotNull filter (_melt) — never via a
+            # nullable hash column (float64 corruption, see prepped)
+            hs = pdf.loc[pdf["__isnull"] == 0, "__h"]
             if len(hs):
                 sk.update_hashes(hs.to_numpy(dtype="int64"))
             nums = pdf["__num"].dropna()

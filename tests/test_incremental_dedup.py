@@ -377,6 +377,11 @@ def test_incremental_dedup_job_two_batches(spark, tmp_path, capsys):
     # (identical text -> identical signature -> all bands collide)
     cross = pairs1.where(F.col("jaccard").isNull())
     assert cross.where(F.col("id_b") >= 1_000_000).count() >= 1
+    # and NO pair ships twice: the within/cross split's exceptAll is
+    # positional, and the USING semi-join reorders columns — a latent
+    # r9 bug emitted every within-batch pair a second time as a
+    # phantom NULL-jaccard "cross" row (r10 review follow-up)
+    assert pairs1.groupBy("id_a", "id_b").count().where("count > 1").count() == 0
 
 
 def test_incremental_dedup_job_bucketed_with_corpus(spark, tmp_path, capsys):
@@ -389,7 +394,7 @@ def test_incremental_dedup_job_bucketed_with_corpus(spark, tmp_path, capsys):
     with real Jaccard instead of NULL."""
     import json
 
-    from jobs.incremental_dedup import INDEX_TABLE, main
+    from jobs.incremental_dedup import _index_table_name, main
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     day0 = str(tmp_path / "day0.parquet")
@@ -407,6 +412,7 @@ def test_incremental_dedup_job_bucketed_with_corpus(spark, tmp_path, capsys):
     index = str(tmp_path / "lsh_index_bucketed")
     out0 = str(tmp_path / "pairs0")
     out1 = str(tmp_path / "pairs1")
+    INDEX_TABLE = _index_table_name(index)
     spark.sql(f"DROP TABLE IF EXISTS {INDEX_TABLE}")
     try:
         main(["--input", day0, "--index", index, "--pairs-out", out0,
@@ -552,4 +558,80 @@ def test_double_compaction_is_conservative_only_on_frozen_buckets(spark):
     # at the original cap both agree (H capped either way)
     want = _pairs_set(incremental_pairs_from_bands(fresh_final, nb, max_bucket=cap))
     assert got == want
+    release_all()
+
+
+def test_job_corpus_gap_ships_null_not_dropped(spark, tmp_path, capsys):
+    """A band can outlive its text (the window between retention and
+    the next --compact): a cross-batch pair whose old doc is MISSING
+    from --corpus must ship with jaccard = NULL, never vanish (r10
+    review #3)."""
+    from jobs.incremental_dedup import main
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.where((F.col("doc_id") % 4 != 0) & (F.length("text") > 50))
+    src = base.orderBy("doc_id").limit(1)
+    day0 = str(tmp_path / "day0.parquet")
+    base.select("doc_id", "text").write.parquet(day0)
+    clone = src.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    day1 = str(tmp_path / "day1.parquet")
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text") \
+        .unionByName(clone).write.parquet(day1)
+    # corpus store MISSING the clone's source doc
+    src_id = src.collect()[0]["doc_id"]
+    corpus = str(tmp_path / "corpus.parquet")
+    base.where(F.col("doc_id") != src_id).select("doc_id", "text") \
+        .write.parquet(corpus)
+
+    index = str(tmp_path / "idx")
+    out0, out1 = str(tmp_path / "p0"), str(tmp_path / "p1")
+    main(["--input", day0, "--index", index, "--pairs-out", out0])
+    main(["--input", day1, "--index", index, "--pairs-out", out1,
+          "--corpus", corpus])
+    capsys.readouterr()
+    hit = spark.read.parquet(out1).where(
+        (F.col("id_a") == src_id) & (F.col("id_b") == src_id + 1_000_000)
+    ).collect()
+    assert len(hit) == 1 and hit[0]["jaccard"] is None
+    release_all()
+
+
+def test_job_compact_preserves_streaming_batch_partitions(spark, tmp_path, capsys):
+    """--compact on a streaming_incremental_dedup index (hive-
+    partitioned by __batch_id) must preserve the partition layout —
+    a flat rewrite would collide with the next micro-batch's
+    partitionBy write (r10 review #4)."""
+    import json
+    import os
+
+    from jobs.incremental_dedup import main
+
+    index = str(tmp_path / "stream_idx")
+    rows = [(d, 0, d % 5, d % 3) for d in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_hash long, __batch_id int"
+    )
+    df.write.partitionBy("__batch_id").parquet(index)
+
+    keep = str(tmp_path / "keep.parquet")
+    spark.createDataFrame(
+        [(d,) for d in range(0, 60, 2)], "doc_id long"
+    ).write.parquet(keep)
+    main(["--compact", "--keep", keep, "--index", index, "--max-bucket", "200"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_after"] == 30
+    # partition layout survived: __batch_id=N dirs, rediscovered column
+    assert any(e.startswith("__batch_id=") for e in os.listdir(index))
+    re_read = spark.read.parquet(index)
+    assert "__batch_id" in re_read.columns and re_read.count() == 30
+    # the next micro-batch's dynamic-overwrite partitioned write works
+    nxt = spark.createDataFrame(
+        [(100, 0, 1, 7)], "doc_id long, band_id int, band_hash long, __batch_id int"
+    )
+    (
+        nxt.write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(index)
+    )
+    assert spark.read.parquet(index).count() == 31
     release_all()
