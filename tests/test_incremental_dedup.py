@@ -635,3 +635,70 @@ def test_job_compact_preserves_streaming_batch_partitions(spark, tmp_path, capsy
     )
     assert spark.read.parquet(index).count() == 31
     release_all()
+
+
+def test_job_compact_bucketed_roundtrip(spark, tmp_path, capsys):
+    """--compact --bucketed: INSERT OVERWRITE on the bucketed index
+    table must keep the bucket layout AND the compaction semantics —
+    the next bucketed dedup run matches a fresh retained index."""
+    import json
+
+    from jobs.incremental_dedup import _index_table_name, main
+    from marker_spark.ops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    day0_df = docs.where(F.col("doc_id") % 4 != 0).select("doc_id", "text")
+    day0 = str(tmp_path / "day0.parquet")
+    day0_df.write.parquet(day0)
+    day1 = str(tmp_path / "day1.parquet")
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text").write.parquet(day1)
+
+    index = str(tmp_path / "bidx")
+    table = _index_table_name(index)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        main(["--input", day0, "--index", index, "--pairs-out",
+              str(tmp_path / "p0"), "--bucketed", "--n-buckets", "4"])
+        capsys.readouterr()
+        rows0 = spark.read.table(table).count()
+
+        keep_df = day0_df.select("doc_id").where(F.col("doc_id") % 3 != 1)
+        keep = str(tmp_path / "keep.parquet")
+        keep_df.write.parquet(keep)
+        main(["--compact", "--keep", keep, "--index", index,
+              "--bucketed", "--n-buckets", "4", "--max-bucket", "200"])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows_after"] < rows0 == rep["rows_before"]
+        # the rewritten table still scans bucketed
+        idx = spark.read.table(table)
+        plan = (
+            idx.hint("merge")
+            .join(idx.limit(5).select("band_id", "band_hash").distinct(),
+                  ["band_id", "band_hash"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan
+
+        # next batch over the compacted bucketed index == fresh retained
+        main(["--input", day1, "--index", index, "--pairs-out",
+              str(tmp_path / "p1"), "--bucketed", "--n-buckets", "4",
+              "--max-bucket", "200", "--no-append"])
+        capsys.readouterr()
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(str(tmp_path / "p1")).collect()
+        }
+        fresh_index = lsh_band_table(
+            minhash_signatures(day0_df.join(keep_df, "doc_id", "left_semi")),
+            bands=32, rows_per_band=4,
+        )
+        new_sigs = minhash_signatures(spark.read.parquet(day1))
+        want_pairs, _ = incremental_lsh_pairs(fresh_index, new_sigs, max_bucket=200)
+        want = _pairs_set(want_pairs)
+        new_ids = {r["doc_id"] for r in new_sigs.select("doc_id").collect()}
+        want_cross = {p for p in want if (p[0] in new_ids) != (p[1] in new_ids)}
+        got_cross = {p for p in got if (p[0] in new_ids) != (p[1] in new_ids)}
+        assert got_cross == want_cross
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    release_all()
