@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> None:
                          "reclaim instead of a dedup batch")
     ap.add_argument("--keep", default=None,
                     help="parquet of doc_id to RETAIN (required with --compact)")
+    ap.add_argument("--rebuild", action="store_true",
+                    help="maintenance mode: re-band the corpus text store "
+                         "(--corpus required) from scratch, overwrite the "
+                         "index, and CLEAR the frozen tombstones — the only "
+                         "way a frozen bucket resurrects")
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--rows-per-band", type=int, default=4)
     ap.add_argument("--max-bucket", type=int, default=200)
@@ -142,8 +147,14 @@ def main(argv: list[str] | None = None) -> None:
             ap.error("--compact requires --keep")
         _run_compact(spark, args, t0)
         return
+    if args.rebuild:
+        if not args.corpus:
+            ap.error("--rebuild requires --corpus (the text store to re-band)")
+        _run_rebuild(spark, args, t0)
+        return
     if not args.input or not args.pairs_out:
-        ap.error("--input and --pairs-out are required unless --compact")
+        ap.error("--input and --pairs-out are required unless "
+                 "--compact/--rebuild")
 
     num_perm = args.bands * args.rows_per_band
     batch = spark.read.parquet(args.input)
@@ -335,6 +346,50 @@ def _run_compact(spark, args, t0) -> None:
         "rows_before": n_before,
         "rows_after": n_after,
         "frozen_buckets": len(frozen_rows),
+        "secs": round(time.monotonic() - t0, 2),
+    }))
+
+
+def _run_rebuild(spark, args, t0) -> None:
+    """Re-band the corpus text store from scratch and clear every
+    tombstone — the escape hatch from --compact's conservatism (a
+    frozen bucket never resurrects otherwise).  The new bands derive
+    from --corpus, not from the old index, so the overwrite needs no
+    staging; the tombstone clear comes LAST (crash before it leaves
+    the old tombstones alongside the fresh index — conservative, same
+    direction as --compact's write order)."""
+    from pyspark.sql import functions as F
+
+    from marker_spark.cacheutil import release_all
+    from marker_spark.ops.dedup import lsh_band_table, minhash_signatures
+    from marker_spark.tables import delete_path
+
+    corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
+    sigs = minhash_signatures(corpus, num_perm=args.bands * args.rows_per_band)
+    bands = lsh_band_table(sigs, bands=args.bands, rows_per_band=args.rows_per_band)
+    if args.bucketed:
+        table = _register_bucketed_index(spark, args.index, args.n_buckets)
+        (
+            bands.select(
+                F.col("doc_id").cast("long"),
+                F.col("band_id").cast("int"),
+                F.col("band_hash").cast("long"),
+            )
+            .write.mode("overwrite")
+            .insertInto(table, overwrite=True)
+        )
+        n_rows = spark.read.table(table).count()
+    else:
+        bands.write.mode("overwrite").parquet(args.index)
+        n_rows = spark.read.parquet(args.index).count()
+    cleared = delete_path(spark, _frozen_path(args.index))
+    release_all()
+    print(json.dumps({
+        "mode": "rebuild",
+        "index": args.index,
+        "bucketed": bool(args.bucketed),
+        "index_rows": n_rows,
+        "tombstones_cleared": bool(cleared),
         "secs": round(time.monotonic() - t0, 2),
     }))
 

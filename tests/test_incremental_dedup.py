@@ -702,3 +702,59 @@ def test_job_compact_bucketed_roundtrip(spark, tmp_path, capsys):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     release_all()
+
+
+def test_job_rebuild_clears_tombstones(spark, tmp_path, capsys):
+    """--rebuild re-bands the corpus store and clears the frozen
+    table — the only way a tombstoned bucket resurrects.  After a
+    compact pass that froze buckets, rebuild from the retained corpus
+    must leave zero tombstones and an index equal to banding the
+    corpus fresh."""
+    import json
+    import os
+
+    from jobs.incremental_dedup import _frozen_path, main
+    from marker_spark.ops.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.where((F.col("doc_id") % 4 != 0) & (F.length("text") > 50))
+    hot = (
+        base.orderBy("doc_id").limit(1)
+        .crossJoin(spark.range(5).withColumnRenamed("id", "k"))
+        .select((F.col("doc_id") * 10 + F.col("k") + 2_000_000).alias("doc_id"),
+                "text")
+    )
+    day0_df = base.select("doc_id", "text").unionByName(hot)
+    day0 = str(tmp_path / "day0.parquet")
+    day0_df.write.parquet(day0)
+
+    index = str(tmp_path / "idx")
+    main(["--input", day0, "--index", index, "--pairs-out",
+          str(tmp_path / "p0"), "--max-bucket", "6"])
+    keep_df = day0_df.select("doc_id").where(F.col("doc_id") % 10 != 3)
+    keep = str(tmp_path / "keep.parquet")
+    keep_df.write.parquet(keep)
+    main(["--compact", "--keep", keep, "--index", index, "--max-bucket", "4"])
+    capsys.readouterr()
+    assert os.path.exists(_frozen_path(index))
+
+    corpus = str(tmp_path / "corpus.parquet")
+    day0_df.join(keep_df, "doc_id", "left_semi").write.parquet(corpus)
+    main(["--rebuild", "--corpus", corpus, "--index", index])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "rebuild" and rep["tombstones_cleared"] is True
+    assert not os.path.exists(_frozen_path(index))
+    # rows == banding the retained corpus fresh (32 bands per doc with
+    # >= 3 words; empty/short docs band to nothing)
+    n_banded = minhash_signatures(
+        spark.read.parquet(corpus)
+    ).select("doc_id").distinct().count()
+    assert rep["index_rows"] == n_banded * 32
+    # the next dedup run sees zero tombstones
+    day1 = str(tmp_path / "day1.parquet")
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text").write.parquet(day1)
+    main(["--input", day1, "--index", index, "--pairs-out",
+          str(tmp_path / "p1"), "--no-append"])
+    rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep1["frozen_buckets"] == 0
+    release_all()
