@@ -89,6 +89,20 @@ def _frozen_path(index: str) -> str:
     return index.rstrip("/") + "__frozen"
 
 
+def _pairs_with_both_ids_in(pairs, ids_df):
+    """Pairs whose BOTH sides appear in ``ids_df.doc_id`` — shared by
+    the --corpus and no-corpus verify splits.  The trailing select is
+    load-bearing: a USING semi-join moves its key FIRST, and the
+    positional ``exceptAll`` downstream would then match nothing and
+    ship every pair twice (r10 review follow-up)."""
+    ids = ids_df.selectExpr("doc_id").distinct()
+    return (
+        pairs.join(ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="new batch parquet (doc_id, text); "
@@ -127,7 +141,7 @@ def main(argv: list[str] | None = None) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from marker_spark.cacheutil import release_all
+    from marker_spark.cacheutil import register, release_all
     from marker_spark.ops.dedup import (
         incremental_lsh_pairs,
         minhash_signatures,
@@ -161,9 +175,9 @@ def main(argv: list[str] | None = None) -> None:
     sigs = minhash_signatures(batch, num_perm=num_perm)
 
     fresh = not path_exists(spark, args.index)
-    table = _index_table_name(args.index) if args.bucketed else None
+    table = None
     if args.bucketed:
-        _register_bucketed_index(spark, args.index, args.n_buckets)
+        table = _register_bucketed_index(spark, args.index, args.n_buckets)
         # an empty just-created table reads as an empty index — the
         # first batch's pairs are simply its within-batch candidates
         index = spark.read.table(table)
@@ -185,6 +199,10 @@ def main(argv: list[str] | None = None) -> None:
         bands=args.bands, rows_per_band=args.rows_per_band,
         max_bucket=args.max_bucket, frozen=frozen,
     )
+    # the verify split below gives the pair plan (index scan + cross
+    # join + self-join + distinct) THREE consumers — persist or the
+    # whole discovery subtree re-runs per consumer (r2 rule)
+    pairs = register(pairs.persist())
 
     # verification bounded by candidate pairs (never a discovery-shaped
     # self-join).  Text sources: the batch always; plus --corpus for the
@@ -200,15 +218,7 @@ def main(argv: list[str] | None = None) -> None:
         # next --compact pass): a pair touching a doc missing from the
         # corpus store ships UNVERIFIED with jaccard = NULL — the
         # verify join must never silently drop it (r10 review)
-        text_ids = texts.select("doc_id").distinct()
-        covered = (
-            pairs.join(text_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
-            .join(text_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-            # a USING semi-join moves its key FIRST — restore (id_a,
-            # id_b) or the positional exceptAll below matches nothing
-            # and every pair ships twice (r10 review follow-up)
-            .select("id_a", "id_b")
-        )
+        covered = _pairs_with_both_ids_in(pairs, texts.select("doc_id"))
         uncovered = pairs.exceptAll(covered)
         out = ngram_jaccard_for_pairs(covered, texts).where(
             f"jaccard >= {args.jaccard}"
@@ -216,15 +226,7 @@ def main(argv: list[str] | None = None) -> None:
             uncovered.selectExpr("id_a", "id_b", "CAST(NULL AS DOUBLE) AS jaccard")
         )
     else:
-        batch_ids = batch.selectExpr("doc_id").distinct()
-        within = (
-            pairs.join(batch_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_semi")
-            .join(batch_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
-            # same column-order restore: without it the positional
-            # exceptAll emitted every within-batch pair TWICE (verified
-            # + a phantom NULL "cross" row) — latent since r9
-            .select("id_a", "id_b")
-        )
+        within = _pairs_with_both_ids_in(pairs, batch.select("doc_id"))
         cross = pairs.exceptAll(within)
         verified = ngram_jaccard_for_pairs(within, batch).where(
             f"jaccard >= {args.jaccard}"
@@ -362,7 +364,7 @@ def _run_rebuild(spark, args, t0) -> None:
 
     from marker_spark.cacheutil import release_all
     from marker_spark.ops.dedup import lsh_band_table, minhash_signatures
-    from marker_spark.tables import delete_path
+    from marker_spark.tables import delete_path, path_exists
 
     corpus = spark.read.parquet(args.corpus).select("doc_id", "text")
     sigs = minhash_signatures(corpus, num_perm=args.bands * args.rows_per_band)
@@ -380,7 +382,24 @@ def _run_rebuild(spark, args, t0) -> None:
         )
         n_rows = spark.read.table(table).count()
     else:
-        bands.write.mode("overwrite").parquet(args.index)
+        # a streaming index is hive-partitioned by __batch_id — a flat
+        # rebuild would break the next micro-batch's partitioned
+        # dynamic-overwrite write AND its __batch_id self-exclusion
+        # read (r10 review follow-up).  Preserve the layout under the
+        # sentinel partition -1: real batch ids are >= 0, so the
+        # stream's `__batch_id != batch_id` filter always keeps it.
+        streaming_layout = path_exists(spark, args.index) and (
+            "__batch_id" in spark.read.parquet(args.index).columns
+        )
+        if streaming_layout:
+            (
+                bands.withColumn("__batch_id", F.lit(-1))
+                .write.partitionBy("__batch_id")
+                .mode("overwrite")
+                .parquet(args.index)
+            )
+        else:
+            bands.write.mode("overwrite").parquet(args.index)
         n_rows = spark.read.parquet(args.index).count()
     cleared = delete_path(spark, _frozen_path(args.index))
     release_all()

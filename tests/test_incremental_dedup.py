@@ -758,3 +758,45 @@ def test_job_rebuild_clears_tombstones(spark, tmp_path, capsys):
     rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep1["frozen_buckets"] == 0
     release_all()
+
+
+def test_job_rebuild_preserves_streaming_batch_partitions(spark, tmp_path, capsys):
+    """--rebuild on a streaming (__batch_id-partitioned) index must
+    keep the partition layout under the sentinel partition -1 — a flat
+    rebuild would break both the next micro-batch's partitioned write
+    and its __batch_id self-exclusion read (r10 review follow-up)."""
+    import json
+    import os
+
+    from jobs.incremental_dedup import main
+
+    index = str(tmp_path / "stream_idx")
+    spark.createDataFrame(
+        [(d, 0, d % 5, d % 2) for d in range(20)],
+        "doc_id long, band_id int, band_hash long, __batch_id int",
+    ).write.partitionBy("__batch_id").parquet(index)
+
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .where(F.col("doc_id") % 4 != 0).select("doc_id", "text") \
+        .write.parquet(corpus)
+    main(["--rebuild", "--corpus", corpus, "--index", index])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["mode"] == "rebuild"
+    assert any(e == "__batch_id=-1" for e in os.listdir(index))
+    re_read = spark.read.parquet(index)
+    assert "__batch_id" in re_read.columns
+    # the stream's self-exclusion filter keeps the sentinel partition
+    assert re_read.where(F.col("__batch_id") != F.lit(3)).count() == rep["index_rows"]
+    # and the next micro-batch's dynamic-overwrite partitioned write works
+    (
+        spark.createDataFrame(
+            [(999, 0, 1, 7)],
+            "doc_id long, band_id int, band_hash long, __batch_id int",
+        )
+        .write.partitionBy("__batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(index)
+    )
+    assert spark.read.parquet(index).count() == rep["index_rows"] + 1
+    release_all()
