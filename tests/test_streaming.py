@@ -768,3 +768,83 @@ def test_streaming_incremental_dedup_resumes_across_restart(spark, tmp_path):
         for r in lsh_candidate_pairs(sigs, bands=8, rows_per_band=4).collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_dedup_respects_frozen_tombstones(spark, tmp_path):
+    """The streaming twin folds an offline compaction pass's frozen
+    table into the joint cap check: a tombstoned bucket (size > cap,
+    rows reclaimed) emits NO pairs for arriving docs, while normal
+    buckets behave as if no compaction happened (r10 — the frozen_path
+    parameter was previously untested)."""
+    from marker_spark.streaming import streaming_incremental_dedup
+
+    cap = 4
+    index_path = str(tmp_path / "fz_index")
+    frozen_path = str(tmp_path / "fz_index__frozen")
+    pairs_path = str(tmp_path / "fz_pairs")
+    # compacted index: bucket (0,1) tombstoned at size 6 (rows gone);
+    # bucket (0,2) intact with 2 docs — written with the streaming
+    # layout under the SENTINEL partition -1 (a pre-seeded/rebuilt
+    # index must never use a real batch id: batch 0's self-exclusion
+    # filter would drop it)
+    spark.createDataFrame(
+        [(5, 0, 2, -1), (6, 0, 2, -1)],
+        "doc_id long, band_id int, band_hash long, __batch_id int",
+    ).write.partitionBy("__batch_id").parquet(index_path)
+    spark.createDataFrame(
+        [(0, 1, 6)], "band_id int, band_hash long, frozen_sz long"
+    ).write.parquet(frozen_path)
+
+    # exercise the PUBLIC path with real texts; the oracle below runs
+    # the library kernel over the same inputs + the same tombstones
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "fz_src"
+    d.mkdir()
+    docs.where(F.col("doc_id") % 4 == 0).select("doc_id", "text").toPandas() \
+        .to_parquet(d / "c0.parquet", index=False)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_incremental_dedup(
+                spark, index_path, pairs_path, bands=8, rows_per_band=4,
+                max_bucket=cap, frozen_path=frozen_path,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "fz_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs_path).select("id_a", "id_b").collect()
+    }
+    # equivalent batch rule: same increment vs the same index WITH the
+    # same tombstones through the library API
+    from marker_spark.ops.dedup import (
+        incremental_pairs_from_bands,
+        minhash_signatures,
+        lsh_band_table,
+    )
+
+    # the stream APPENDED its own bands (partition 0) after emitting
+    # pairs — the oracle must see only the pre-existing index (-1)
+    index = spark.read.parquet(index_path).where("__batch_id = -1") \
+        .drop("__batch_id")
+    frozen = spark.read.parquet(frozen_path)
+    nb = lsh_band_table(
+        minhash_signatures(
+            docs.where(F.col("doc_id") % 4 == 0), num_perm=32
+        ), bands=8, rows_per_band=4,
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_pairs_from_bands(
+            index, nb, max_bucket=cap, frozen=frozen
+        ).collect()
+    }
+    assert got == want
+    from marker_spark.cacheutil import release_all
+
+    release_all()
