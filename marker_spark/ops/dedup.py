@@ -768,19 +768,73 @@ def embedding_near_dup_lsh(
     """Corpus-scale embedding near-dup: random-hyperplane LSH buckets
     as the blocking key (cos >= 0.95 pairs agree on all 8 sign bits
     w.p. ~0.77 per plane set; same-bucket blocking bounds the quadratic
-    term by bucket size instead of label cardinality).  Composition of
-    :func:`marker_spark.ops.similarity.hyperplane_signatures` with the
-    blocked cosine join — the concrete form of the "LSH bucket at
-    scale" note on :func:`embedding_near_dup_pairs`."""
-    from .similarity import hyperplane_signatures
+    term by bucket size instead of label cardinality).
 
-    bucketed = register(
-        hyperplane_signatures(
-            df.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
-        ).persist()
+    Within-bucket pairs and their cosines come from ONE vectorized
+    numpy pass per bucket (groupBy(bucket).applyInPandas) instead of a
+    self-join whose per-pair cosine runs through interpreted Catalyst
+    higher-order functions.  The per-pair work is bucket_size-quadratic
+    either way; the constant differs by ~100x.  The fold order of the
+    dot/norm sums replicates the Catalyst ``aggregate`` left fold
+    exactly (column-at-a-time accumulation, not BLAS), so the raw
+    cosines are bit-identical to the join form's; rounding and the
+    threshold compare stay in Spark expressions.
+    """
+    from .similarity import hyperplane_signatures, _stack_embeddings
+
+    bucketed = hyperplane_signatures(
+        df.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
     )
-    return embedding_near_dup_pairs(
-        bucketed, vec_col=vec_col, id_col=id_col, block_col="bucket", threshold=threshold
+    # round(cos, 6) can raise a value by at most 5e-7, so pre-filtering
+    # raw cosines at threshold - 1e-6 never drops an output pair; the
+    # authoritative round + compare happen in Spark below, unchanged.
+    margin = threshold - 1e-6
+    _PAIR_CHUNK = 1 << 18  # bound per-task temp arrays (chunk x dim x 2 doubles)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _stack_embeddings(pdf[vec_col].iloc[order], dim)
+        # sequential left-fold, one column at a time: bit-identical to
+        # aggregate(zip_with(a, b, x*y), 0.0, acc + x) on cast doubles
+        nrm = np.zeros(n)
+        for j in range(dim):
+            nrm += mat[:, j] * mat[:, j]
+        nrm = np.sqrt(nrm)
+        iu, ju = np.triu_indices(n, 1)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for s in range(0, len(iu), _PAIR_CHUNK):
+            ii, jj = iu[s : s + _PAIR_CHUNK], ju[s : s + _PAIR_CHUNK]
+            left, right = mat[ii], mat[jj]
+            acc = np.zeros(len(ii))
+            for j in range(dim):
+                acc += left[:, j] * right[:, j]
+            cos = acc / (nrm[ii] * nrm[jj])
+            keep = cos >= margin  # NaN compares False: degenerate rows drop
+            out_a.append(ids[ii[keep]])
+            out_b.append(ids[jj[keep]])
+            out_c.append(cos[keep])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        _bucket_pairs, schema="id_a long, id_b long, cosine double"
+    )
+    return (
+        pairs.withColumn("cosine", F.round(F.col("cosine"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
