@@ -22,6 +22,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Conditional round-robin spread of a thin scan (the ops.dedup
+    ``_spread_for_explode`` guard, applied at entry level): fixture
+    parquet with one row group serializes every downstream stage that
+    inherits the scan partitioning through a persist.  No-op on
+    production-parallel scans; per-row/per-doc computations are
+    partition-independent, so results are unchanged."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -684,7 +697,7 @@ def q_corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # stage 1: Gopher filter (fixture word band, as q_gopher_quality)
     kept = register(
-        with_gopher_signals(docs)
+        with_gopher_signals(_spread(docs))
         .where(gopher_pass_col(min_words=30))
         .select("doc_id", "source", "text")
         .persist()
@@ -753,7 +766,7 @@ def q_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     aug = register(
-        docs.select(
+        _spread(docs).select(
             "doc_id",
             F.when(
                 F.col("doc_id") % 3 == 0,
@@ -2358,7 +2371,10 @@ def _cache_from_events(spark: SparkSession, sf_dir: str):
     day = 86_400
     t0 = 1_704_067_200
     params = CacheParams(duration=10 * day, lifespan=30 * day, fp=0.001, total_capacity=200_000)
-    ev = _read(spark, sf_dir, "events").withColumn(
+    # spread the thin fixture scan: the insert pass and the probe UDF
+    # would otherwise run on one task; Bloom inserts are OR-commutative,
+    # so the bucket states are byte-identical either way
+    ev = _spread(_read(spark, sf_dir, "events")).withColumn(
         "marker", F.concat_ws("|", F.col("event_id"), F.col("props"))
     )
     cache = SketchCache(params)

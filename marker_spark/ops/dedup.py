@@ -90,7 +90,13 @@ def _map_shingle_batches(
     import pyarrow as pa
 
     id_type = df.schema[id_col].dataType.simpleString()
-    src = df.select(F.col(id_col), _word_hash_col(text_col).alias("__wh"))
+    # spread BEFORE the per-word xxhash64 projection: on a single-row-
+    # group scan both the JVM word-hash pass and the Python shingle
+    # kernel would otherwise run on 1-2 tasks (per-doc outputs are
+    # batch-independent, so this is result-neutral)
+    src = _spread_for_explode(df).select(
+        F.col(id_col), _word_hash_col(text_col).alias("__wh")
+    )
 
     def batch_fn(batches):
         for batch in batches:
@@ -1232,29 +1238,34 @@ def _spans_from_grams(
 ) -> DataFrame:
     """(doc_id, pos, g) gram rows -> maximal shared spans: frequency
     cap, pair join on the gram, diagonal-run collapse.  Shared by the
-    char- and word-granularity front ends.  ``manage_persist=False``
-    means the caller already persisted/registered the gram table (the
-    shared-gram job path) and owns its lifetime."""
-    if manage_persist:
-        grams = register(
-            # both the frequency filter and the surviving-gram join
-            # consume this; persisting runs the explode once (locally:
-            # memory+disk; at corpus scale the same role is a
-            # materialized intermediate table — or recompute, the gram
-            # pass is CPU-cheap)
-            grams.persist()
+    char- and word-granularity front ends.  The raw gram table is
+    consumed in a single pass (the cap is a window filter, not an
+    agg + join-back), so ``manage_persist`` is now only a caller
+    contract marker: False means the caller persisted the gram table
+    for ITS other consumers (the shared-gram job path)."""
+    from pyspark.sql import Window
+
+    # Frequency cap and survivor filter fused into ONE exchange of the
+    # gram table: window aggregates over partitionBy(g) attach exact
+    # nd (max dense_rank over doc_id ordering == count distinct docs,
+    # no EXPAND) and nocc to every gram row, and the cap filters rows
+    # in place.  The former shape — groupBy agg to a keep-list, then a
+    # second gram-table shuffle to semi-join it back — moved the wide
+    # 24-char key through two exchanges and needed the raw gram table
+    # persisted for the two passes; this moves it through one and
+    # persists only the capped survivors (the a/b pair-join sides).
+    wg = Window.partitionBy("g")
+    wr = wg.orderBy("doc_id")
+    fg = (
+        grams.withColumn("__dr", F.dense_rank().over(wr))
+        .withColumn("__nd", F.max("__dr").over(wg))
+        .withColumn("__nocc", F.count(F.lit(1)).over(wg))
+        .where(
+            (F.col("__nd") >= 2) & (F.col("__nd") <= max_df) & (F.col("__nocc") <= max_occ)
         )
-    # two-level agg instead of countDistinct-alongside-count: the
-    # latter plans an EXPAND that doubles the gram rows pre-shuffle
-    keep = (
-        grams.groupBy("g", "doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("nd"), F.sum("c").alias("nocc"))
-        .where((F.col("nd") >= 2) & (F.col("nd") <= max_df) & (F.col("nocc") <= max_occ))
-        .select("g")
+        .select("doc_id", "pos", "g")
     )
-    fg = register(grams.join(keep, "g").persist())
+    fg = register(fg.persist())
     pairs = (
         fg.alias("a")
         .join(fg.alias("b"), "g")

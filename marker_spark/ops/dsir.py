@@ -77,10 +77,14 @@ def hashed_gram_buckets(
     which lets the weighting stage cover the whole population without a
     second corpus-sized stitch join (a NULL bucket never matches the
     ratio table's spine, so it scores the empty product)."""
+    from .dedup import _spread_for_explode
+
     lw = words_col(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     ex = F.explode_outer if keep_empty else F.explode
     return (
-        docs.select(F.col(id_col), lw.alias("__w"))
+        # the md5-per-gram pass is the expensive leg of both DSIR
+        # stages; a single-row-group scan would run it on 1-2 tasks
+        _spread_for_explode(docs).select(F.col(id_col), lw.alias("__w"))
         .select(id_col, ex(word_shingles_expr("__w", n)).alias("g"))
         .select(id_col, md5_bucket_expr(F.col("g"), buckets))
     )

@@ -120,6 +120,15 @@ def winnowing_fingerprints(
     Bk1 = np.uint64(pow(1000003, k - 1, 1 << 64))
     id_type = df.schema[id_col].dataType.simpleString()
 
+    # Same guard as ops.dedup._spread_for_explode (inlined: text.py is
+    # imported by dedup.py): a single-row-group scan would run the
+    # whole batch kernel — and, through the caller's persist, every
+    # downstream stage — on one or two tasks.  Per-doc outputs are
+    # independent of batch composition, so spreading is result-neutral.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
     def batch_fn(batches):
         for batch in batches:
             n_docs = batch.num_rows
