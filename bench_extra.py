@@ -68,6 +68,9 @@ def main() -> None:
                 f.write(_elide(plan, args.plan_lines) + "\n")
             release_all()
         secs = []
+        if args.trials == 0:
+            print(json.dumps({"query": name, "plan_only": True}), flush=True)
+            continue
         for _ in range(args.trials):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
             t0 = time.monotonic()

@@ -1340,25 +1340,35 @@ def boilerplate_spans(
     from pyspark.sql import Window
 
     if grams is None:
-        grams = register(
-            # DF count + occurrence join both consume it
-            char_grams(docs, text_col, id_col, k).persist()
-        )
-    # two-level agg (no countDistinct EXPAND); deterministic bound on
-    # the broadcast side via top-k (df desc, gram) — never silently
-    # unbounded even on a pathological corpus
+        grams = char_grams(docs, text_col, id_col, k)
+    # Hot-gram detection in ONE exchange of the gram table (the
+    # _spans_from_grams window form): exact per-gram distinct-doc
+    # counts ride along as window aggregates (max dense_rank — no
+    # EXPAND) and the df > max_df filter keeps only hot-gram
+    # occurrence rows, so the former shape's second full-gram pass
+    # (broadcast occurrence join against a persisted gram table) and
+    # the raw-gram persist disappear.  The deterministic top-k bound
+    # (df desc, gram) is enforced on the already-tiny hot subset: a
+    # distinct hot-gram table semi-joined back, still never letting a
+    # pathological corpus make the hot set unbounded.
+    wg = Window.partitionBy("g")
+    wr = wg.orderBy("doc_id")
+    hot_occ = register(
+        grams.withColumn("__dr", F.dense_rank().over(wr))
+        .withColumn("__nd", F.max("__dr").over(wg))
+        .where(F.col("__nd") > max_df)
+        .select("doc_id", "pos", "g", "__nd")
+        .persist()
+    )
     hot = (
-        grams.groupBy("g", "doc_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .where(F.col("nd") > max_df)
-        .orderBy(F.desc("nd"), "g")
+        hot_occ.select("g", "__nd")
+        .distinct()
+        .orderBy(F.desc("__nd"), "g")
         .limit(max_hot_grams)
         .select("g")
     )
     occ = (
-        grams.join(F.broadcast(hot), "g")
+        hot_occ.join(F.broadcast(hot), "g")
         .select("doc_id", "pos", (F.col("pos") + k - 1).alias("e"))
     )
     # gaps-and-islands over [pos, pos+k-1] cover intervals: positions

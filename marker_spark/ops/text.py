@@ -39,6 +39,12 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword_ratio, quality_score columns — pure Catalyst expressions.
     Null text gets empty-doc semantics (n_words 0, not NULL), matching
     the package convention (_word_hash_col, bpe_ish_token_count_col)."""
+    # the word-split / regex / HOF expressions are the cost of every
+    # consumer; spread a thin single-row-group scan so they parallelize
+    # (per-doc expressions — partition-independent)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = words_col(text)
     n_words = F.size(words)

@@ -71,6 +71,13 @@ def tokenize_documents(df, text_col: str = "text", vocab: int = VOCAB_SIZE):
                 names=["doc_id", "tokens", "n_tok", "source"],
             )
 
+    # conditional spread (the ops.dedup._spread_for_explode guard,
+    # inlined): a single-row-group corpus scan would tokenize — and,
+    # through the callers' cache(), run every downstream sketch build
+    # on — 1-2 tasks.  Per-doc outputs are partition-independent.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     src = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("source").cast("string").alias("source"),
