@@ -196,9 +196,19 @@ def merge_partials(
         return arrays, names
 
     def _merge_table(table: "pa.Table", extra_cols: list[str]) -> "pa.Table":
-        acc = _merge_acc(table)
         arrays, names = _group_arrays(table, extra_cols)
-        arrays.append(pa.array([pack_state(acc)], type=pa.binary()))
+        if table.num_rows == 1:
+            # single partial: the merged state IS the partial, and
+            # pack(unpack(x)) == x byte-for-byte (deterministic zlib,
+            # exact serde roundtrip — gated in tests) — skip the
+            # decompress/recompress entirely.  The bounded-bucket
+            # build shape has exactly one partial per group, so this
+            # removes the whole zlib pass from its merge stage.
+            buf = table.column(SKETCH_COL).combine_chunks()
+            arrays.append(pa.array([buf[0].as_py()], type=pa.binary()))
+        else:
+            acc = _merge_acc(table)
+            arrays.append(pa.array([pack_state(acc)], type=pa.binary()))
         names.append(SKETCH_COL)
         return pa.table(dict(zip(names, arrays)))
 
