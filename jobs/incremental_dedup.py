@@ -70,11 +70,37 @@ def _index_table_name(location: str) -> str:
     return f"lsh_band_index_{digest}"
 
 
+def _meta_path(index: str) -> str:
+    return index.rstrip("/") + "__meta"
+
+
 def _register_bucketed_index(spark, location: str, n_buckets: int) -> str:
     """(Re-)declare the bucketed external index table on its location
     and return its (location-derived) catalog name.  Idempotent per
     session and across sessions: the catalog entry dies with the
-    session, the bucket layout lives in the files."""
+    session, the bucket layout lives in the files.
+
+    The bucket count is PINNED by a ``<index>__meta`` sidecar written
+    on first create: the re-issued CREATE trusts whatever --n-buckets
+    the current run passes, and Spark trusts the declared count when
+    parsing bucket ids from file names — a mismatched count would make
+    the zero-exchange join read the wrong hash partitioning and
+    silently drop candidate pairs (r10 ADVICE).  A mismatch therefore
+    fails loudly here instead."""
+    from marker_spark.tables import path_exists, read_text, write_text
+
+    meta_path = _meta_path(location)
+    if path_exists(spark, meta_path):
+        stored = int(json.loads(read_text(spark, meta_path)).get("n_buckets", -1))
+        if stored != n_buckets:
+            raise ValueError(
+                f"--n-buckets {n_buckets} does not match the index at "
+                f"{location} (written with n_buckets={stored}); pass "
+                f"--n-buckets {stored}, or --rebuild the index"
+            )
+    else:
+        # also pins pre-sidecar indexes on their next run
+        write_text(spark, meta_path, json.dumps({"n_buckets": n_buckets}))
     table = _index_table_name(location)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {table} ({INDEX_SCHEMA}) "
@@ -156,6 +182,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     t0 = time.monotonic()
 
+    if args.compact and args.rebuild:
+        # silently preferring one would drop the other's intent (the
+        # user asked to clear tombstones AND got a pass that can only
+        # add them)
+        ap.error("--compact and --rebuild are mutually exclusive")
     if args.compact:
         if not args.keep:
             ap.error("--compact requires --keep")
@@ -208,11 +239,16 @@ def main(argv: list[str] | None = None) -> None:
     # self-join).  Text sources: the batch always; plus --corpus for the
     # old side of cross pairs when the deployment provides it.
     if args.corpus:
+        # prefer the BATCH side deterministically when a doc_id exists
+        # in both stores: union + dropDuplicates keeps an arbitrary
+        # row, so a re-crawled doc could verify against stale corpus
+        # text and flip jaccard between runs (r10 ADVICE)
+        batch_texts = batch.select("doc_id", "text")
         texts = (
             spark.read.parquet(args.corpus)
             .select("doc_id", "text")
-            .unionByName(batch.select("doc_id", "text"))
-            .dropDuplicates(["doc_id"])
+            .join(batch_texts.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(batch_texts)
         )
         # a band can outlive its text (the retention window before the
         # next --compact pass): a pair touching a doc missing from the
@@ -315,7 +351,12 @@ def _run_compact(spark, args, t0) -> None:
     if part_cols:
         w = w.partitionBy(*part_cols)
     w.parquet(tmp)
-    staged = spark.read.parquet(tmp)
+    # explicit schema: a retention pass that drops EVERY row leaves a
+    # partitioned staging dir with no data files, and a schema-infer
+    # read fails with UNABLE_TO_INFER_SCHEMA (r10 ADVICE; reproduced —
+    # flat empty writes do keep a schema-bearing file, partitioned
+    # ones do not)
+    staged = spark.read.schema(index.schema).parquet(tmp)
     # tombstones FIRST: a crash between the two writes then only
     # double-counts reclaimed buckets (conservative — they stay
     # capped); index-first would leave them permanently UN-capped
@@ -334,10 +375,26 @@ def _run_compact(spark, args, t0) -> None:
             .insertInto(table, overwrite=True)
         )
     else:
-        w = staged.write.mode("overwrite")
-        if part_cols:
-            w = w.partitionBy(*part_cols)
-        w.parquet(args.index)
+        n_staged = staged.count()
+        if part_cols and n_staged == 0:
+            # an empty partitionBy write emits ONLY _SUCCESS and every
+            # later schema-infer read of the index dies — park one
+            # empty schema-bearing file inside the sentinel partition
+            # dir instead (hive layout stays uniform; -1 is the
+            # rebuild sentinel, always excluded by the streaming
+            # twin's __batch_id != batch_id filter since ids are >= 0)
+            from marker_spark.tables import delete_path as _del
+
+            _del(spark, args.index)
+            data_cols = [c for c in index.columns if c != "__batch_id"]
+            staged.select(*data_cols).write.mode("overwrite").parquet(
+                args.index.rstrip("/") + "/__batch_id=-1"
+            )
+        else:
+            w = staged.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(args.index)
     n_after = staged.count()
     delete_path(spark, tmp)
     release_all()

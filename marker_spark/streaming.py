@@ -697,12 +697,22 @@ def streaming_incremental_dedup(
             # __batch_id partition in the index — joining it would
             # double-count bucket sizes under max_bucket (the rewritten
             # pairs partition could lose pairs, breaking the documented
-            # union==batch invariant), so exclude self before dropping
-            index = (
-                spark.read.parquet(index_path)
-                .where(F.col("__batch_id") != F.lit(batch_id))
-                .drop("__batch_id")
+            # union==batch invariant), so exclude self before dropping.
+            # An offline --rebuild folds EVERY doc under the sentinel
+            # partition -1, where the __batch_id filter can no longer
+            # self-exclude a replayed batch's docs — anti-join the
+            # sentinel slice on the batch's own ids too (r10 ADVICE);
+            # the compound condition keeps this one pass over the index
+            idx = spark.read.parquet(index_path).where(
+                F.col("__batch_id") != F.lit(batch_id)
             )
+            batch_ids = batch_df.select(F.col(id_col).alias("__bid")).distinct()
+            index = idx.join(
+                batch_ids,
+                (idx[id_col] == F.col("__bid"))
+                & (idx["__batch_id"] == F.lit(-1)),
+                "left_anti",
+            ).drop("__batch_id")
         else:
             index = spark.createDataFrame([], empty_index)
         frozen = None

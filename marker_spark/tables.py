@@ -50,6 +50,34 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(p.getFileSystem(hconf).delete(p, True))
 
 
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Small sidecar files (index metadata) through the Hadoop FS API,
+    so hdfs:// and s3a:// paths behave exactly like local ones (the
+    path_exists rationale applied to writes)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    out = p.getFileSystem(hconf).create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Sidecar read counterpart of :func:`write_text`."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    stream = p.getFileSystem(hconf).open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, hconf, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 class TableProvider:
     def __init__(self, spark: SparkSession, provider: str = "parquet", catalog: str | None = None):
         if provider not in ("parquet", "iceberg"):

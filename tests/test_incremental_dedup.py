@@ -800,3 +800,180 @@ def test_job_rebuild_preserves_streaming_batch_partitions(spark, tmp_path, capsy
     )
     assert spark.read.parquet(index).count() == rep["index_rows"] + 1
     release_all()
+
+
+def test_bucketed_n_buckets_mismatch_fails_loudly(spark, tmp_path, capsys):
+    """The sidecar pins the bucket count: a fresh session passing a
+    different --n-buckets must fail instead of silently declaring a
+    wrong hash partitioning over the existing files (r11 ADVICE fix:
+    a mismatched declared count makes the zero-exchange join read the
+    wrong buckets and drop candidate pairs)."""
+    import json
+
+    from jobs.incremental_dedup import _index_table_name, _meta_path, main
+    from marker_spark.tables import path_exists, read_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    day0 = str(tmp_path / "day0.parquet")
+    docs.limit(50).select("doc_id", "text").write.parquet(day0)
+    index = str(tmp_path / "bidx")
+    try:
+        main(["--input", day0, "--index", index, "--pairs-out",
+              str(tmp_path / "p0"), "--bucketed", "--n-buckets", "4"])
+        capsys.readouterr()
+        assert path_exists(spark, _meta_path(index))
+        assert json.loads(read_text(spark, _meta_path(index)))["n_buckets"] == 4
+        with pytest.raises(ValueError, match="n_buckets=4"):
+            main(["--input", day0, "--index", index, "--pairs-out",
+                  str(tmp_path / "p1"), "--bucketed", "--n-buckets", "16"])
+        # the matching count still works
+        main(["--input", day0, "--index", index, "--pairs-out",
+              str(tmp_path / "p2"), "--bucketed", "--n-buckets", "4",
+              "--no-append"])
+        capsys.readouterr()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_index_table_name(index)}")
+    release_all()
+
+
+def test_compact_and_rebuild_are_mutually_exclusive(spark, tmp_path):
+    from jobs.incremental_dedup import main
+
+    with pytest.raises(SystemExit):
+        main(["--compact", "--rebuild", "--keep", "x", "--corpus", "y",
+              "--index", str(tmp_path / "idx")])
+
+
+def test_compact_dropping_every_row_leaves_readable_index(
+    spark, tmp_path, capsys
+):
+    """Retention that drops EVERYTHING must not strand the index as an
+    unreadable directory: a partitioned empty write emits only
+    _SUCCESS and the next run's schema-infer read dies (r11 ADVICE
+    fix — reproduced on this Spark: flat empty writes keep a
+    schema-bearing file, partitioned ones do not)."""
+    import json
+
+    from jobs.incremental_dedup import main
+
+    # streaming-layout index (hive-partitioned by __batch_id): the
+    # shape that actually loses its schema on an empty rewrite
+    index = str(tmp_path / "sidx")
+    spark.createDataFrame(
+        [(d, 0, d % 5, d % 2) for d in range(20)],
+        "doc_id long, band_id int, band_hash long, __batch_id int",
+    ).write.partitionBy("__batch_id").parquet(index)
+    keep = str(tmp_path / "keep_none.parquet")
+    spark.createDataFrame([], "doc_id long").write.parquet(keep)
+
+    main(["--compact", "--keep", keep, "--index", index])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_after"] == 0 and rep["rows_before"] == 20
+    # the index stays readable by a plain schema-infer read...
+    re_read = spark.read.parquet(index)
+    assert re_read.count() == 0
+    assert "__batch_id" in re_read.columns
+    # ...and a later dedup batch over it just works
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    day1 = str(tmp_path / "day1.parquet")
+    docs.limit(30).select("doc_id", "text").write.parquet(day1)
+    main(["--input", day1, "--index", index, "--pairs-out",
+          str(tmp_path / "p1"), "--no-append"])
+    capsys.readouterr()
+    release_all()
+
+
+def test_corpus_conflict_prefers_batch_text(spark, tmp_path, capsys):
+    """A doc_id present in both --corpus and the batch must verify
+    against the BATCH text (r11 ADVICE fix: union + dropDuplicates
+    kept an arbitrary row, so a re-crawled doc could verify against
+    stale corpus text nondeterministically)."""
+    from jobs.incremental_dedup import main
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    batch = str(tmp_path / "batch.parquet")
+    spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    ).write.parquet(batch)
+    # stale corpus copy of doc 1 with unrelated text: if the corpus
+    # side won the dedupe, the (1, 2) pair's jaccard would be ~0 and
+    # the >= 0.7 filter would drop the pair
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(1, "completely different stale words " * 10)],
+        "doc_id long, text string",
+    ).write.parquet(corpus)
+    out = str(tmp_path / "pairs")
+    main(["--input", batch, "--index", str(tmp_path / "cidx"),
+          "--pairs-out", out, "--corpus", corpus])
+    capsys.readouterr()
+    rows = spark.read.parquet(out).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+    assert rows[0]["jaccard"] == 1.0
+    release_all()
+
+
+def test_streaming_replay_after_rebuild_excludes_own_docs(
+    spark, tmp_path
+):
+    """A checkpoint-replayed batch whose docs were folded under the
+    rebuild sentinel partition (__batch_id=-1) must still self-exclude
+    (r11 ADVICE fix): without the sentinel anti-join its own bands
+    count into idx_sz AND new_sz, the joint cap spuriously freezes the
+    bucket, and the rewritten pairs partition LOSES pairs.  A 3-clone
+    group under max_bucket=4 is legal alone (3 <= 4) but spuriously
+    capped when double-counted (3 + 3 > 4); the 2-clone group survives
+    either way (2 + 2 <= 4), so the un-fixed replay rewrites the pairs
+    partition NON-empty with the 3-clone pairs missing — an empty
+    rewrite would be masked entirely, because dynamic partition
+    overwrite of zero rows is a no-op that leaves the stale pairs."""
+    from marker_spark.streaming import streaming_incremental_dedup
+
+    two = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.length("text") > 50).orderBy("doc_id").limit(2)
+    )
+    a = two.orderBy("doc_id").limit(1)
+    b = two.orderBy(F.desc("doc_id")).limit(1)
+    docs = (
+        a.crossJoin(spark.range(3).withColumnRenamed("id", "k"))
+        .select((F.col("doc_id") * 10 + F.col("k")).alias("doc_id"), "text")
+        .unionByName(
+            b.crossJoin(spark.range(2).withColumnRenamed("id", "k"))
+            .select(
+                (F.col("doc_id") * 10 + F.col("k") + 1_000_000).alias("doc_id"),
+                "text",
+            )
+        )
+        .persist()
+    )
+    index = str(tmp_path / "ridx")
+    pairs = str(tmp_path / "rpairs")
+    fn = streaming_incremental_dedup(spark, index, pairs, max_bucket=4)
+    fn(docs, 0)
+    first = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).where("__batch_id = 0").collect()
+    }
+    # simulate an offline --rebuild: every band refolded under -1
+    rebuilt = (
+        spark.read.parquet(index)
+        .drop("__batch_id")
+        .withColumn("__batch_id", F.lit(-1))
+    )
+    tmp = str(tmp_path / "ridx_tmp")
+    rebuilt.write.partitionBy("__batch_id").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(index)
+    shutil.move(tmp, index)
+    # checkpoint replay of the SAME batch (same batch_id)
+    fn(docs, 0)
+    replayed = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).where("__batch_id = 0").collect()
+    }
+    assert first, "fixture produced no pairs — test is vacuous"
+    assert replayed == first
+    docs.unpersist()
+    release_all()
