@@ -156,6 +156,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--n-buckets", type=int, default=16,
                     help="bucket count for --bucketed (must stay constant "
                          "across runs on one index)")
+    ap.add_argument("--retention-prefilter-fp", type=float, default=None,
+                    help="with --compact: run retention through the drop-list "
+                         "Bloom pre-filter at this fp rate (exchange O(dropped) "
+                         "instead of the full-index doc_id shuffle — use once "
+                         "the keep list outgrows the broadcast threshold)")
     ap.add_argument("--corpus", default=None,
                     help="accumulated corpus text store (doc_id, text) — "
                          "verifies CROSS-batch pairs too; without it they "
@@ -326,7 +331,8 @@ def _run_compact(spark, args, t0) -> None:
     n_before = index.count()
 
     compacted, frozen = compact_band_index(
-        index, keep, max_bucket=args.max_bucket
+        index, keep, max_bucket=args.max_bucket,
+        prefilter_fp=args.retention_prefilter_fp,
     )
     fz_path = _frozen_path(args.index)
     if path_exists(spark, fz_path):

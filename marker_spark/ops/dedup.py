@@ -533,11 +533,115 @@ def incremental_lsh_pairs(
     return pairs, new_bands
 
 
+def _bloom_over_ids(
+    ids_df: DataFrame, id_col: str, capacity: int, fp: float
+) -> bytes:
+    """One OR-merged Bloom over a thin long-id table: each partition
+    builds a partial (mapInArrow, ids hashed as their 8 LE bytes), the
+    packed partials come back to the driver and OR-fold there.  Bounded
+    by #partitions x packed-state size — callers pass a BOUNDED id
+    list (the compaction drop-list), never a corpus-sized table."""
+    from ..agg import pack_state, unpack_state
+    from ..params import BloomParams
+    from ..sketches.bloom import BloomSketch
+
+    params = BloomParams.solve(max(capacity, 1), fp)
+    m, k = params.m, params.k
+
+    def build(batches):
+        import pyarrow as pa
+
+        bf = BloomSketch(m, k)
+        for b in batches:
+            arr = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(arr):
+                bf.insert_fixed_width(arr.view(np.uint8).reshape(-1, 8))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pack_state(bf)], type=pa.binary())], ["state"]
+        )
+
+    parts = (
+        ids_df.select(F.col(id_col).cast("long").alias(id_col))
+        .mapInArrow(build, schema="state binary")
+        .collect()
+    )
+    acc = None
+    for r in parts:
+        sk = unpack_state(BloomSketch, bytes(r["state"]))
+        acc = sk if acc is None else acc.merge_in_place(sk)
+    return pack_state(acc)
+
+
+# explicit-broadcast bound for the per-shard index id set in the
+# prefilter retention path: 4M longs hash to ~50 MB per executor —
+# comfortably under default executor memory, far above the 10 MB
+# auto threshold that would otherwise push the corpus-sized keep
+# list through a shuffle
+_IDX_BROADCAST_IDS = 4_000_000
+
+
+def _retention_via_drop_prefilter(
+    index: DataFrame, keep_ids: DataFrame, id_col: str, fp: float
+) -> DataFrame:
+    """Exact retention (== ``index`` left-semi ``keep_ids``) whose
+    exchange is O(dropped rows), not O(index rows): compute the
+    DROP-list (distinct index ids minus ``keep_ids`` — thin 8-byte
+    columns through the only corpus-wide exchange), Bloom it, and split
+    the index map-side.  Bloom-negative rows are definitely kept (a
+    Bloom has no false negatives) and never shuffle; only the positives
+    (true drops + the fp share of kept rows) go through the exact
+    anti-join that rescues false positives.  With a bounded drop-list
+    AQE turns that anti-join into a broadcast, so no index row crosses
+    an exchange at all."""
+    from ..agg import unpack_state
+    from ..sketches.bloom import BloomSketch
+
+    # drop = index ids - keep.  Semi/anti joins ignore right-side
+    # multiplicity, so keep is never distinct'd (that alone is a full
+    # shuffle of the corpus-sized retention list); while the per-shard
+    # index id set fits an explicit broadcast, keep is map-side
+    # semi-filtered against it and NEVER crosses an exchange — the
+    # anti-join's both sides are then O(index docs) thin columns
+    idx_ids = register(index.select(F.col(id_col)).distinct().persist())
+    if idx_ids.count() <= _IDX_BROADCAST_IDS:
+        keep_in_idx = keep_ids.join(F.broadcast(idx_ids), id_col, "left_semi")
+        drop_ids = register(
+            idx_ids.join(keep_in_idx, id_col, "left_anti").persist()
+        )
+    else:
+        # huge-shard fallback: one thin-column SMJ (ids only, never
+        # full index rows)
+        drop_ids = register(
+            idx_ids.join(keep_ids, id_col, "left_anti").persist()
+        )
+    n_drop = drop_ids.count()
+    if n_drop == 0:
+        return index
+    packed = _bloom_over_ids(drop_ids, id_col, n_drop, fp)
+    bcast = register(index.sparkSession.sparkContext.broadcast(packed))
+    memo: dict = {}
+
+    @F.pandas_udf("boolean")
+    def maybe_dropped(ids: pd.Series) -> pd.Series:
+        bf = memo.get("bf")
+        if bf is None:
+            bf = memo["bf"] = unpack_state(BloomSketch, bcast.value)
+        # index ids are non-null by construction; a nullable id column
+        # would arrive as float64 and corrupt the hashes (CLAUDE.md r10)
+        arr = ids.to_numpy(dtype=np.int64)
+        return pd.Series(bf.contains_fixed_width(arr.view(np.uint8).reshape(-1, 8)))
+
+    pos = index.where(maybe_dropped(F.col(id_col)))
+    neg = index.where(~maybe_dropped(F.col(id_col)))
+    return neg.unionByName(pos.join(drop_ids, id_col, "left_anti"))
+
+
 def compact_band_index(
     index: DataFrame,
     keep: DataFrame,
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    prefilter_fp: float | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Retention + compaction for the persisted dedup band index — the
     index analogue of the reference cache's ``maybe_age``
@@ -571,11 +675,29 @@ def compact_band_index(
     incremental pairs against ``(compacted, frozen)`` == incremental
     pairs against the logically equivalent fresh index (``index``
     semi-joined to ``keep``, uncompacted) for every increment.
+
+    ``prefilter_fp`` (opt-in, r10 verdict item 4): past the broadcast
+    threshold the plain retention semi-join shuffles the WHOLE index on
+    ``id_col`` (measured 963 MB at 64M rows).  With a float fp rate the
+    retention runs via :func:`_retention_via_drop_prefilter` instead —
+    identical output (fp only moves rows onto the exact rescue join),
+    exchange O(dropped + thin id columns).  The right mode for the
+    production maintenance pass, where a daily retention drops a small
+    fraction of a multi-year index; default ``None`` keeps the plain
+    join (optimal when ``keep`` broadcasts).
     """
     keys = ["band_id", "band_hash"]
-    retained = index.join(
-        keep.select(F.col(id_col)).distinct(), id_col, "left_semi"
-    )
+    if prefilter_fp is not None:
+        # no .distinct() on keep: the prefilter path only semi/anti
+        # joins against it (right-side multiplicity is ignored), and
+        # the distinct alone is a full shuffle of the retention list
+        retained = _retention_via_drop_prefilter(
+            index, keep.select(F.col(id_col)), id_col, prefilter_fp
+        )
+    else:
+        retained = index.join(
+            keep.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     if max_bucket is None:
         return retained, None
     retained = register(retained.persist())

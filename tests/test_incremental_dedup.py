@@ -977,3 +977,105 @@ def test_streaming_replay_after_rebuild_excludes_own_docs(
     assert replayed == first
     docs.unpersist()
     release_all()
+
+
+@pytest.mark.parametrize("fp", [0.01, 0.5])
+def test_compact_prefilter_equivalence(spark, fp):
+    """prefilter_fp retention (drop-list Bloom, map-side split, exact
+    rescue anti-join) must be ROW-identical to the plain semi-join
+    path — same synthetic as test_compaction_equivalence_synthetic, so
+    all three bucket fates are present.  fp=0.5 pushes a large
+    false-positive share of the kept rows through the rescue join (the
+    correctness of the split may not depend on the fp rate)."""
+    from marker_spark.ops.dedup import compact_band_index
+
+    cap = 4
+    idx_rows = (
+        [(d, 0, 100) for d in range(1, 7)]
+        + [(d, 0, 200) for d in range(1, 4)]
+        + [(d, 0, 300) for d in range(10, 15)]
+    )
+    index = spark.createDataFrame(
+        idx_rows, "doc_id long, band_id int, band_hash long"
+    )
+    keep = spark.createDataFrame(
+        [(d,) for d in list(range(1, 7)) + [10, 11, 101, 102]], "doc_id long"
+    )
+    c0, f0 = compact_band_index(index, keep, max_bucket=cap)
+    c1, f1 = compact_band_index(index, keep, max_bucket=cap, prefilter_fp=fp)
+    key = lambda r: (r["doc_id"], r["band_id"], r["band_hash"])
+    assert sorted(c1.collect(), key=key) == sorted(c0.collect(), key=key)
+    assert sorted(f1.collect()) == sorted(f0.collect())
+    # retention-only mode through the same split
+    r0, n0 = compact_band_index(index, keep)
+    r1, n1 = compact_band_index(index, keep, prefilter_fp=fp)
+    assert n0 is None and n1 is None
+    assert sorted(r1.collect(), key=key) == sorted(r0.collect(), key=key)
+    release_all()
+
+
+def test_compact_prefilter_nothing_dropped(spark):
+    """keep covering every index doc short-circuits the prefilter path
+    (empty drop-list): the index passes through untouched."""
+    from marker_spark.ops.dedup import compact_band_index
+
+    index = spark.createDataFrame(
+        [(d, 0, 100 + d % 3) for d in range(1, 9)],
+        "doc_id long, band_id int, band_hash long",
+    )
+    keep = spark.createDataFrame([(d,) for d in range(1, 20)], "doc_id long")
+    r1, _ = compact_band_index(index, keep, prefilter_fp=0.01)
+    assert sorted(r1.collect()) == sorted(index.collect())
+    release_all()
+
+
+@pytest.mark.parametrize("delta", [-1, 0, 1])
+@pytest.mark.parametrize("fp", [None, 0.5])
+def test_compaction_cap_boundary_sweep(spark, delta, fp):
+    """r10 verdict item 6: the joint-size cap check and the frozen_sz
+    summation must agree EXACTLY at the cap boundary.  One bucket sits
+    at retained size cap+delta (freezes iff delta > 0); after TWO
+    compaction passes with the job's tombstone merge (sum per bucket),
+    incremental pairs still match the fresh-rebuild rule at every
+    boundary position, on both retention paths."""
+    from marker_spark.ops.dedup import compact_band_index
+
+    cap = 4
+    size = cap + delta
+    idx_rows = [(d, 0, 7) for d in range(1, size + 1)] + [
+        (d, 0, 9) for d in (50, 51)
+    ]
+    index = spark.createDataFrame(
+        idx_rows, "doc_id long, band_id int, band_hash long"
+    )
+    keep = spark.createDataFrame(
+        [(d,) for d in list(range(1, size + 1)) + [50, 51]], "doc_id long"
+    )
+    c1, f1 = compact_band_index(index, keep, max_bucket=cap, prefilter_fp=fp)
+    assert (f1.count() > 0) == (delta > 0)
+    c2, f2 = compact_band_index(c1, keep, max_bucket=cap, prefilter_fp=fp)
+    frozen = (
+        f1.unionByName(f2)
+        .groupBy("band_id", "band_hash")
+        .agg(F.sum("frozen_sz").alias("frozen_sz"))
+    )
+    if delta > 0:
+        # the second pass sees zero rows for the frozen bucket and must
+        # NOT re-freeze it — the merged tombstone stays exactly `size`
+        assert [(r["band_hash"], r["frozen_sz"]) for r in frozen.collect()] == [
+            (7, size)
+        ]
+    nb = spark.createDataFrame(
+        [(100, 0, 7), (101, 0, 9)], "doc_id long, band_id int, band_hash long"
+    )
+    got = _pairs_set(
+        incremental_pairs_from_bands(c2, nb, max_bucket=cap, frozen=frozen)
+    )
+    fresh = index.join(keep, "doc_id", "left_semi")
+    want = _pairs_set(incremental_pairs_from_bands(fresh, nb, max_bucket=cap))
+    assert got == want
+    # the boundary bucket emits pairs iff joint size+1 fits the cap
+    assert ({p for p in got if 100 in p} != set()) == (size + 1 <= cap)
+    # control bucket (2 + 1 <= cap) always emits
+    assert {p for p in got if 101 in p} == {(50, 101), (51, 101)}
+    release_all()
